@@ -1,0 +1,3 @@
+"""Scalar-function surface. Importing registers the group-H queries."""
+
+import data_pipeline_etl_spark.functions.scalar  # noqa: F401

@@ -1,0 +1,228 @@
+"""Group D — aggregations (SURVEY.md §2.D).
+
+Every aggregate runs as Catalyst partial+final HashAggregate (map-side
+combine before the shuffle) — verified in ``.explain``; nothing here
+collects to the driver. DuckDB type trap: ``sum(INTEGER)`` yields HUGEINT
+in DuckDB vs LONG in Spark, so integer sums are cast to BIGINT in oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import query
+from data_pipeline_etl_spark.sources.tables import table
+
+
+@query(
+    "q_agg_groupby",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 4)       AS sum_qty,
+           round(sum(l_extendedprice), 4)  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 6)       AS avg_qty,
+           round(avg(l_extendedprice), 6)  AS avg_price,
+           round(avg(l_discount), 6)       AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the flagship multi-aggregate rollup."""
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"), F.count("*").alias("n_orders")
+    )
+
+
+@query(
+    "q_agg_multidistinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey)     AS n_cust,
+           count(DISTINCT o_orderstatus) AS n_status,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_multidistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two distinct aggregates in one group (Catalyst Expand plan)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .where(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals; NULL-placeholder semantics match DuckDB (§2.1 #1)."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus)   AS g_status,
+           grouping(o_orderpriority) AS g_prio,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets with grouping() markers (SQL entry point)."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus)   AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+               count(*) AS n
+        FROM orders_gs_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6)    AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_linestatus,
+           round(quantile_cont(l_quantity, 0.5), 6)       AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 6)  AS p90_price,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles: Spark percentile() ≡ DuckDB quantile_cont (§2.1 #5)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT n_regionkey, list(n_name ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation per group."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("names")
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct — rows-only check by design."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )

@@ -1,0 +1,251 @@
+"""Group C — joins (SURVEY.md §2.C).
+
+Scale notes (100 TB design point):
+- dimension joins (nation/region/supplier/part) are broadcast-able; the
+  planner picks BroadcastHashJoin automatically under the 10 MB threshold
+  and ``q_join_broadcast`` pins it explicitly for the regression test;
+- fact⋈fact joins (lineitem⋈orders) shuffle on the join key — at cluster
+  scale pre-bucket both tables on orderkey to eliminate the exchange;
+- the theta/as-of shapes keep an equi component (user_id) so Spark plans a
+  hash join with a range post-filter instead of a nested-loop cross join;
+- AQE (left on) handles skewed key splits at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import query
+from data_pipeline_etl_spark.sources.tables import table
+
+def _revenue():
+    return F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o_orderstatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join of the two fact tables + rollup."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(F.round(_revenue(), 4).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_join_chain",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join chain, revenue per nation.
+
+    Written selective-first (filtered orders joined before lineitem) so the
+    largest table only meets pre-reduced inputs; dims broadcast themselves.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == o.o_orderkey)
+        .join(s, (F.col("l_suppkey") == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(_revenue(), 4).alias("revenue"))
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer, order counts including zero."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one open order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders (orphan detection)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly broadcast small dimensions into the fact scan."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(_revenue(), 4).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    WHERE r_regionkey <> n_regionkey
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross join (dims only) + filter."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).filter(F.col("r_regionkey") != F.col("n_regionkey")).select(
+        "r_name", "n_name"
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT e1.user_id AS user_id, count(*) AS n_pairs
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
+     AND e1.event_id < e2.event_id
+    GROUP BY e1.user_id
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: event pairs within 30 minutes, same user.
+
+    The equi component (user_id) keeps this a hash join with a range
+    residual — never a full cross product.
+    """
+    e = table(spark, sf_dir, "events")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("e1.event_id") < F.col("e2.event_id"))
+    )
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT event_id, user_id, ts, prev_ts, prev_type
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             lag(ts)         OVER w AS prev_ts,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of lookup: each purchase matched to the latest prior event.
+
+    Spark has no native DataFrame as-of join; the scalable expression is a
+    single window pass (one shuffle on user_id) rather than a range join.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.lag("ts").over(w).alias("prev_ts"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )

@@ -1,0 +1,209 @@
+"""Group J — deduplication operators for training-data pipelines
+(SURVEY.md §2.J; north star BASELINE.json:6).
+
+Four dedup families, each with its scale story:
+- exact: normalize → md5 content hash → hash-groupBy. One shuffle on the
+  16-byte hash; at 100 TB this is the cheapest possible dedup.
+- fingerprint: md5 over the sorted distinct-token set — catches
+  reorderings/repetitions. Same shuffle profile as exact.
+- n-gram Jaccard: pairwise bigram-set similarity, *blocked* by metadata
+  (lang, source) so the pair space is |block|² not |corpus|²; the
+  unblocked 100 TB path is MinHashLSH (q_dedup_minhash below).
+- SimHash: 16-bit signature from per-token md5 bits; near-dups share
+  signatures. Signature computation is one explode + groupBy (linear).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import query
+from data_pipeline_etl_spark.sources.tables import table
+
+def _norm_spark():
+    return F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT md5({_NORM_SQL})) AS n_unique,
+           count(*) - count(DISTINCT md5({_NORM_SQL})) AS n_dups
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting: normalized-content md5 per language."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(_norm_spark())
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(h).alias("n_unique"),
+        (F.count("*") - F.countDistinct(h)).alias("n_dups"),
+    )
+
+
+@query(
+    "q_dedup_fingerprint",
+    oracle="""
+    SELECT fp, count(*) AS n_docs, list(doc_id ORDER BY doc_id) AS doc_ids
+    FROM (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      FROM documents
+    )
+    GROUP BY fp
+    HAVING count(*) > 1
+    """,
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set fingerprint groups: docs whose distinct-token sets coincide."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(F.split("text", " ")))))
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "q_dedup_ngram",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+             )) AS bigrams
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.bigrams, b.bigrams))
+                 / (len(a.bigrams) + len(b.bigrams)
+                    - len(list_intersect(a.bigrams, b.bigrams))), 6) AS jaccard
+    FROM grams a JOIN grams b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.bigrams, b.bigrams))
+          / (len(a.bigrams) + len(b.bigrams)
+             - len(list_intersect(a.bigrams, b.bigrams))) >= 0.4
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-shingle Jaccard near-dup pairs, blocked by (lang, source).
+
+    Blocking bounds the candidate space to within-block pairs — the
+    standard scalable near-dup layout; swap the block key for LSH bands at
+    corpus scale (q_dedup_minhash).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+    g = d.select("doc_id", "lang", "source", bigrams.alias("bigrams"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.bigrams"), F.col("b.bigrams")))
+    union = F.size(F.col("a.bigrams")) + F.size(F.col("b.bigrams")) - inter
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jac >= 0.4)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+# 16-bit signature. Bit j of a token's hash := whether the j-th hex digit of
+# md5(token) is in 8..f (its high bit). A document's bit j is the sign of the
+# sum of (+1/-1) votes over its distinct tokens. Pure builtin SQL on both
+# engines — no UDF, no engine-specific hash function.
+_HI = "('8','9','a','b','c','d','e','f')"
+_BITS = 16
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN substring(md5(tok), {j + 1}, 1) IN {_HI} THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_BITS)
+    )
+    sig = " + ".join(f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(_BITS))
+    return f"""
+    WITH votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document (near-dup bucketing key)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    h = F.md5("tok")
+    votes = [
+        F.sum(
+            F.when(F.substring(h, j + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(_BITS)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    sig = None
+    for j in range(_BITS):
+        bit = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return voted.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+@query("q_dedup_minhash")  # rows-only: MinHash family is engine-specific
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH banded near-dup candidates — the 100 TB Jaccard path.
+
+    Uses pyspark.ml's MinHashLSH over hashed token features; candidate
+    pairs at Jaccard distance <= 0.5. Hash-family randomness is seeded but
+    engine-specific, so this is a rows-only check by design.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 12, binary=True)
+    feats = tf.transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )

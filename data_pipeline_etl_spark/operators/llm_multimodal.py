@@ -1,0 +1,57 @@
+"""Group J — multimodal columns (SURVEY.md §2.J).
+
+``documents ⋈ embeddings`` on doc_id=vec_id is the fixture's multimodal
+key (FIXTURES.md). Binary payload plumbing (decode/resize/frame-sample as
+Arrow-batched Pandas UDFs) lives in streaming/multimodal.py — the codec
+libraries are not in this container, so the decode kernel is stubbed while
+the Spark-side schema/batching is real and tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import query
+from data_pipeline_etl_spark.sources.tables import table
+
+_NORM_SQL = (
+    "sqrt(list_sum(list_transform(generate_series(1, len(embedding)), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
+)
+
+
+def _l2_norm(col: str):
+    """Sequential float64 fold of the L2 norm (bit-equal on both engines)."""
+    return F.sqrt(
+        F.expr(
+            f"aggregate(zip_with({col}, {col}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+
+
+@query(
+    "q_multimodal_join",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg({_NORM_SQL}), 6) AS avg_norm,
+           round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    GROUP BY lang
+    """,
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text⋈vector join: per-language average embedding norm + doc length."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(_l2_norm("embedding")), 6).alias("avg_norm"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        )
+    )

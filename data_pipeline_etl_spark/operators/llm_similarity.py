@@ -1,0 +1,240 @@
+"""Group J — similarity search over embeddings (SURVEY.md §2.J).
+
+Numeric discipline (SURVEY.md §1.3 #3): embeddings are float32; every
+similarity is computed as an explicit *sequential left fold in float64*
+(`aggregate(zip_with(...))` on Spark, `list_sum(list_transform(...))` on
+DuckDB) so both engines produce bit-identical dot products, then rounded
+to 6 dp. DuckDB's builtin list_cosine_similarity is NOT used — it folds in
+float32 and diverges at the 8th decimal.
+
+Scale story:
+- q_sim_cosine_topk: brute-force exact top-k — the baseline. The (tiny)
+  query set is broadcast; candidates stream through one codegen stage; the
+  per-query top-k is a window over qid (shuffle on qid only).
+- q_sim_ivf_topk: IVF-style ANN — candidates restricted to the query's
+  coarse cell (here: the ``label`` column as the quantization cell).
+  At 100 TB, cells are k-means centroids and pruning is a partition filter.
+- q_sim_neardup: all-pairs nearest neighbor (embedding near-dup); the
+  unblocked form is O(n²) — documented LSH/IVF as the at-scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import query
+from data_pipeline_etl_spark.sources.tables import table
+
+
+def dot64(a: str, b: str) -> Column:
+    """Sequential float64 fold of a float32 vector dot product (Spark)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """The DuckDB twin of dot64: same element order, same float64 fold."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+_COS_SQL = (
+    f"round({_dot_sql('qe', 'ce')} / "
+    f"(sqrt({_dot_sql('qe', 'qe')}) * sqrt({_dot_sql('ce', 'ce')})), 6)"
+)
+
+
+def _cosine(qe: str, ce: str) -> Column:
+    return F.round(
+        dot64(qe, ce) / (F.sqrt(dot64(qe, qe)) * F.sqrt(dot64(ce, ce))), 6
+    )
+
+
+@query(
+    "q_sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id, c.embedding AS ce, q.qe,
+             {_COS_SQL} AS cos_sim
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT q_id, vec_id, cos_sim, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors vec_id ∈ [0,5)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    cand = emb.select(F.col("vec_id"), F.col("embedding").alias("ce"))
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _cosine("qe", "ce").alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .withColumn("rn", F.col("rn").cast("long"))
+        .select("q_id", "vec_id", "cos_sim", "rn")
+    )
+
+
+@query(
+    "q_sim_knn_label",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id, c.label,
+             {_COS_SQL} AS cos_sim
+      FROM (SELECT vec_id, label, embedding AS ce FROM embeddings) c CROSS JOIN q
+      WHERE c.vec_id <> q.q_id
+    ),
+    knn AS (
+      SELECT q_id, label FROM (
+        SELECT q_id, label,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT q_id, label, count(*) AS n_votes FROM knn GROUP BY q_id, label
+    )
+    SELECT q_id, label AS pred_label, n_votes FROM (
+      SELECT q_id, label, n_votes,
+             row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def q_sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority label vote for query vectors vec_id ∈ [0,20)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    cand = emb.select("vec_id", "label", F.col("embedding").alias("ce"))
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "label", _cosine("qe", "ce").alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    knn = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    votes = knn.groupBy("q_id", "label").agg(F.count("*").alias("n_votes"))
+    vw = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .where(F.col("vr") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+@query(
+    "q_sim_ivf_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+      FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             {_COS_SQL} AS cos_sim
+      FROM (SELECT vec_id, label, embedding AS ce FROM embeddings) c
+        JOIN q ON c.label = q.q_label
+      WHERE c.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT q_id, vec_id, cos_sim, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: search only the query's coarse cell (label bucket).
+
+    The candidate set shrinks by ~|cells|× versus brute force; the join on
+    the cell id is the partition-pruning step of a real IVF index.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    cand = emb.select("vec_id", "label", F.col("embedding").alias("ce"))
+    scored = (
+        cand.join(F.broadcast(q), cand.label == q.q_label)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _cosine("qe", "ce").alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+        .select("q_id", "vec_id", "cos_sim", "rn")
+    )
+
+
+@query(
+    "q_sim_neardup",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             {_COS_SQL} AS cos_sim
+      FROM (SELECT vec_id, label, embedding AS qe FROM embeddings) a
+        JOIN (SELECT vec_id, label, embedding AS ce FROM embeddings) b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT q_id AS vec_id, vec_id AS nn_id, cos_sim AS nn_cos
+    FROM (
+      SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: every vector's nearest neighbor in its cell.
+
+    Cell-blocked (label) all-pairs — |cell|² per cell, not |corpus|²; the
+    unblocked at-scale variant swaps the cell key for LSH bands.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("q_id"), "label", F.col("embedding").alias("qe"))
+    b = emb.select("vec_id", F.col("label").alias("b_label"), F.col("embedding").alias("ce"))
+    scored = (
+        a.join(b, (F.col("label") == F.col("b_label")) & (F.col("q_id") != F.col("vec_id")))
+        .select("q_id", "vec_id", _cosine("qe", "ce").alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("vec_id").alias("nn_id"),
+            F.col("cos_sim").alias("nn_cos"),
+        )
+    )

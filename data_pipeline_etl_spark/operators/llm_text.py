@@ -1,0 +1,200 @@
+"""Group J — text analysis for training-data pipelines (SURVEY.md §2.J).
+
+All operators are pure builtin-expression pipelines (split/explode/
+higher-order functions) — they stay inside whole-stage codegen and scale
+linearly: tokenize is per-row; term statistics shuffle once on the group
+key (lang/source/token).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import query
+from data_pipeline_etl_spark.sources.tables import table
+
+def _toks():
+    return F.split("text", " ")
+
+
+@query(
+    "q_text_topterms",
+    oracle="""
+    WITH freq AS (
+      SELECT lang, tok, count(*) AS n
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY lang, tok
+    )
+    SELECT lang, tok, n, rn FROM (
+      SELECT lang, tok, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
+      FROM freq
+    ) WHERE rn <= 3
+    """,
+)
+def q_text_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tokens per language by frequency (tiebreak token asc)."""
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(_toks()).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        freq.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+        .select("lang", "tok", "n", "rn")
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+           round(avg(len(regexp_extract_all(text, '[a-z]+'))), 6) AS avg_re_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats: doc count, char/token averages.
+
+    Token counting both ways: whitespace split and a regex tokenizer
+    (the BPE-ish pre-tokenization pattern, engine-neutral subset).
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(_toks())), 6).alias("avg_tokens"),
+        F.round(F.avg(F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)"))), 6).alias(
+            "avg_re_tokens"
+        ),
+    )
+
+
+@query(
+    "q_text_search",
+    oracle="""
+    SELECT doc_id, lang,
+           len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS hits
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '), w -> w = 'spark')) > 0
+    """,
+)
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search: occurrence count of 'spark' per matching document."""
+    d = table(spark, sf_dir, "documents")
+    hits = F.size(F.filter(_toks(), lambda w: w == F.lit("spark"))).cast("long")
+    return d.select("doc_id", "lang", hits.alias("hits")).where(F.col("hits") > 0)
+
+
+# Deterministic per-"language" marker lists over the fixture vocabulary.
+# Real corpora would use character n-gram profiles; the fixture text is
+# synthetic English-ish tokens for every lang, so this demonstrates the
+# *mechanism* (vote per marker list, argmax with tiebreak) — which is the
+# part that has to scale (one explode + conditional aggregation).
+_MARKERS = {
+    "en": ("the", "a", "fast"),
+    "de": ("table", "scan", "merge"),
+    "es": ("data", "row", "column"),
+    "fr": ("query", "filter", "join"),
+    "zh": ("spark", "stream", "batch"),
+}
+
+
+def _langid_cases_sql() -> str:
+    scores = ",\n           ".join(
+        "sum(CASE WHEN tok IN ({}) THEN 1 ELSE 0 END) AS score_{}".format(
+            ", ".join(f"'{t}'" for t in toks), lang
+        )
+        for lang, toks in _MARKERS.items()
+    )
+    return scores
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id,
+           {_langid_cases_sql()}
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id
+    ),
+    unp AS (
+      SELECT doc_id, lang, score FROM (
+        SELECT doc_id, 'en' AS lang, score_en AS score FROM scores
+        UNION ALL SELECT doc_id, 'de', score_de FROM scores
+        UNION ALL SELECT doc_id, 'es', score_es FROM scores
+        UNION ALL SELECT doc_id, 'fr', score_fr FROM scores
+        UNION ALL SELECT doc_id, 'zh', score_zh FROM scores
+      )
+    )
+    SELECT doc_id, lang AS lang_guess, CAST(score AS BIGINT) AS score
+    FROM (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+      FROM unp
+    ) WHERE rn = 1
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: argmax of per-language marker hits."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    scores = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("tok").isin(*markers), 1).otherwise(0)).alias(f"score_{lang}")
+            for lang, markers in _MARKERS.items()
+        ]
+    )
+    unp = None
+    for lang in _MARKERS:
+        part = scores.select(
+            "doc_id", F.lit(lang).alias("lang"), F.col(f"score_{lang}").alias("score")
+        )
+        unp = part if unp is None else unp.unionByName(part)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        unp.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("lang_guess"), F.col("score").cast("long").alias("score"))
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(len(list_distinct(string_split(text, ' ')))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS type_token_ratio,
+           round(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+           round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals: type/token ratio, stopword ratio, token length."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(_toks())
+    stop_hits = F.size(F.filter(_toks(), lambda w: w.isin("the", "a")))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(_toks())) / n_tok.cast("double"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(stop_hits / n_tok.cast("double"), 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tok, 6).alias("avg_token_len"),
+    )

@@ -1,0 +1,184 @@
+"""Group E — window functions (SURVEY.md §2.E).
+
+Every window here partitions on a key before ordering, so execution is one
+hash shuffle + per-partition sort — no global sort, no driver collection.
+All orderings carry a unique-key tiebreak for determinism. Timestamp deltas
+are computed in epoch microseconds (exact integers on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import query
+from data_pipeline_etl_spark.sources.tables import table
+
+
+@query(
+    "q_win_topn",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 2
+    """,
+)
+def q_win_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer by price, deterministic key tiebreak."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .withColumn("rn", F.col("rn").cast("long"))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank with real ties (priority has 5 values)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS delta_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event deltas (µs) + next event type."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    return e.select(
+        "user_id",
+        "event_id",
+        (um - F.lag(um).over(w)).alias("delta_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "q_win_moving",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+    FROM orders
+    """,
+)
+def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average per customer over order time."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.round(F.avg("o_totalprice").over(w), 6).alias("mov_avg")
+    )
+
+
+@query(
+    "q_win_range_frame",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, o_totalprice,
+           count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_in_range
+    FROM orders
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range frame: orders within $1000 below the current price."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_in_range"),
+    )
+
+
+@query(
+    "q_win_cumulative",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_total
+    FROM orders
+    """,
+)
+def q_win_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue total per customer (sequential fold — deterministic)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("run_total"),
+    )
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist()    OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles + percent_rank + cume_dist per market segment."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

@@ -1,0 +1,140 @@
+"""Group I — streaming-shaped operators, batch-checked over ``events``
+(SURVEY.md §2.I). The same expressions run unchanged on a streaming
+DataFrame (see streaming/jobs.py for the readStream + watermark variants).
+
+Oracle construction notes:
+- tumbling/sliding buckets are epoch-aligned exactly like Spark's
+  ``F.window``; the DuckDB side reconstructs bucket starts from epoch
+  microseconds via ``make_timestamp`` (naive, µs) so both sides hash as
+  naive timestamps;
+- session windows: Spark's ``session_window`` closes a session when the
+  next event is >= gap after the previous one ([start, end) window); the
+  DuckDB gaps-and-islands oracle uses the same >= break predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import query
+from data_pipeline_etl_spark.sources.tables import table
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling window counts per event type (≡ date_trunc('day'))."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("day_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH base AS (
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS s0,
+             event_type
+      FROM events
+    ),
+    expanded AS (
+      SELECT s0 AS win_start, event_type FROM base
+      UNION ALL
+      SELECT s0 - INTERVAL 30 MINUTE AS win_start, event_type FROM base
+    )
+    SELECT win_start, event_type, count(*) AS n
+    FROM expanded
+    GROUP BY win_start, event_type
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes: each event lands in 2 windows."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM deltas
+    )
+    SELECT user_id,
+           min(ts) AS sess_start,
+           count(*) AS n_events,
+           max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+    FROM sessions
+    GROUP BY user_id, sess
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user via native session_window."""
+    e = table(spark, sf_dir, "events")
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("sess_start"),
+            F.count("*").alias("n_events"),
+            (F.max(um) - F.min(um)).alias("dur_us"),
+        )
+        .select("user_id", "sess_start", "n_events", "dur_us")
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT DISTINCT event_id, user_id, event_type
+    FROM (
+      SELECT event_id, user_id, event_type FROM events
+      UNION ALL
+      SELECT event_id, user_id, event_type FROM events
+    )
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by event_id over a deliberately duplicated input.
+
+    Deterministic because the duplicate rows are identical; in streaming
+    this is ``dropDuplicatesWithinWatermark`` (see streaming/jobs.py).
+    """
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return e.unionByName(e).dropDuplicates(["event_id"])
