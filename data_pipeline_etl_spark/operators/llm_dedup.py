@@ -75,6 +75,42 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _inverted_index_jaccard(ex: DataFrame, threshold: float) -> DataFrame:
+    """Blocked inverted-index Jaccard from an exploded element table
+    ``ex(doc_id, lang, source, n_elems, el)`` with distinct (doc_id, el):
+    equi-join on element → count shared elements per pair → set algebra.
+
+    This is the shuffle-native formulation: every step is a codegen'd
+    hash join/aggregate (no interpreted array intersections per pair),
+    and pairs only materialize for documents sharing >= 1 element within
+    a (lang, source) block. At corpus scale the block key becomes an LSH
+    band (q_dedup_minhash) — the join topology stays identical.
+    """
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.el") == F.col("b.el"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_elems").alias("na"),
+            F.col("b.n_elems").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.withColumn("jac_raw", jac)
+        .where(F.col("jac_raw") >= threshold)
+        .select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jaccard"))
+    )
+
+
 @query(
     "q_dedup_ngram",
     oracle="""
@@ -100,37 +136,61 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-shingle Jaccard near-dup pairs, blocked by (lang, source).
 
-    Blocking bounds the candidate space to within-block pairs — the
-    standard scalable near-dup layout; swap the block key for LSH bands at
-    corpus scale (q_dedup_minhash).
+    Shingles come from posexplode + lead() (codegen'd window) instead of
+    an interpreted transform-over-sequence — the self-join evaluates its
+    input subtree twice, so the element pipeline must be cheap.
     """
+    from pyspark.sql import Window
+
     d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    bigrams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        )
+    tok = d.select(
+        "doc_id", "lang", "source", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
-    g = d.select("doc_id", "lang", "source", bigrams.alias("bigrams"))
-    a, b = g.alias("a"), g.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.bigrams"), F.col("b.bigrams")))
-    union = F.size(F.col("a.bigrams")) + F.size(F.col("b.bigrams")) - inter
-    jac = inter / union
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(jac >= 0.4)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", "lang", "source", F.concat_ws(" ", "tok", "nxt").alias("el"))
+        .distinct()
     )
+    ex = bg.withColumn("n_elems", F.count("*").over(Window.partitionBy("doc_id")))
+    return _inverted_index_jaccard(ex, 0.4)
+
+
+@query(
+    "q_sim_jaccard",
+    oracle="""
+    WITH sets AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.toks, b.toks))
+                 / (len(a.toks) + len(b.toks)
+                    - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+    FROM sets a JOIN sets b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))
+          / (len(a.toks) + len(b.toks)
+             - len(list_intersect(a.toks, b.toks))) >= 0.8
+    """,
+)
+def q_sim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup pairs >= 0.8, blocked by (lang, source).
+
+    Same inverted-index topology as q_dedup_ngram with unigram elements;
+    the exact-Jaccard ground truth that q_dedup_minhash approximates.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    ex = (
+        d.select("doc_id", "lang", "source", F.explode(F.split("text", " ")).alias("el"))
+        .distinct()
+        .withColumn("n_elems", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    return _inverted_index_jaccard(ex, 0.8)
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -189,10 +249,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Uses pyspark.ml's MinHashLSH over hashed token features; candidate
     pairs at Jaccard distance <= 0.5. Hash-family randomness is seeded but
     engine-specific, so this is a rows-only check by design.
+
+    Fixture caveat: the synthetic corpus has a ~31-token vocabulary, so
+    every pair of documents collides in some band and LSH degenerates to
+    the full quadratic join (measured: 900 s at sf0.1). The demo therefore
+    runs on one metadata block (source='src0'); on a real corpus the band
+    collision rate — not a pre-filter — is what bounds the pair space.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").where(F.col("source") == "src0")
     toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 12, binary=True)
     feats = tf.transform(toks)
