@@ -7,9 +7,10 @@ Oracle construction notes:
   ``F.window``; the DuckDB side reconstructs bucket starts from epoch
   microseconds via ``make_timestamp`` (naive, µs) so both sides hash as
   naive timestamps;
-- session windows: Spark's ``session_window`` closes a session when the
-  next event is >= gap after the previous one ([start, end) window); the
-  DuckDB gaps-and-islands oracle uses the same >= break predicate.
+- session windows: Spark's ``session_window`` merges an event that lands
+  exactly gap after the previous one (break predicate is delta > gap,
+  strictly — pinned by tests/test_ops_edge.py::test_session_window_gap_
+  boundary); the DuckDB gaps-and-islands oracle uses the same > break.
 """
 
 from __future__ import annotations
@@ -85,7 +86,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH deltas AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -1,0 +1,67 @@
+"""Multimodal binary-column plumbing tests (north star).
+
+The decode kernel is a deterministic stub (no codec libs in-container);
+what these tests pin down is the Spark-side contract: schema, Arrow batch
+shape, determinism, and payload integrity end-to-end through mapInPandas.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.sources.tables import table
+from data_pipeline_etl_spark.streaming import multimodal
+from tests.conftest import SF_DIR
+
+
+def test_asset_schema(spark):
+    d = table(spark, SF_DIR, "documents")
+    assets = multimodal.make_assets(d)
+    assert [f.name for f in assets.schema.fields] == [
+        "asset_id",
+        "doc_id",
+        "media_type",
+        "payload",
+        "meta",
+    ]
+    assert assets.schema["payload"].dataType.simpleString() == "binary"
+    assert (
+        assets.schema["meta"].dataType.simpleString()
+        == "struct<width:int,height:int,sample_rate:int>"
+    )
+
+
+def test_feature_extraction_contract(spark):
+    d = table(spark, SF_DIR, "documents")
+    feats = multimodal.extract_features(multimodal.make_assets(d))
+    rows = feats.collect()
+    assert len(rows) == d.count()
+    r0 = min(rows, key=lambda r: r.asset_id)
+    # digest matches a locally computed sha256 of the same payload
+    text0 = d.where(F.col("doc_id") == r0.doc_id).collect()[0].text
+    assert r0.digest == hashlib.sha256(text0.encode()).hexdigest()
+    assert r0.n_bytes == len(text0.encode())
+    assert len(r0.feat) == 8
+    assert all(0.0 <= x <= 1.0 for x in r0.feat)
+
+
+def test_feature_extraction_deterministic(spark):
+    d = table(spark, SF_DIR, "documents")
+    a = {r.asset_id: tuple(r.feat) for r in multimodal.extract_features(multimodal.make_assets(d)).collect()}
+    b = {r.asset_id: tuple(r.feat) for r in multimodal.extract_features(multimodal.make_assets(d)).collect()}
+    assert a == b
+
+
+def test_frame_sample_offsets(spark):
+    d = table(spark, SF_DIR, "documents")
+    assets = multimodal.make_assets(d)
+    frames = multimodal.frame_sample(assets, every_n_bytes=64)
+    one = frames.where(F.col("asset_id") == 0).orderBy("frame_no").collect()
+    n_bytes = len(
+        d.where(F.col("doc_id") == 0).collect()[0].text.encode()
+    )
+    expected = (n_bytes - 1) // 64 + 1
+    assert len(one) == expected
+    assert [r.offset for r in one] == [1 + 64 * i for i in range(expected)]

@@ -1,0 +1,159 @@
+"""Structured Streaming tests (SURVEY.md §5.2.5).
+
+Golden output = batch/stream equivalence: the same transformation fed from
+a file-source stream must produce the batch result once the backlog drains
+(complete mode). Watermark semantics (late-row dropping, bounded dedup
+state) are asserted against hand-built multi-batch scenarios — the file
+source takes oldest-mtime files first, so sequential writes give
+deterministic micro-batch order.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.sources.tables import table
+from data_pipeline_etl_spark.streaming import jobs
+from tests.conftest import SF_DIR
+
+EVENT_COLS = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _write_batch(spark, src: str, rows) -> None:
+    spark.createDataFrame(rows, EVENT_COLS).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.05)  # file source orders the backlog by mtime
+
+
+@pytest.fixture()
+def events_stream_dir(spark, tmp_path):
+    """Fixture events split into 4 parquet files => 4 micro-batches."""
+    src = str(tmp_path / "events_src")
+    e = table(spark, SF_DIR, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    e.withColumn("bucket", F.col("event_id") % 4).repartition(4, "bucket").drop(
+        "bucket"
+    ).write.mode("overwrite").parquet(src)
+    yield src
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_tumbling_equals_batch(spark, events_stream_dir):
+    stream = jobs.events_file_stream(spark, events_stream_dir)
+    jobs.run_to_memory_sink(jobs.tumbling_counts(stream), "tumbling_mem", "complete")
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM tumbling_mem").collect()}
+    batch = {
+        tuple(r)
+        for r in jobs.tumbling_counts(
+            table(spark, SF_DIR, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+        ).collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_session_equals_batch(spark, events_stream_dir):
+    """Complete-mode session aggregation over the drained backlog equals
+    the batch sessionization exactly, regardless of micro-batch split."""
+    stream = jobs.events_file_stream(spark, events_stream_dir)
+    jobs.run_to_memory_sink(jobs.sessionize(stream), "session_mem", "complete")
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM session_mem").collect()}
+    batch = {
+        tuple(r)
+        for r in jobs.sessionize(
+            table(spark, SF_DIR, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+        ).collect()
+    }
+    assert streamed == batch
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append mode: a row arriving behind the watermark is dropped, and
+    only windows the watermark has passed are finalized.
+
+    Three micro-batches (file source drains oldest-mtime first):
+      b0: 10:00, 12:00  -> watermark after commit = 11:50
+      b1: 13:00         -> watermark = 12:50
+      b2: 10:30 (LATE)  -> behind 12:50, must be dropped
+    """
+    src = str(tmp_path / "late_src")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+            (2, _ts("2024-01-01 12:00:00"), 1, "view", 1.0, "{}"),
+        ],
+    )
+    _write_batch(spark, src, [(3, _ts("2024-01-01 13:00:00"), 1, "view", 1.0, "{}")])
+    _write_batch(spark, src, [(4, _ts("2024-01-01 10:30:00"), 1, "view", 1.0, "{}")])
+    stream = jobs.events_file_stream(spark, src, with_watermark="10 minutes")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("h"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    got = {(str(r["h"]), r["n"]) for r in spark.sql("SELECT * FROM late_mem").collect()}
+    assert dropped == 1  # exactly the late 10:30 row
+    # Only the 10:00 window is finalized (n=1, late row excluded); the
+    # 12:00 window's end (13:00) is past the final watermark (12:50).
+    assert got == {("2024-01-01 10:00:00", 1)}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids across micro-batches are dropped by stateful
+    dedup; state stays bounded by the watermark."""
+    src = str(tmp_path / "dup_src")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+            (2, _ts("2024-01-01 10:01:00"), 1, "view", 1.0, "{}"),
+        ],
+    )
+    _write_batch(
+        spark,
+        src,
+        [
+            (2, _ts("2024-01-01 10:01:30"), 1, "view", 1.0, "{}"),  # dup id
+            (3, _ts("2024-01-01 10:02:00"), 1, "view", 1.0, "{}"),
+        ],
+    )
+    stream = jobs.events_file_stream(spark, src, with_watermark="1 hour")
+    deduped = jobs.dedup_within_watermark(stream)
+    jobs.run_to_memory_sink(deduped.select("event_id"), "dedup_mem", "append")
+    ids = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_mem").collect())
+    assert ids == [1, 2, 3]
+
+
+def test_foreach_batch_parquet_sink(spark, events_stream_dir, tmp_path):
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+    stream = jobs.events_file_stream(spark, events_stream_dir)
+    jobs.run_foreach_batch_parquet(stream.select("event_id", "ts", "user_id"), out, ckpt)
+    written = spark.read.option("recursiveFileLookup", True).parquet(out)
+    n_src = table(spark, SF_DIR, "events").count()
+    assert written.select("event_id").distinct().count() == n_src
