@@ -1,0 +1,118 @@
+"""Physical-plan quality gates (SURVEY.md §4; the 100 TB design point).
+
+These tests pin the *plan*, not the result: predicate pushdown reaching
+the parquet scan, column pruning, broadcast join selection, partial
+aggregation before the shuffle, and TakeOrderedAndProject for top-k.
+A regression here is a performance bug even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+from tests.conftest import SF_DIR
+
+load_all_operators()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(QUERIES["q_filter_range"](spark, SF_DIR))
+    assert "PushedFilters:" in plan
+    # the shipdate range and quantity predicates are pushed into parquet
+    assert re.search(r"PushedFilters:.*l_shipdate", plan)
+    assert re.search(r"PushedFilters:.*l_quantity", plan)
+
+
+def test_column_pruning(spark):
+    plan = _plan(QUERIES["q_filter_range"](spark, SF_DIR))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # only the 4 referenced columns of lineitem's 11 are read
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_broadcast_join_chosen(spark):
+    plan = _plan(QUERIES["q_join_broadcast"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_small_dims_auto_broadcast(spark):
+    """Even without the hint the planner must broadcast tiny dimensions."""
+    plan = _plan(QUERIES["q_join_chain"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = _plan(QUERIES["q_agg_groupby"](spark, SF_DIR))
+    # two-phase agg: partial HashAggregate -> Exchange -> final HashAggregate
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = _plan(QUERIES["q_sort_limit"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_types(spark):
+    assert "LeftSemi" in _optimized(QUERIES["q_join_semi"](spark, SF_DIR))
+    assert "LeftAnti" in _optimized(QUERIES["q_join_anti"](spark, SF_DIR))
+
+
+def test_theta_join_keeps_equi_component(spark):
+    """The interval self-join must hash-partition on user_id — a
+    nested-loop cross product here would be quadratic at scale."""
+    plan = _plan(QUERIES["q_join_theta"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_python_udf_in_builtin_queries(spark):
+    """Hot-path queries stay JVM-side: no Python eval nodes except in the
+    three declared UDF-surface queries."""
+    udf_markers = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas")
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name.startswith("q_udf") or name in ("q_udaf_grouped", "q_dedup_minhash"):
+            continue
+        plan = _plan(fn(spark, SF_DIR))
+        if any(m in plan for m in udf_markers):
+            offenders.append(name)
+    assert not offenders, f"Python in hot path: {offenders}"
+
+
+def test_wholestage_codegen_active(spark):
+    df = QUERIES["q_agg_groupby"](spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan on execution
+    plan = _plan(df)
+    # whole-stage-codegen'd operators carry the *(n) stage marker
+    assert "*(1)" in plan and "*(2)" in plan, plan
+
+
+def test_scan_batched_columnar(spark):
+    plan = _plan(QUERIES["q_agg_groupby"](spark, SF_DIR))
+    assert "Batched: true" in plan
+
+
+def test_events_filter_pushdown_survives_ts_conversion(spark):
+    """The centralized ns->NTZ conversion must not block pushdown of
+    predicates on OTHER events columns."""
+    from data_pipeline_etl_spark.sources.tables import table
+
+    e = table(spark, SF_DIR, "events").where(F.col("event_type") == "purchase")
+    plan = _plan(e)
+    assert re.search(r"PushedFilters:.*event_type", plan), plan

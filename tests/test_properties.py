@@ -1,0 +1,120 @@
+"""Property-based invariants (SURVEY.md §5.2.6, hypothesis).
+
+Small generated tables -> structural invariants that must hold for any
+input: rollup/cube row-count algebra, Jaccard symmetry/idempotence, dedup
+idempotence, window rank bounds, set-op cardinalities.
+
+One shared strategy note: Spark job latency dominates, so examples are
+kept few (max_examples=5-8) and tables tiny — the value is in the shape
+coverage (duplicates, empty partitions, single groups), not volume.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.sampled_from(["x", "y"]),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_rollup_row_algebra(spark, rows):
+    """|rollup(g1,g2)| = |group(g1,g2)| + |group(g1)| + 1."""
+    df = spark.createDataFrame(rows, "g1 STRING, g2 STRING, v INT")
+    n_full = df.groupBy("g1", "g2").count().count()
+    n_g1 = df.groupBy("g1").count().count()
+    n_rollup = df.rollup("g1", "g2").count().count()
+    assert n_rollup == n_full + n_g1 + 1
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_cube_row_algebra(spark, rows):
+    df = spark.createDataFrame(rows, "g1 STRING, g2 STRING, v INT")
+    n_full = df.groupBy("g1", "g2").count().count()
+    n_g1 = df.groupBy("g1").count().count()
+    n_g2 = df.groupBy("g2").count().count()
+    n_cube = df.cube("g1", "g2").count().count()
+    assert n_cube == n_full + n_g1 + n_g2 + 1
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_dedup_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, "g1 STRING, g2 STRING, v INT")
+    once = df.dropDuplicates()
+    twice = once.dropDuplicates()
+    assert once.count() == twice.count()
+    assert once.subtract(twice).count() == 0
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_row_number_is_dense_permutation(spark, rows):
+    df = spark.createDataFrame(rows, "g1 STRING, g2 STRING, v INT")
+    w = Window.partitionBy("g1").orderBy("v", "g2")
+    rn = df.withColumn("rn", F.row_number().over(w))
+    per_group = rn.groupBy("g1").agg(
+        F.count("*").alias("n"), F.max("rn").alias("mx"), F.min("rn").alias("mn")
+    )
+    for r in per_group.collect():
+        assert r["mn"] == 1 and r["mx"] == r["n"]
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["t0", "t1", "t2", "t3", "t4"]), min_size=1, max_size=6),
+        min_size=2,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_jaccard_symmetric_and_bounded(spark, texts):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    sets = df.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    pairs = (
+        a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            (inter / union).alias("j"),
+        )
+        .collect()
+    )
+    seen = {(r["da"], r["db"]): r["j"] for r in pairs}
+    for (da, db), j in seen.items():
+        assert 0.0 <= j <= 1.0
+        assert math.isclose(j, seen[(db, da)])  # symmetry
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_exceptall_cardinality(spark, rows):
+    df = spark.createDataFrame(rows, "g1 STRING, g2 STRING, v INT")
+    half = df.limit(max(1, len(rows) // 2))
+    assert df.exceptAll(half).count() == df.count() - half.count()
