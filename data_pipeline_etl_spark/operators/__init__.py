@@ -7,6 +7,7 @@ import data_pipeline_etl_spark.operators.aggregates  # noqa: F401
 import data_pipeline_etl_spark.operators.windows  # noqa: F401
 import data_pipeline_etl_spark.operators.sorts  # noqa: F401
 import data_pipeline_etl_spark.operators.setops  # noqa: F401
+import data_pipeline_etl_spark.operators.reshape  # noqa: F401
 import data_pipeline_etl_spark.operators.llm_dedup  # noqa: F401
 import data_pipeline_etl_spark.operators.llm_similarity  # noqa: F401
 import data_pipeline_etl_spark.operators.llm_text  # noqa: F401

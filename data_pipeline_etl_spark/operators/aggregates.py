@@ -226,3 +226,18 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
     )
+
+
+@query(
+    "q_agg_stringagg",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names_csv
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg) per group."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("names_csv")
+    )

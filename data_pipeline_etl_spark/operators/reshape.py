@@ -1,0 +1,66 @@
+"""Reshape operators: pivot / unpivot (melt) — the wide<->long transforms
+of the reference's reporting/staging layer, Spark-native.
+
+Scale notes: pivot with an explicit value list is a single partial+final
+aggregate (one shuffle, |groups| rows); never call pivot without the value
+list at scale — the implicit distinct-scan is a second full pass. Unpivot
+is a zero-shuffle Expand (each input row fans out to k output rows
+map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import query
+from data_pipeline_etl_spark.sources.tables import table
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_O,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts to one column per status (explicit value list)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_F"),
+            F.coalesce("O", F.lit(0)).alias("n_O"),
+            F.coalesce("P", F.lit(0)).alias("n_P"),
+        )
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt three measure columns into (metric, val) long form."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
