@@ -47,20 +47,35 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_unpivot",
     oracle="""
-    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
-    FROM lineitem
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    SELECT l_returnflag, metric,
+           count(*) AS n,
+           round(sum(val), 4) AS total,
+           round(avg(val), 6) AS mean
+    FROM (
+      SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY l_returnflag, metric
     """,
 )
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Melt three measure columns into (metric, val) long form."""
+    """Melt three measure columns into (metric, val) long form + rollup.
+
+    unpivot is a map-side Expand (zero shuffle); the aggregate on top
+    bounds the result to |flags|x|metrics| rows regardless of input size.
+    """
     l = table(spark, sf_dir, "lineitem")
-    return l.unpivot(
-        ["l_orderkey", "l_linenumber"],
+    melted = l.unpivot(
+        ["l_returnflag"],
         ["l_quantity", "l_discount", "l_tax"],
         "metric",
         "val",
+    )
+    return melted.groupBy("l_returnflag", "metric").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("val"), 4).alias("total"),
+        F.round(F.avg("val"), 6).alias("mean"),
     )
