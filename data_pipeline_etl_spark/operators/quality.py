@@ -1,0 +1,74 @@
+"""Data-quality checks (reference analog: the genre's DataQualityOperator /
+post-load assert step, SURVEY.md §5.1) as a declared, oracle-checked query.
+
+One row per check with its violation count — the warehouse-native shape:
+run after load, alert on any n_bad > 0. Each check is a semi/anti join or
+aggregate, so the whole suite is a handful of shuffles regardless of scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import query
+from data_pipeline_etl_spark.sources.tables import table
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'orders_null_custkey' AS check_name,
+           count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_bad FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           count(*) FROM orders WHERE NOT EXISTS
+             (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           count(*) FROM lineitem WHERE NOT EXISTS
+             (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'customer_dup_pk',
+           CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           count(CASE WHEN l_quantity <= 0 THEN 1 END) FROM lineitem
+    UNION ALL
+    SELECT 'orders_bad_status',
+           count(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END) FROM orders
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-load data-quality suite: NULL keys, FK orphans, dup PKs, domains."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    l = table(spark, sf_dir, "lineitem")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("check_name"), F.col("n_bad").cast("long"))
+
+    null_cust = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_bad")
+    )
+    orphan_orders = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(F.count("*").alias("n_bad"))
+    )
+    orphan_lineitems = (
+        l.join(o, l.l_orderkey == o.o_orderkey, "left_anti").agg(F.count("*").alias("n_bad"))
+    )
+    dup_cust = c.agg(
+        (F.count("*") - F.countDistinct("c_custkey")).alias("n_bad")
+    )
+    bad_qty = l.agg(F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("n_bad"))
+    bad_status = o.agg(
+        F.count(F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)).alias("n_bad")
+    )
+    return (
+        check("orders_null_custkey", null_cust)
+        .unionByName(check("orders_orphan_custkey", orphan_orders))
+        .unionByName(check("lineitem_orphan_orderkey", orphan_lineitems))
+        .unionByName(check("customer_dup_pk", dup_cust))
+        .unionByName(check("lineitem_nonpositive_qty", bad_qty))
+        .unionByName(check("orders_bad_status", bad_status))
+    )

@@ -1,0 +1,114 @@
+"""The end-to-end ETL pipeline (reference analog: the genre's ``etl.py``
+driver, SURVEY.md §3.1 — staging → dimension load → fact load → data
+quality), re-expressed as one lazily-composed Spark job graph.
+
+Where the reference materializes each step into warehouse tables via
+hand-ordered INSERT...SELECTs, here every step is a DataFrame; only the
+final loads write, each as partitioned parquet. Catalyst fuses the whole
+lineage — staging filters push into the scans of every downstream load.
+
+Scale: dimension builds broadcast their lookups; the fact build is one
+orderkey shuffle (bucket-able, see tests/test_bucketing.py); loads write
+partitioned by the query-pruning key. The quality gate reuses q_dq_checks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.sources.tables import table
+
+
+def build_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalized customer dimension: customer + nation + region."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            "c_acctbal",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+def build_time_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature transform: a time dimension derived from
+    the fact dates (hour/day/week/month/year/weekday)."""
+    o = table(spark, sf_dir, "orders")
+    d = o.select(F.col("o_orderdate").alias("ts")).distinct()
+    return d.select(
+        "ts",
+        F.year("ts").cast("long").alias("year"),
+        F.quarter("ts").cast("long").alias("quarter"),
+        F.month("ts").cast("long").alias("month"),
+        F.dayofmonth("ts").cast("long").alias("day"),
+        F.weekofyear("ts").cast("long").alias("week"),
+        F.dayofweek("ts").cast("long").alias("weekday"),
+    )
+
+
+def build_order_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact table: one row per order with line-level measures rolled up."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    measures = l.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.sum("l_quantity").alias("total_qty"),
+    )
+    return o.join(measures, o.o_orderkey == measures.l_orderkey, "left").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("total_qty", F.lit(0.0)).alias("total_qty"),
+    )
+
+
+def run_etl(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
+    """Full load: dims + fact written as partitioned parquet, then the
+    data-quality gate. Returns per-table row counts (the genre's run log).
+    Raises if any quality check fails — the reference's post-load assert."""
+    from data_pipeline_etl_spark.operators.quality import q_dq_checks
+
+    customer_dim = build_customer_dim(spark, sf_dir)
+    time_dim = build_time_dim(spark, sf_dir)
+    fact = build_order_fact(spark, sf_dir)
+
+    customer_dim.write.mode("overwrite").parquet(os.path.join(out_dir, "customer_dim"))
+    time_dim.write.mode("overwrite").partitionBy("year").parquet(
+        os.path.join(out_dir, "time_dim")
+    )
+    (
+        fact.withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(os.path.join(out_dir, "order_fact"))
+    )
+
+    bad = {
+        r["check_name"]: r["n_bad"]
+        for r in q_dq_checks(spark, sf_dir).collect()
+        if r["n_bad"] > 0
+    }
+    if bad:
+        raise ValueError(f"data quality violations: {bad}")
+
+    return {
+        name: spark.read.parquet(os.path.join(out_dir, name)).count()
+        for name in ("customer_dim", "time_dim", "order_fact")
+    }
