@@ -1,0 +1,140 @@
+"""Group H (extended) — second batch of scalar builtins: string
+manipulation, transcendental math, calendar functions, bit operations.
+All engine-neutral (verified runnable on DuckDB 1.0; initcap is absent
+there, hence excluded). Transcendentals are libm-dependent in the last
+ULP → rounded to 6 dp on both sides. Zero-crossing outputs (sin/cos)
+additionally get `+ 0.0`: DuckDB's round can yield -0.0 where Spark's
+BigDecimal round yields +0.0 (observed once in 150k rows at sf0.1), and
+IEEE `-0.0 + 0.0 = +0.0` normalizes both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import query
+from data_pipeline_etl_spark.sources.tables import table
+
+
+@query(
+    "q_str_funcs2",
+    oracle="""
+    SELECT c_custkey,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+           replace(c_name, 'Customer', 'Cust')       AS name_short,
+           split_part(c_name, '#', 2)                AS name_num,
+           reverse(c_mktsegment)                     AS seg_rev,
+           repeat(left(c_mktsegment, 1), 3)          AS seg_initial3,
+           CAST(strpos(c_name, '#') AS INTEGER)      AS hash_pos,
+           right(c_name, 4)                          AS name_tail,
+           starts_with(c_mktsegment, 'BU')           AS is_bu,
+           contains(c_name, '007')                   AS has_007
+    FROM customer
+    """,
+)
+def q_str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """translate/replace/split_part/reverse/repeat/strpos/right/predicates."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        F.expr("replace(c_name, 'Customer', 'Cust')").alias("name_short"),
+        F.split_part("c_name", F.lit("#"), F.lit(2)).alias("name_num"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.repeat(F.expr("left(c_mktsegment, 1)"), 3).alias("seg_initial3"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.expr("right(c_name, 4)").alias("name_tail"),
+        F.startswith("c_mktsegment", F.lit("BU")).alias("is_bu"),
+        F.contains("c_name", F.lit("007")).alias("has_007"),
+    )
+
+
+@query(
+    "q_math_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           round(sin(o_totalprice / 100000), 6) + 0.0     AS sin_p,
+           round(cos(o_totalprice / 100000), 6) + 0.0     AS cos_p,
+           round(atan2(o_totalprice, 100000.0), 6)        AS atan2_p,
+           round(log10(o_totalprice), 6)                  AS log10_p,
+           round(log2(o_totalprice), 6)                   AS log2_p,
+           round(exp(o_totalprice / 1000000), 6)          AS exp_p,
+           CAST(sign(o_totalprice - 150000) AS DOUBLE)    AS sign_p,
+           greatest(o_totalprice, 100000.0)               AS hi,
+           least(o_totalprice, 100000.0)                  AS lo
+    FROM orders
+    """,
+)
+def q_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trig / logs / exp / sign / greatest / least."""
+    o = table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        (F.round(F.sin(p / 100000), 6) + 0.0).alias("sin_p"),
+        (F.round(F.cos(p / 100000), 6) + 0.0).alias("cos_p"),
+        F.round(F.atan2(p, F.lit(100000.0)), 6).alias("atan2_p"),
+        F.round(F.log10(p), 6).alias("log10_p"),
+        F.round(F.log2(p), 6).alias("log2_p"),
+        F.round(F.exp(p / 1000000), 6).alias("exp_p"),
+        F.signum(p - 150000).alias("sign_p"),
+        F.greatest(p, F.lit(100000.0)).alias("hi"),
+        F.least(p, F.lit(100000.0)).alias("lo"),
+    )
+
+
+@query(
+    "q_date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(dayofyear(o_orderdate) AS BIGINT)                 AS doy,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP)      AS plus_30d,
+           CAST(CAST(o_orderdate AS DATE) - 7 AS TIMESTAMP)       AS minus_7d,
+           CAST(make_date(CAST(year(o_orderdate) AS INTEGER), 1, 1) AS TIMESTAMP) AS year_start
+    FROM orders
+    """,
+)
+def q_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_day / dayofyear / date_add / date_sub / make_date.
+
+    DATE results are surfaced as NTZ timestamps on both engines — pandas
+    materializes DuckDB DATEs as datetime64 anyway, so emitting timestamps
+    keeps value hashing representation-free (cf. q_date_arith).
+    """
+    o = table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(od).cast("timestamp_ntz").alias("month_end"),
+        F.dayofyear(od).cast("long").alias("doy"),
+        F.date_add(od, 30).cast("timestamp_ntz").alias("plus_30d"),
+        F.date_sub(od, 7).cast("timestamp_ntz").alias("minus_7d"),
+        F.make_date(F.year(od), F.lit(1), F.lit(1)).cast("timestamp_ntz").alias("year_start"),
+    )
+
+
+@query(
+    "q_bit_funcs",
+    oracle="""
+    SELECT p_partkey,
+           xor(p_partkey, 255)                      AS key_xor,
+           p_partkey & 255                          AS key_and,
+           p_partkey | 4096                         AS key_or,
+           CAST(p_size AS BIGINT) << 3              AS size_shl,
+           CAST(bit_count(CAST(p_partkey AS BIGINT)) AS INTEGER) AS key_bits
+    FROM part
+    """,
+)
+def q_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise xor/and/or/shift/popcount."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("p_partkey ^ 255").alias("key_xor"),
+        F.expr("p_partkey & 255").alias("key_and"),
+        F.expr("p_partkey | 4096").alias("key_or"),
+        F.expr("shiftleft(CAST(p_size AS BIGINT), 3)").alias("size_shl"),
+        F.bit_count(F.col("p_partkey")).alias("key_bits"),
+    )

@@ -241,3 +241,45 @@ def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.groupBy("n_regionkey").agg(
         F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("names_csv")
     )
+
+
+@query(
+    "q_agg_argminmax",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_totalprice, o_orderkey) AS price_of_latest_order,
+           arg_min(o_totalprice, o_orderkey) AS price_of_first_order,
+           max(o_orderkey) AS latest_order,
+           min(o_orderkey) AS first_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by over the unique order key (deterministic ordering)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_totalprice", "o_orderkey").alias("price_of_latest_order"),
+        F.min_by("o_totalprice", "o_orderkey").alias("price_of_first_order"),
+        F.max("o_orderkey").alias("latest_order"),
+        F.min("o_orderkey").alias("first_order"),
+    )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)    AS all_over_1k,
+           bool_or(o_totalprice > 400000)   AS any_over_400k,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates every/any + conditional count."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+    )

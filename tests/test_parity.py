@@ -31,8 +31,10 @@ def _canon_value(v):
         f = float(v)
         if math.isnan(f):
             return "NaN"
-        # collapse -0.0 vs 0.0
-        return f + 0.0
+        # repr-strict: distinguishes -0.0 from 0.0 and every ULP — the
+        # driver hashes exact values, so the local gate must too (a -0.0
+        # mismatch in round(cos) slipped past a laxer canon once).
+        return repr(f)
     if isinstance(v, Decimal):
         return float(v)
     if isinstance(v, (np.integer, int)):
