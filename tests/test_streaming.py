@@ -157,3 +157,44 @@ def test_foreach_batch_parquet_sink(spark, events_stream_dir, tmp_path):
     written = spark.read.option("recursiveFileLookup", True).parquet(out)
     n_src = table(spark, SF_DIR, "events").count()
     assert written.select("event_id").distinct().count() == n_src
+
+
+def test_update_mode_tumbling(spark, events_stream_dir):
+    """Update output mode: the final state of updated windows matches the
+    batch aggregation (rows re-emitted per batch, last write wins)."""
+    stream = jobs.events_file_stream(spark, events_stream_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("day_start"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("upd_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # take the LAST emission per (window, type): equals the batch result
+    emitted = spark.sql("SELECT * FROM upd_mem")
+    from pyspark.sql import Window as W
+
+    last = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("day_start", "event_type").orderBy(F.desc("n"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    batch = (
+        table(spark, SF_DIR, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("day_start"), "event_type", "n")
+    )
+    assert {tuple(r) for r in last.collect()} == {tuple(r) for r in batch.collect()}
