@@ -1,0 +1,123 @@
+"""Warehouse-pattern operators: SCD-2 history, SQL CTE entry point,
+correlated subqueries — the reference genre's dimension-management and
+reporting-SQL surface, Spark-native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import query
+from data_pipeline_etl_spark.sources.tables import table
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH daily AS (
+      SELECT o_custkey, o_orderdate, o_totalprice FROM (
+        SELECT o_custkey, o_orderdate, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT o_custkey,
+           o_orderdate AS valid_from,
+           coalesce(lead(o_orderdate) OVER w, TIMESTAMP '2099-12-31 00:00:00') AS valid_to,
+           o_totalprice AS state_price,
+           CAST(lead(o_orderdate) OVER w IS NULL AS BOOLEAN) AS is_current
+    FROM daily
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: effective-dated state rows.
+
+    Each customer's *last* order per day is a state change (collapsing
+    same-day orders first — otherwise ties produce degenerate
+    valid_from == valid_to rows, caught by an interval-invariant probe);
+    valid_to is the next change's date, open-ended 2099 sentinel for the
+    current row (9999-12-31 overflows pandas datetime64[ns] on collect).
+    Two window passes over the same partitioning — one shuffle, no
+    self-join: the scalable SCD-2 build.
+    """
+    o = table(spark, sf_dir, "orders")
+    dayw = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    daily = (
+        o.withColumn("rn", F.row_number().over(dayw))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    nxt = F.lead("o_orderdate").over(w)
+    return daily.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(nxt, F.lit("2099-12-31").cast("timestamp_ntz")).alias("valid_to"),
+        F.col("o_totalprice").alias("state_price"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_sql_cte",
+    oracle="""
+    WITH seg_stats AS (
+      SELECT c_mktsegment, round(avg(c_acctbal), 6) AS seg_avg
+      FROM customer GROUP BY c_mktsegment
+    ),
+    flagged AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, s.seg_avg
+      FROM customer c JOIN seg_stats s ON c.c_mktsegment = s.c_mktsegment
+    )
+    SELECT c_mktsegment,
+           count(CASE WHEN c_acctbal > seg_avg THEN 1 END) AS n_above,
+           count(*) AS n_total
+    FROM flagged
+    GROUP BY c_mktsegment
+    """,
+)
+def q_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point with chained CTEs (identical text on both engines)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_cte_v")
+    return spark.sql(
+        """
+        WITH seg_stats AS (
+          SELECT c_mktsegment, round(avg(c_acctbal), 6) AS seg_avg
+          FROM customer_cte_v GROUP BY c_mktsegment
+        ),
+        flagged AS (
+          SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, s.seg_avg
+          FROM customer_cte_v c JOIN seg_stats s ON c.c_mktsegment = s.c_mktsegment
+        )
+        SELECT c_mktsegment,
+               count(CASE WHEN c_acctbal > seg_avg THEN 1 END) AS n_above,
+               count(*) AS n_total
+        FROM flagged
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+                       WHERE i.c_nationkey = c.c_nationkey)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates to an agg+join)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sub_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer_sub_v c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_sub_v i
+                           WHERE i.c_nationkey = c.c_nationkey)
+        """
+    )

@@ -112,3 +112,26 @@ def run_etl(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
         name: spark.read.parquet(os.path.join(out_dir, name)).count()
         for name in ("customer_dim", "time_dim", "order_fact")
     }
+
+
+def merge_upsert(
+    current: DataFrame, updates: DataFrame, key: str, ordering: str
+) -> DataFrame:
+    """SCD-1 merge (upsert) without a table format: last-writer-wins by
+    ``ordering`` across the union of current rows and updates.
+
+    On a cluster this is the parquet-native merge: union + window keeps
+    it one shuffle on the key; with Delta/Iceberg the same call becomes
+    MERGE INTO. Deterministic given a unique (key, ordering) pair.
+    """
+    from pyspark.sql import Window
+
+    tagged = current.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(key).orderBy(F.desc("__src"), F.desc(ordering))
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )

@@ -57,3 +57,26 @@ def test_dq_gate_catches_violations(spark, tmp_path):
     checks = {r["check_name"]: r["n_bad"] for r in quality.q_dq_checks(spark, bad_dir).collect()}
     assert checks["orders_orphan_custkey"] > 0
     assert checks["customer_dup_pk"] == 0
+
+
+def test_merge_upsert_scd1(spark):
+    """Upsert: updates override current rows on the key; new keys insert."""
+    cur = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k INT, v STRING, ver INT"
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 21), (4, "d", 1)], "k INT, v STRING, ver INT"
+    )
+    out = {
+        r["k"]: (r["v"], r["ver"])
+        for r in pipeline.merge_upsert(cur, upd, "k", "ver").collect()
+    }
+    assert out == {1: ("a", 10), 2: ("B", 21), 3: ("c", 30), 4: ("d", 1)}
+
+
+def test_merge_upsert_idempotent(spark):
+    cur = spark.createDataFrame([(1, "a", 10)], "k INT, v STRING, ver INT")
+    upd = spark.createDataFrame([(1, "A", 11)], "k INT, v STRING, ver INT")
+    once = pipeline.merge_upsert(cur, upd, "k", "ver")
+    twice = pipeline.merge_upsert(once, upd, "k", "ver")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
