@@ -273,3 +273,80 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
         )
     )
+
+
+@query(
+    "q_dedup_cluster",
+    oracle="""
+    WITH RECURSIVE sets AS (
+      SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM sets a JOIN sets b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+    ),
+    edges AS (
+      SELECT da AS src, db AS dst FROM pairs
+      UNION ALL SELECT db, da FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the Jaccard>=0.8
+    near-dup pair graph, as iterative min-label propagation.
+
+    The dedup *completion* step: pairwise candidates become disjoint
+    groups (keep one doc per cluster). Each iteration is one join+min
+    aggregate; label lineage is truncated with localCheckpoint so the
+    plan stays O(1) per round. Converges in O(component diameter)
+    iterations — the Pregel/GraphX pattern without leaving DataFrames.
+    The oracle computes the same unique fixpoint via a recursive CTE.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    ex = (
+        d.select("doc_id", "lang", "source", F.explode(F.split("text", " ")).alias("el"))
+        .distinct()
+        .withColumn("n_elems", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    pairs = _inverted_index_jaccard(ex, 0.8).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(20):  # cap >> observed component diameter
+        neighbor = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .select(F.col("src").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
