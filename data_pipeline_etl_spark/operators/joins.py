@@ -249,3 +249,58 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .drop("event_type")
     )
+
+
+@query(
+    "q_join_right",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal < 0
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: all (filtered) customers, orders where present."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    o = table(spark, sf_dir, "orders")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    WITH open_orders AS (
+      SELECT o_custkey, count(*) AS n_open FROM orders
+      WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    ),
+    final_orders AS (
+      SELECT o_custkey, count(*) AS n_final FROM orders
+      WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    )
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+           coalesce(a.n_open, 0)  AS n_open,
+           coalesce(b.n_final, 0) AS n_final
+    FROM open_orders a FULL OUTER JOIN final_orders b ON a.o_custkey = b.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two keyed aggregates with NULL-side coalesce."""
+    o = table(spark, sf_dir, "orders")
+    open_orders = (
+        o.filter(F.col("o_orderstatus") == "O").groupBy("o_custkey").agg(F.count("*").alias("n_open"))
+    )
+    final_orders = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("f_custkey"))
+        .agg(F.count("*").alias("n_final"))
+    )
+    j = open_orders.join(
+        final_orders, open_orders.o_custkey == final_orders.f_custkey, "full_outer"
+    )
+    return j.select(
+        F.coalesce("o_custkey", "f_custkey").alias("custkey"),
+        F.coalesce("n_open", F.lit(0)).alias("n_open"),
+        F.coalesce("n_final", F.lit(0)).alias("n_final"),
+    )

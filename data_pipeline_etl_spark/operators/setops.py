@@ -86,3 +86,19 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return c.select("c_custkey").subtract(finalized)
+
+
+@query(
+    "q_set_union_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with distinct semantics (union + dropDuplicates)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.unionByName(b).distinct()
