@@ -82,6 +82,12 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     numpy's even-count median (mean of the two middle values) is exactly
     DuckDB's quantile_cont(0.5) interpolation.
+
+    Cost model (measured at sf0.1): ~3 ms per group of Arrow/pandas
+    overhead dominates — 1500 users ≈ 5 s regardless of row count. The
+    grouped-map tier is for logic that genuinely needs a per-group
+    DataFrame; this median could be a builtin percentile over a lag
+    window at ~10× less cost (cf. q_agg_percentile, q_win_lag_lead).
     """
     e = table(spark, sf_dir, "events")
 
