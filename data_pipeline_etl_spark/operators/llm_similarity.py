@@ -267,3 +267,42 @@ def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cos_sim").alias("nn_cos"),
         )
     )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(v) AS lo, max(v) AS hi
+      FROM (SELECT unnest(embedding) AS v FROM embeddings)
+    )
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(least(greatest(
+                    floor((CAST(x AS DOUBLE) - CAST(lo AS DOUBLE))
+                          / (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * 255.0),
+                    0.0), 255.0) AS BIGINT)) AS codes
+    FROM embeddings CROSS JOIN bounds
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization: float32 embeddings -> 8-bit codes (0..255).
+
+    The storage path for 100 TB vector corpora (4x smaller than fp32,
+    16x with packing). Corpus min/max come from one aggregate and ride
+    into the transform as a broadcast scalar; the per-element math is a
+    deterministic double expression on both engines (floor, not round,
+    so no half-way ambiguity).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    bounds = emb.select(
+        F.min(F.expr("array_min(embedding)")).alias("lo"),
+        F.max(F.expr("array_max(embedding)")).alias("hi"),
+    )
+    j = emb.crossJoin(F.broadcast(bounds))
+    codes = F.expr(
+        "transform(embedding, x -> CAST(least(greatest("
+        "floor((CAST(x AS DOUBLE) - CAST(lo AS DOUBLE)) "
+        "/ (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * 255.0D), 0.0D), 255.0D) AS BIGINT))"
+    )
+    return j.select("vec_id", codes.alias("codes"))

@@ -198,3 +198,53 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_hits / n_tok.cast("double"), 6).alias("stopword_ratio"),
         F.round(F.col("n_chars").cast("double") / n_tok, 6).alias("avg_token_len"),
     )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed IDF, ln).
+
+    Three hash aggregates + one broadcast-able df join — the classic
+    text-featurization pipeline, all codegen. IDF values are per-row
+    deterministic (single ln per token); rounding at 6 dp covers libm.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; fixture doc counts are small and known
+    scored = tf.join(df, "tok").select(
+        "doc_id",
+        "tok",
+        F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+        .select("doc_id", "tok", "tfidf", "rn")
+    )

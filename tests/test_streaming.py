@@ -198,3 +198,111 @@ def test_update_mode_tumbling(spark, events_stream_dir):
         .select(F.col("w.start").alias("day_start"), "event_type", "n")
     )
     assert {tuple(r) for r in last.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks: view->purchase pairs per
+    user within 30 minutes, across micro-batches."""
+    src = str(tmp_path / "ss_src")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+            (2, _ts("2024-01-01 10:10:00"), 1, "purchase", 5.0, "{}"),
+        ],
+    )
+    _write_batch(
+        spark,
+        src,
+        [
+            (3, _ts("2024-01-01 11:00:00"), 2, "view", 1.0, "{}"),
+            (4, _ts("2024-01-01 11:45:00"), 2, "purchase", 9.0, "{}"),  # 45min: too late
+            (5, _ts("2024-01-01 11:20:00"), 2, "purchase", 7.0, "{}"),  # in window
+        ],
+    )
+    views = jobs.events_file_stream(spark, src, with_watermark="2 hours").where(
+        F.col("event_type") == "view"
+    ).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    purchases = jobs.events_file_stream(spark, src, with_watermark="2 hours").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("v_id", "p_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["v_id"], r["p_id"]) for r in spark.sql("SELECT * FROM ss_mem").collect()}
+    assert got == {(1, 2), (3, 5)}  # the 45-min purchase never pairs
+
+
+def test_apply_in_pandas_with_state(spark, tmp_path):
+    """Custom stateful operator: running per-user event count maintained
+    in GroupState across micro-batches (applyInPandasWithState)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = str(tmp_path / "st_src")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+            (2, _ts("2024-01-01 10:01:00"), 1, "view", 1.0, "{}"),
+            (3, _ts("2024-01-01 10:02:00"), 2, "view", 1.0, "{}"),
+        ],
+    )
+    _write_batch(
+        spark,
+        src,
+        [
+            (4, _ts("2024-01-01 10:03:00"), 1, "view", 1.0, "{}"),
+            (5, _ts("2024-01-01 10:04:00"), 3, "view", 1.0, "{}"),
+        ],
+    )
+
+    def running_count(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    stream = jobs.events_file_stream(spark, src, with_watermark="1 hour")
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        running_count,
+        outputStructType="user_id BIGINT, n_events BIGINT",
+        stateStructType="n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("state_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM state_mem").collect()
+    final = {}
+    for r in rows:  # last emission per user wins (update mode)
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["n_events"])
+    assert final == {1: 3, 2: 1, 3: 1}  # state carried across batches
