@@ -186,3 +186,36 @@ def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ends"),
         F.concat(F.split("lang", "-"), F.array(F.col("source"))).alias("lang_source"),
     )
+
+
+@query(
+    "q_null_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'P')                              AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING')         AS status_filled,
+           CASE WHEN nullif(o_orderstatus, 'P') IS NULL
+                THEN 'was_p' ELSE 'not_p' END                      AS nvl2_equiv,
+           ifnull(nullif(o_totalprice, 0.0), -1.0)                 AS price_or_neg1,
+           CAST(nullif(o_orderstatus, 'P') IS NOT NULL AS BOOLEAN) AS has_status
+    FROM orders
+    """,
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: nullif/coalesce/nvl2/ifnull/isnotnull.
+
+    The fixtures carry no NULLs, so nullif manufactures them first —
+    every downstream null-function then has real NULL inputs to handle.
+    """
+    o = table(spark, sf_dir, "orders")
+    s_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        s_null.alias("status_or_null"),
+        F.coalesce(s_null, F.lit("PENDING")).alias("status_filled"),
+        F.nvl2(s_null, F.lit("not_p"), F.lit("was_p")).alias("nvl2_equiv"),
+        F.ifnull(F.nullif(F.col("o_totalprice"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "price_or_neg1"
+        ),
+        s_null.isNotNull().alias("has_status"),
+    )

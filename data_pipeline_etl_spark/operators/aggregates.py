@@ -283,3 +283,27 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
     )
+
+
+@query("q_agg_approx_percentile")  # rows-only: t-digest/GK sketches are engine-specific
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles — the bounded-memory path for unbounded
+    groups at 100 TB (exact percentile buffers per group; this doesn't)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("approx_p99"),
+    )
+
+
+@query("q_sample")  # rows-only: Bernoulli sampling is engine-specific
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample + aggregate — deterministic within Spark
+    for a fixed input partitioning (the fixture file), engine-specific
+    across engines, hence rows-only."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty"))
+    )
