@@ -135,3 +135,54 @@ def merge_upsert(
         .where(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def run_text_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
+    """Training-data pipeline composition: dedup → quality filter →
+    featurize → partitioned write. Each stage is one of the declared
+    operators' building blocks; this function is the end-to-end shape a
+    100 TB corpus run takes (per-stage row accounting like the genre's
+    run log).
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    n_raw = d.count()
+
+    # 1. exact dedup on normalized content hash (keep min doc_id per hash)
+    h = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    deduped = (
+        d.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("h", "rn")
+    )
+    n_dedup = deduped.count()
+
+    # 2. quality gate: enough tokens, sane type/token ratio
+    toks = F.split("text", " ")
+    quality = deduped.where(
+        (F.size(toks) >= 20)
+        & (F.size(F.array_distinct(toks)) / F.size(toks).cast("double") >= 0.2)
+    )
+    n_quality = quality.count()
+
+    # 3. featurize: token count + language marker + content digest
+    featured = quality.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.md5("text").alias("digest"),
+    )
+
+    # 4. load: partitioned by lang (the downstream sampling key)
+    featured.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    n_written = spark.read.parquet(out_dir).count()
+    return {
+        "raw": n_raw,
+        "after_dedup": n_dedup,
+        "after_quality": n_quality,
+        "written": n_written,
+    }

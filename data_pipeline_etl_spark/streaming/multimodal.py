@@ -100,3 +100,23 @@ def frame_sample(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         "media_type",
         F.posexplode(offsets).alias("frame_no", "offset"),
     ).withColumn("frame_no", F.col("frame_no").cast("long"))
+
+
+def resize_features(features: DataFrame, out_dim: int = 4) -> DataFrame:
+    """'Resize' stage: average-pool the feature vector to ``out_dim``
+    (the image-resize access pattern over decoded data — with a real
+    decoder this pools pixel blocks; the pooling arithmetic and Arrow
+    batch flow are identical). Pure builtin expressions — stays JVM-side.
+    """
+    n = F.size("feat")
+    block = (n / out_dim).cast("int")
+    pooled = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda i: F.aggregate(
+            F.slice("feat", i * block + 1, block),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / block,
+    )
+    return features.select("asset_id", "media_type", pooled.alias("feat_small"))

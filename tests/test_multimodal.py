@@ -65,3 +65,17 @@ def test_frame_sample_offsets(spark):
     expected = (n_bytes - 1) // 64 + 1
     assert len(one) == expected
     assert [r.offset for r in one] == [1 + 64 * i for i in range(expected)]
+
+
+def test_resize_features_pools_blocks(spark):
+    d = table(spark, SF_DIR, "documents")
+    feats = multimodal.extract_features(multimodal.make_assets(d))
+    small = multimodal.resize_features(feats, out_dim=4)
+    rows = {r.asset_id: r for r in small.collect()}
+    full = {r.asset_id: r.feat for r in feats.collect()}
+    assert all(len(r.feat_small) == 4 for r in rows.values())
+    # average pooling: each output element is the mean of its 2-block
+    a0 = full[0]
+    expect = [sum(a0[i * 2 : i * 2 + 2]) / 2 for i in range(4)]
+    got = list(rows[0].feat_small)
+    assert all(abs(g - e) < 1e-12 for g, e in zip(got, expect))

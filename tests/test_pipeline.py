@@ -80,3 +80,17 @@ def test_merge_upsert_idempotent(spark):
     once = pipeline.merge_upsert(cur, upd, "k", "ver")
     twice = pipeline.merge_upsert(once, upd, "k", "ver")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_text_pipeline_composition(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    counts = pipeline.run_text_pipeline(spark, SF_DIR, out)
+    # monotone funnel, nothing lost at the write
+    assert counts["raw"] >= counts["after_dedup"] >= counts["after_quality"]
+    assert counts["written"] == counts["after_quality"]
+    assert counts["after_quality"] > 0
+    # partition layout by lang prunes
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"doc_id", "lang", "source", "n_tokens", "digest"}
+    plan = back.where(F.col("lang") == "en")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
