@@ -55,3 +55,30 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS digest
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode surface through the driver contract.
+
+    Drives the real multimodal plumbing — binary column construction +
+    Arrow-batched mapInPandas (streaming/multimodal.py) — and checks its
+    deterministic outputs (payload size, sha256 digest, media routing)
+    against a pure-SQL oracle. The stubbed feature vector is excluded
+    (sha256-byte-slicing is not expressible in the oracle dialect).
+    """
+    from data_pipeline_etl_spark.streaming import multimodal
+
+    d = table(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(multimodal.make_assets(d))
+    return feats.select("doc_id", "media_type", "n_bytes", "digest")

@@ -84,10 +84,17 @@ def test_theta_join_keeps_equi_component(spark):
 def test_no_python_udf_in_builtin_queries(spark):
     """Hot-path queries stay JVM-side: no Python eval nodes except in the
     three declared UDF-surface queries."""
-    udf_markers = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas")
+    udf_markers = (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "FlatMapGroupsInPandas",
+        "MapInPandas",
+    )
+    # the declared Python-surface queries, where an eval node is the point
+    python_surface = {"q_udaf_grouped", "q_dedup_minhash", "q_multimodal_decode"}
     offenders = []
     for name, fn in QUERIES.items():
-        if name.startswith("q_udf") or name in ("q_udaf_grouped", "q_dedup_minhash"):
+        if name.startswith("q_udf") or name in python_surface:
             continue
         plan = _plan(fn(spark, SF_DIR))
         if any(m in plan for m in udf_markers):
