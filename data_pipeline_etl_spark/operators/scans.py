@@ -54,3 +54,66 @@ def q_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json("props", "k INT").getField("k").alias("k"),
     )
     return parsed.where(F.col("k") >= 50)
+
+
+@query(
+    "q_json_build",
+    oracle="""
+    SELECT o_orderkey,
+           to_json(struct_pack(k := o_orderkey,
+                               s := o_orderstatus,
+                               p := o_totalprice,
+                               tags := [o_orderpriority, o_orderstatus]))::VARCHAR AS doc
+    FROM orders
+    """,
+)
+def q_json_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize rows to JSON documents (nested struct + array).
+
+    The write side of the reference's JSON interchange; both engines
+    produce byte-identical compact JSON (verified including double
+    formatting), so the string itself is hash-checked.
+    """
+    o = table(spark, sf_dir, "orders")
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("s"),
+            F.col("o_totalprice").alias("p"),
+            F.array(F.col("o_orderpriority"), F.col("o_orderstatus")).alias("tags"),
+        )
+    )
+    return o.select("o_orderkey", doc.alias("doc"))
+
+
+@query(
+    "q_events_enrich",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(hour(ts) AS BIGINT)          AS ev_hour,
+           CAST(dayofweek(ts) + 1 AS BIGINT) AS ev_dow,
+           round(value, 4)                   AS value_r,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT)                   AS seq_no
+    FROM events
+    """,
+)
+def q_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite event enrichment — the reference's log-transform step in
+    one pass: JSON parse + time-dimension derivation + per-user sequence
+    numbering. One window shuffle on user_id; everything else per-row."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+        F.hour("ts").cast("long").alias("ev_hour"),
+        F.dayofweek("ts").cast("long").alias("ev_dow"),
+        F.round("value", 4).alias("value_r"),
+        F.row_number().over(w).cast("long").alias("seq_no"),
+    )
