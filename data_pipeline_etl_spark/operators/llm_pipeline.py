@@ -1,0 +1,273 @@
+"""Group J — training-data pipeline mechanics (SURVEY.md §2.J; north star
+BASELINE.json:6): reproducible sampling, sharding, context-window chunking,
+and token-budget packing over the documents corpus, plus event-funnel /
+cohort-retention analytics over the events stream.
+
+Scale story per operator:
+- hash sampling / sharding: one md5 per row, no shuffle for the sample
+  decision itself (a narrow filter/projection) — at 100 TB this is the only
+  admissible sampling mechanism (rand() is neither reproducible across
+  retries nor partition-stable).
+- chunking: per-row explode by a computed chunk count — output rows scale
+  with corpus tokens / chunk_size; no shuffle until the consumer aggregates.
+- packing: one shuffle on the group key (lang) + an ordered window cumsum;
+  integer arithmetic end-to-end so cross-engine parity is exact.
+- funnel / retention: conditional aggregation over one shuffle on user_id —
+  the classic event-analytics shapes, no self-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import query
+from data_pipeline_etl_spark.sources.tables import table
+
+# Deterministic 3/16 ≈ 18.75% sample: first hex digit of md5(text) in 0..2.
+# Identical on any engine with md5 — reproducible across runs, retries, and
+# partitionings, unlike rand(seed) whose row→value assignment is
+# partition-dependent.
+_SAMPLE_HEX = ("0", "1", "2")
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_sampled,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+    WHERE substring(md5(text), 1, 1) IN ('0', '1', '2')
+    GROUP BY lang
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus sampling by content hash (~18.75% of docs)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.where(F.substring(F.md5("text"), 1, 1).isin(*_SAMPLE_HEX))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "q_shard_assign",
+    oracle="""
+    SELECT CAST(ascii(substring(md5(text), 1, 1)) % 8 AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY shard_id
+    """,
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash shard assignment (8 shards) + per-shard balance stats.
+
+    The write-sharding primitive: shard id is a pure function of content,
+    so re-runs land rows in the same shard regardless of input partitioning.
+    """
+    d = table(spark, sf_dir, "documents")
+    shard = (F.ascii(F.substring(F.md5("text"), 1, 1)) % 8).cast("long")
+    return (
+        d.select(shard.alias("shard_id"), "lang", "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_CHUNK = 16  # tokens per chunk (context-window stand-in)
+
+
+@query(
+    "q_text_chunk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(t, chunk_id * {_CHUNK} + 1,
+                               chunk_id * {_CHUNK} + {_CHUNK})) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(t, chunk_id * {_CHUNK} + 1,
+                                          chunk_id * {_CHUNK} + {_CHUNK}), ' ')) AS chunk_md5
+    FROM toks,
+         unnest(generate_series(0, CAST(floor((len(t) - 1) / {_CHUNK}) AS INT))) AS g(chunk_id)
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size context-window chunking: split each document into
+    16-token chunks; emit per-chunk token count + content hash.
+
+    The sequence-explode produces chunk ids per row (no join); the slice
+    is a builtin array op — the whole pipeline stays in codegen and the
+    output is one row per chunk, exactly what a tokenize-and-pack stage
+    consumes at scale.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    n_chunks_last = F.floor((F.size(t) - 1) / _CHUNK).cast("int")
+    chunked = d.select(
+        "doc_id",
+        t.alias("t"),
+        F.explode(F.sequence(F.lit(0), n_chunks_last)).alias("chunk_id"),
+    )
+    piece = F.slice("t", F.col("chunk_id") * _CHUNK + 1, _CHUNK)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+    )
+
+
+_BUDGET = 512  # tokens per packed bin
+
+
+@query(
+    "q_pack_bins",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens AS start_off
+      FROM sized
+    )
+    SELECT lang,
+           CAST(floor(start_off / {_BUDGET}) AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM offs
+    GROUP BY lang, bin_id
+    """,
+)
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: assign docs (ordered by doc_id within lang) to
+    ~512-token bins by running-offset division; per-bin fill stats.
+
+    Sequence-packing for training shards as one window cumsum — integer
+    token counts make the binning exact on every engine. One shuffle on
+    lang; bin assignment is embarrassingly parallel after the cumsum.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    sized = d.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    offs = sized.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        offs.groupBy("lang", F.floor(F.col("start_off") / _BUDGET).cast("long").alias("bin_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        )
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after
+    FROM stages
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→click→purchase funnel: users advancing through ordered stages.
+
+    One conditional-min aggregation per user then one global rollup — the
+    no-self-join funnel shape (NULL comparisons drop non-advancing users
+    on both engines identically).
+    """
+    e = table(spark, sf_dir, "events")
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = e.groupBy("user_id").agg(
+        stage("signup").alias("t_signup"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    sig = F.col("t_signup").isNotNull()
+    clk = sig & (F.col("t_click") > F.col("t_signup"))
+    pur = clk & (F.col("t_purchase") > F.col("t_click"))
+    as_cnt = lambda c: F.sum(c.cast("int")).cast("long")  # noqa: E731
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        as_cnt(sig).alias("n_signup"),
+        as_cnt(clk).alias("n_click_after"),
+        as_cnt(pur).alias("n_purchase_after"),
+    )
+
+
+@query(
+    "q_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day,
+                      CAST(date_trunc('day', e.ts) AS TIMESTAMP)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           count(*) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: active-user counts by first-seen day and day
+    offset (first week).
+
+    Two aggregations + a broadcast-able cohort join; the cohort table is
+    |users|, tiny relative to |events| at any scale.
+    """
+    e = table(spark, sf_dir, "events")
+    # NTZ timestamps on both sides: DuckDB date_trunc('day') yields DATE,
+    # which pandas/arrow canonicalize differently — the oracle casts back.
+    day = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
