@@ -311,3 +311,34 @@ def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_open", F.lit(0)).alias("n_open"),
         F.coalesce("n_final", F.lit(0)).alias("n_final"),
     )
+
+
+@query(
+    "q_join_lateral",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 customers by balance per nation.
+
+    Identical SQL text on both engines (LATERAL is ANSI). Catalyst
+    decorrelates the ORDER BY .. LIMIT subquery into a partitioned
+    window/top-k — same physical shape as q_win_topn, so the per-group
+    LIMIT never becomes a per-row rescan at scale.
+    """
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat_v")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_lat_v n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer_lat_v
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        """
+    )

@@ -350,3 +350,56 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+@query(
+    "q_dedup_editdist",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+             levenshtein(a.text, b.text) AS dist
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT lang, source, doc_a, doc_b, CAST(dist AS BIGINT) AS dist
+    FROM (
+      SELECT lang, source, doc_a, doc_b, dist,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY dist, doc_a, doc_b) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest pair per (lang, source) block by Levenshtein edit distance.
+
+    Character-level near-dup detection for short documents: blocked
+    pairwise levenshtein (|block|² pairs, bounded by the blocking key),
+    deterministic argmin via window tiebreak (dist, doc_a, doc_b). At
+    corpus scale the block key is a SimHash/MinHash bucket
+    (q_dedup_simhash / q_dedup_minhash) so the pair space stays bounded;
+    edit distance is the *verifier* inside a bucket, never the candidate
+    generator.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.lang").alias("lang"),
+        F.col("a.source").alias("source"),
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias("dist"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "source").orderBy("dist", "doc_a", "doc_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("lang", "source", "doc_a", "doc_b", "dist")
+    )

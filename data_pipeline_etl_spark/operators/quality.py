@@ -72,3 +72,75 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(check("lineitem_nonpositive_qty", bad_qty))
         .unionByName(check("orders_bad_status", bad_status))
     )
+
+
+@query(
+    "q_profile_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 6) AS lo,
+           round(max(o_totalprice), 6) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of o_totalprice (data-profiling shape).
+
+    Bucketing is a pure projection (floor division), so the histogram is
+    one partial+final aggregate regardless of table size — the profiling
+    primitive that replaces a full sort at 100 TB.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+    )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 6) AS value,
+           round((e.value - s.mu) / s.sigma, 6) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > 3
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection: events whose value is >3σ from the
+    per-type mean.
+
+    Two-pass shape: tiny per-type stats aggregate, broadcast back, filter
+    — no window over the full stream, so the anomaly scan stays
+    map-side after one |event_types|-row shuffle. avg/stddev matched
+    DuckDB bit-exactly in probes (SURVEY.md §2.1 #6); the >3 cut sits far
+    from any fixture value's ULP boundary.
+    """
+    e = table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )

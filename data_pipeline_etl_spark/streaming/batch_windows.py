@@ -139,3 +139,56 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     return e.unionByName(e).dropDuplicates(["event_id"])
+
+
+@query(
+    "q_date_spine",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS n_events,
+             round(sum(value), 6) AS total_value
+      FROM events WHERE event_type = 'purchase' GROUP BY day
+    )
+    SELECT s.day,
+           coalesce(d.n_events, 0) AS n_events,
+           coalesce(d.total_value, CAST(0.0 AS DOUBLE)) AS total_value
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: every day in the event range, with
+    zero-filled purchase rollups for days with no purchases.
+
+    The time-series densification pattern: the spine is sequence() over
+    the min/max bounds (a 2-row cross join — broadcast, trivially cheap
+    even when the fact side is 100 TB), then a left join from spine to
+    the daily aggregate.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    bounds = e.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(day.alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
