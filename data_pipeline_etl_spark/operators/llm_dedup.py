@@ -356,50 +356,70 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_editdist",
     oracle="""
     WITH pairs AS (
-      SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-             levenshtein(a.text, b.text) AS dist
+      SELECT a.source,
+             CAST(floor(a.n_chars / 100) AS BIGINT) AS len_bucket,
+             a.doc_id AS doc_a, b.doc_id AS doc_b,
+             levenshtein(substring(a.text, 1, 100),
+                         substring(b.text, 1, 100)) AS dist
       FROM documents a JOIN documents b
-        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        ON a.source = b.source
+       AND floor(a.n_chars / 100) = floor(b.n_chars / 100)
+       AND a.doc_id < b.doc_id
+      WHERE a.lang = 'en' AND b.lang = 'en'
     )
-    SELECT lang, source, doc_a, doc_b, CAST(dist AS BIGINT) AS dist
+    SELECT source, len_bucket, doc_a, doc_b, CAST(dist AS BIGINT) AS dist
     FROM (
-      SELECT lang, source, doc_a, doc_b, dist,
-             row_number() OVER (PARTITION BY lang, source
+      SELECT source, len_bucket, doc_a, doc_b, dist,
+             row_number() OVER (PARTITION BY source, len_bucket
                                 ORDER BY dist, doc_a, doc_b) AS rn
       FROM pairs
     ) WHERE rn = 1
     """,
 )
 def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closest pair per (lang, source) block by Levenshtein edit distance.
+    """Closest English pair per (source, length-bucket) block by
+    100-char-prefix Levenshtein.
 
-    Character-level near-dup detection for short documents: blocked
-    pairwise levenshtein (|block|² pairs, bounded by the blocking key),
-    deterministic argmin via window tiebreak (dist, doc_a, doc_b). At
-    corpus scale the block key is a SimHash/MinHash bucket
-    (q_dedup_simhash / q_dedup_minhash) so the pair space stays bounded;
-    edit distance is the *verifier* inside a bucket, never the candidate
-    generator.
+    Character-level near-dup verification: blocked pairwise levenshtein,
+    deterministic argmin via window tiebreak (dist, doc_a, doc_b). Edit
+    distance is quadratic in string length, so production systems bound
+    it three ways, all shown here — block the pair space by metadata
+    (source) AND by length bucket (a small edit distance forces similar
+    lengths, so cross-bucket pairs are never near-dups; at corpus scale
+    the block key is a SimHash/MinHash bucket, q_dedup_simhash /
+    q_dedup_minhash), and bound the comparison to a fixed prefix
+    (100 chars ⇒ ≤10⁴ DP cells per pair, independent of document
+    length). Unbounded levenshtein over full fixture texts measured
+    114 s at sf0.1; this blocked+bounded shape is <1 s.
     """
-    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+            F.substring("text", 1, 100).alias("prefix"),
+        )
+    )
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.source") == F.col("b.source"))
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
-        F.col("a.lang").alias("lang"),
         F.col("a.source").alias("source"),
+        F.col("a.len_bucket").alias("len_bucket"),
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias("dist"),
+        F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).cast("long").alias("dist"),
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("lang", "source").orderBy("dist", "doc_a", "doc_b")
+    w = Window.partitionBy("source", "len_bucket").orderBy("dist", "doc_a", "doc_b")
     return (
         pairs.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("lang", "source", "doc_a", "doc_b", "dist")
+        .select("source", "len_bucket", "doc_a", "doc_b", "dist")
     )

@@ -271,3 +271,78 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("n_active"))
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (Markov counts) over per-user streams.
+
+    lead() shares the sessionization shuffle on user_id; the transition
+    aggregate is |event_types|² rows regardless of stream size.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT source, tok, count(*) AS n
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY source, tok
+    ),
+    tot AS (
+      SELECT source, sum(n) AS total FROM tok GROUP BY source
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           round(-sum((t.n / o.total) * ln(t.n / o.total)), 6) AS entropy_nats
+    FROM tok t JOIN tot o ON t.source = o.source
+    GROUP BY t.source
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token Shannon entropy (nats) + vocabulary size — the
+    diversity/quality signal for corpus curation.
+
+    Two hash aggregates over (source, token) then source; the entropy sum
+    folds |vocab| doubles per source (double sums matched DuckDB
+    bit-exactly in probes, SURVEY.md §2.1 #12; rounded to 6 dp anyway).
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = tok.groupBy("source").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        tok.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("vocab"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+    )

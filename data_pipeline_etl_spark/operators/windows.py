@@ -212,3 +212,91 @@ def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@query(
+    "q_win_gaps_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_all,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_type
+      FROM events
+    )
+    SELECT user_id, event_type,
+           count(*) AS streak_len,
+           min(ts) AS streak_start
+    FROM seq
+    GROUP BY user_id, event_type, rn_all - rn_type
+    HAVING count(*) >= 3
+    """,
+)
+def q_win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: runs of >=3 consecutive same-type events per user.
+
+    The classic streak detector: two row_numbers whose difference is
+    constant within a run — both windows share one shuffle on user_id,
+    and the island key (rn_all - rn_type) feeds a plain aggregate. No
+    self-join, no iteration; state is one partition's sort.
+    """
+    e = table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "island")
+        .agg(F.count("*").alias("streak_len"), F.min("ts").alias("streak_start"))
+        .where(F.col("streak_len") >= 3)
+        .drop("island")
+    )
+
+
+@query(
+    "q_win_share",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name,
+           round(revenue, 4) AS revenue,
+           round(revenue / sum(revenue) OVER (), 6) AS share
+    FROM rev
+    """,
+)
+def q_win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of total revenue.
+
+    The keyless total window runs over the *aggregated* 25-row frame, not
+    the fact table — grouping first keeps the unpartitioned window safe at
+    any scale (SCALE.md forbids keyless windows over raw facts).
+    """
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.round("revenue", 4).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
