@@ -307,3 +307,38 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty"))
     )
+
+
+@query(
+    "q_agg_weighted",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 6)
+             AS wavg_price,
+           round(sum(l_extendedprice * (1 - l_discount)) / sum(l_extendedprice), 6)
+             AS eff_discount_keep,
+           CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted averages: quantity-weighted price and price-weighted
+    discount retention per return flag.
+
+    Two plain double-sum ratios per group — partial+final aggregation,
+    no second pass; double sums matched DuckDB bit-exactly in probes
+    (SURVEY.md §2.1 #12), rounded to 6 dp anyway.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_quantity") * F.col("l_extendedprice")) / F.sum("l_quantity"), 6
+        ).alias("wavg_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            / F.sum("l_extendedprice"),
+            6,
+        ).alias("eff_discount_keep"),
+        F.sum("l_quantity").cast("double").alias("total_qty"),
+    )

@@ -306,3 +306,63 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/ (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * 255.0D), 0.0D), 255.0D) AS BIGINT))"
     )
     return j.select("vec_id", codes.alias("codes"))
+
+
+@query(
+    "q_sim_centroid",
+    oracle="""
+    WITH cent AS (
+      SELECT label, g.pos AS pos,
+             avg(CAST(embedding[g.pos] AS DOUBLE)) AS cv
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS g(pos)
+      GROUP BY label, g.pos
+    ),
+    cvec AS (
+      SELECT label, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY label
+    )
+    SELECT e.label,
+           count(*) AS n_vecs,
+           round(avg(sqrt(list_sum(list_transform(
+             generate_series(1, len(e.embedding)),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))))), 6)
+             AS avg_dist
+    FROM embeddings e JOIN cvec c ON e.label = c.label
+    GROUP BY e.label
+    """,
+)
+def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + mean intra-cluster L2 distance (the k-means
+    E-step / cluster-cohesion diagnostic).
+
+    Centroids via posexplode → (label, dim) avg → re-assembled in dim
+    order; distances via the module's sequential float64 fold. The
+    centroid table is |labels|×dim — broadcast side of the join. At
+    corpus scale this is exactly one iteration of distributed k-means:
+    linear explode, bounded-cardinality shuffle, broadcast join back.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = ex.groupBy("label", "pos").agg(F.avg(F.col("v").cast("double")).alias("cv"))
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+        ).alias("centroid")
+    )
+    dist = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(embedding, centroid, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    return (
+        e.join(F.broadcast(cvec), "label")
+        .select("label", dist.alias("dist"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("dist"), 6).alias("avg_dist"),
+        )
+    )

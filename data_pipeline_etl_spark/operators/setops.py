@@ -102,3 +102,38 @@ def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return a.unionByName(b).distinct()
+
+
+@query(
+    "q_union_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority,
+           'v1' AS src_ver
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority, 'v2' AS src_ver
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: merge an old-schema extract (no priority
+    column) with a new-schema extract, NULL-filling the missing column.
+
+    ``unionByName(allowMissingColumns=True)`` is the multi-source staging
+    pattern when upstream schemas drift — name-based alignment, not
+    positional, so reordered or added columns never silently mis-map.
+    """
+    o = table(spark, sf_dir, "orders")
+    v1 = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("src_ver", F.lit("v1"))
+    )
+    v2 = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .withColumn("src_ver", F.lit("v2"))
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "src_ver"
+    )
