@@ -346,3 +346,51 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
         )
     )
+
+
+# Per-source-tier sampling rates for the mixture: tier A (src0..src9) keeps
+# hex digits 0..7 (50%), tier B keeps 0..3 (25%). Same hash-based
+# determinism rationale as q_sample_hash.
+_TIER_A = tuple(f"src{i}" for i in range(10))
+
+
+@query(
+    "q_mix_weighted",
+    oracle="""
+    WITH kept AS (
+      SELECT source, lang
+      FROM documents
+      WHERE CASE WHEN source IN ('src0','src1','src2','src3','src4',
+                                 'src5','src6','src7','src8','src9')
+                 THEN substring(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7')
+                 ELSE substring(md5(text), 1, 1) IN ('0','1','2','3')
+            END
+    )
+    SELECT source,
+           count(*) AS n_kept,
+           round(count(*) / sum(count(*)) OVER (), 6) AS mix_frac
+    FROM kept
+    GROUP BY source
+    """,
+)
+def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: per-source-tier hash sampling (50% for
+    src0-9, 25% for src10-19) + resulting mixture composition.
+
+    The curriculum/mixture-weights primitive for training-data assembly:
+    membership is a pure content-hash function per tier (reproducible,
+    partition-independent, no shuffle to decide), and the composition
+    report is one aggregate plus a keyless window over the 20-row result.
+    """
+    d = table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5("text"), 1, 1)
+    keep = F.when(
+        F.col("source").isin(*_TIER_A), digit.isin(*"01234567")
+    ).otherwise(digit.isin(*"0123"))
+    kept = d.where(keep).groupBy("source").agg(F.count("*").alias("n_kept"))
+    w = Window.partitionBy()
+    return kept.select(
+        "source",
+        "n_kept",
+        F.round(F.col("n_kept") / F.sum("n_kept").over(w), 6).alias("mix_frac"),
+    )
