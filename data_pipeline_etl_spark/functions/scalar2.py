@@ -219,3 +219,30 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         s_null.isNotNull().alias("has_status"),
     )
+
+
+@query(
+    "q_str_mask",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+             c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS name_masked,
+           CAST(length(c_name) AS BIGINT) AS name_len
+    FROM customer
+    """,
+)
+def q_str_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style data masking: uppercase→X, lowercase→x, digits→n
+    (Spark builtin ``mask``; shape- and length-preserving redaction).
+
+    The masking path for exporting identifier-bearing columns: a pure
+    codegen'd projection, so redaction adds no shuffle at any scale. The
+    oracle reproduces the default mask characters with a regexp chain.
+    """
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("name_masked"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )

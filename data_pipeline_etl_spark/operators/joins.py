@@ -342,3 +342,49 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         """
     )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(o_orderpriority, '4-NOT SPECIFIED') AS prio,
+             count(*) AS n_open
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY prio
+    ),
+    b AS (
+      SELECT nullif(o_orderpriority, '4-NOT SPECIFIED') AS prio,
+             count(*) AS n_final
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY prio
+    )
+    SELECT a.prio AS prio, a.n_open, b.n_final
+    FROM a JOIN b ON a.prio IS NOT DISTINCT FROM b.prio
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): per-priority
+    open vs final order counts where the 'NOT SPECIFIED' tier is a NULL
+    key on both sides.
+
+    A plain inner join silently drops the NULL=NULL group; the null-safe
+    comparator keeps it — the ETL-merge behavior needed whenever a join
+    key is itself the product of NULL-ification (scrubbed or optional
+    dimensions). Catalyst plans ``<=>`` as a hash join (EqualNullSafe is
+    still an equi-key), not a nested loop.
+    """
+    o = table(spark, sf_dir, "orders")
+    prio = F.expr("nullif(o_orderpriority, '4-NOT SPECIFIED')")
+    a = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(prio.alias("prio"))
+        .agg(F.count("*").alias("n_open"))
+    )
+    b = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(prio.alias("prio_b"))
+        .agg(F.count("*").alias("n_final"))
+    )
+    return (
+        a.join(b, F.col("prio").eqNullSafe(F.col("prio_b")))
+        .select("prio", "n_open", "n_final")
+    )
