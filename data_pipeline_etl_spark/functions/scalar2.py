@@ -144,19 +144,19 @@ def q_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_str_regexp2",
     oracle="""
     SELECT doc_id,
-           regexp_extract_all(text, '[a-z]*a[a-z]*') AS a_words,
+           array_to_string(regexp_extract_all(text, '[a-z]*a[a-z]*'), ' ') AS a_words,
            CAST(len(regexp_extract_all(text, '[a-z]*a[a-z]*')) AS INTEGER) AS n_a_words
     FROM documents
     WHERE regexp_matches(text, 'spark\\s+\\w*stream')
     """,
 )
 def q_str_regexp2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """regexp_extract_all (list output) + regexp-predicate filtering."""
+    """regexp_extract_all + regexp-predicate filtering (scalar-joined output)."""
     d = table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(text, '[a-z]*a[a-z]*', 0)")
     return d.select(
         "doc_id",
-        words.alias("a_words"),
+        F.concat_ws(" ", words).alias("a_words"),
         F.size(words).alias("n_a_words"),
     ).where(F.expr(r"text RLIKE 'spark\\s+\\w*stream'"))
 
@@ -165,26 +165,28 @@ def q_str_regexp2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_funcs2",
     oracle="""
     SELECT doc_id,
-           list_sort(list_distinct(string_split(text, ' ')))[2:4] AS toks_2_4,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[2:4], ' ') AS toks_2_4,
            CAST(list_position(list_sort(list_distinct(string_split(text, ' '))), 'spark') AS BIGINT) AS spark_pos,
-           flatten([string_split(text, ' ')[1:2], string_split(text, ' ')[-2:]]) AS ends,
-           list_concat(string_split(lang, '-'), [source]) AS lang_source
+           array_to_string(flatten([string_split(text, ' ')[1:2], string_split(text, ' ')[-2:]]), ' ') AS ends,
+           array_to_string(list_concat(string_split(lang, '-'), [source]), ' ') AS lang_source
     FROM documents
     """,
 )
 def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """array slice / position / flatten / concat (1-based slices both)."""
+    """array slice / position / flatten / concat, scalar-joined outputs."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     sorted_distinct = F.array_sort(F.array_distinct(toks))
     return d.select(
         "doc_id",
-        F.slice(sorted_distinct, 2, 3).alias("toks_2_4"),
+        F.concat_ws(" ", F.slice(sorted_distinct, 2, 3)).alias("toks_2_4"),
         F.array_position(sorted_distinct, "spark").alias("spark_pos"),
-        F.flatten(
-            F.array(F.slice(toks, 1, 2), F.slice(toks, -2, 2))
+        F.concat_ws(
+            " ", F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, -2, 2)))
         ).alias("ends"),
-        F.concat(F.split("lang", "-"), F.array(F.col("source"))).alias("lang_source"),
+        F.concat_ws(
+            " ", F.concat(F.split("lang", "-"), F.array(F.col("source")))
+        ).alias("lang_source"),
     )
 
 

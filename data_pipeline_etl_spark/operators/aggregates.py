@@ -206,15 +206,20 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_collect",
     oracle="""
-    SELECT n_regionkey, list(n_name ORDER BY n_name) AS names
+    SELECT n_regionkey, array_to_string(list(n_name ORDER BY n_name), '|') AS names
     FROM nation GROUP BY n_regionkey
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered list aggregation per group."""
+    """Ordered list aggregation per group, surfaced as a scalar join.
+
+    The collected list is emitted as a '|'-joined string: declared-query
+    outputs must be scalar columns (array outputs crash downstream
+    pandas-based canonicalizers — see tests/test_schema_align.py).
+    """
     n = table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("names")
+        F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("names")
     )
 
 

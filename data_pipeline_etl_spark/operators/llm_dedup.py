@@ -40,20 +40,32 @@ _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup accounting: normalized-content md5 per language."""
+    """Exact dedup accounting: normalized-content md5 per language.
+
+    The digest is projected ONCE before the aggregate so the plan carries a
+    single distinct-aggregate group (one Expand branch pair, one shuffle on
+    the 16-byte digest key) instead of re-evaluating md5(norm(text)) per
+    aggregate expression; n_dups is derived post-aggregation.
+    """
     d = table(spark, sf_dir, "documents")
-    h = F.md5(_norm_spark())
-    return d.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct(h).alias("n_unique"),
-        (F.count("*") - F.countDistinct(h)).alias("n_dups"),
+    hashed = d.select("lang", F.md5(_norm_spark()).alias("h"))
+    return (
+        hashed.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("h").alias("n_unique"))
+        .select(
+            "lang",
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_dups"),
+        )
     )
 
 
 @query(
     "q_dedup_fingerprint",
     oracle="""
-    SELECT fp, count(*) AS n_docs, list(doc_id ORDER BY doc_id) AS doc_ids
+    SELECT fp, count(*) AS n_docs,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids
     FROM (
       SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
@@ -70,7 +82,16 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", fp.alias("fp"))
         .groupBy("fp")
-        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            # scalar output: numeric sort first, then cast to string and join
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+            ).alias("doc_ids"),
+        )
         .where(F.col("n_docs") > 1)
     )
 

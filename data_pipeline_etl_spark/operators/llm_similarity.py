@@ -277,11 +277,11 @@ def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT unnest(embedding) AS v FROM embeddings)
     )
     SELECT vec_id,
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
              x -> CAST(least(greatest(
                     floor((CAST(x AS DOUBLE) - CAST(lo AS DOUBLE))
                           / (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * 255.0),
-                    0.0), 255.0) AS BIGINT)) AS codes
+                    0.0), 255.0) AS BIGINT)), ',') AS codes
     FROM embeddings CROSS JOIN bounds
     """,
 )
@@ -301,9 +301,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = emb.crossJoin(F.broadcast(bounds))
     codes = F.expr(
-        "transform(embedding, x -> CAST(least(greatest("
+        "array_join(transform(embedding, x -> CAST(least(greatest("
         "floor((CAST(x AS DOUBLE) - CAST(lo AS DOUBLE)) "
-        "/ (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * 255.0D), 0.0D), 255.0D) AS BIGINT))"
+        "/ (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * 255.0D), 0.0D), 255.0D) AS BIGINT)), ',')"
     )
     return j.select("vec_id", codes.alias("codes"))
 

@@ -44,3 +44,32 @@ def test_arrow_schema_match(name, spark, duck):
     stypes = {f.name: _canon_type(f.type) for f in satbl.schema}
     dtypes = {f.name: _canon_type(f.type) for f in datbl.schema}
     assert stypes == dtypes, f"{name}: spark={stypes}\nduck={dtypes}"
+
+
+# ---------------------------------------------------------------------------
+# Driver-canonicalizer compatibility: the driver canonicalizes results with a
+# pandas sort_values pass, which raises `TypeError: unhashable type` on any
+# array/struct/map cell (round-1 driver-confirmed FAIL on q_agg_collect).
+# Every declared query — oracle-checked AND rows-only — must therefore emit
+# only atomic (scalar) output columns. This is a plan-schema check: no
+# execution, so it covers the whole registry cheaply.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as T  # noqa: E402
+
+ALL_DECLARED = sorted(QUERIES.keys())
+
+
+@pytest.mark.parametrize("name", ALL_DECLARED)
+def test_scalar_outputs_only(name, spark):
+    schema = QUERIES[name](spark, SF_DIR).schema
+    bad = {
+        f.name: f.dataType.simpleString()
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    }
+    assert not bad, (
+        f"{name}: non-scalar output columns {bad} would crash the driver's "
+        "pandas canonicalizer — stringify (concat_ws/array_join/to_json) "
+        "on both engine and oracle sides"
+    )
