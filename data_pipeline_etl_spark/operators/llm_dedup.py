@@ -96,6 +96,20 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_elements(d: DataFrame) -> DataFrame:
+    """Exploded distinct-unigram table for ``_inverted_index_jaccard``.
+
+    Dedup and set size are computed per-row (array_distinct + size) BEFORE
+    the explode, so building the element table needs zero shuffles — the
+    alternative (explode → distinct → count window) costs two full shuffles
+    of the exploded frame, which at 100 TB is the dominant cost.
+    """
+    toks = F.array_distinct(F.split("text", " "))
+    return d.select(
+        "doc_id", "lang", "source", F.size(toks).alias("n_elems"), F.explode(toks).alias("el")
+    )
+
+
 def _inverted_index_jaccard(ex: DataFrame, threshold: float) -> DataFrame:
     """Blocked inverted-index Jaccard from an exploded element table
     ``ex(doc_id, lang, source, n_elems, el)`` with distinct (doc_id, el):
@@ -203,15 +217,8 @@ def q_sim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same inverted-index topology as q_dedup_ngram with unigram elements;
     the exact-Jaccard ground truth that q_dedup_minhash approximates.
     """
-    from pyspark.sql import Window
-
     d = table(spark, sf_dir, "documents")
-    ex = (
-        d.select("doc_id", "lang", "source", F.explode(F.split("text", " ")).alias("el"))
-        .distinct()
-        .withColumn("n_elems", F.count("*").over(Window.partitionBy("doc_id")))
-    )
-    return _inverted_index_jaccard(ex, 0.8)
+    return _inverted_index_jaccard(_unigram_elements(d), 0.8)
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -296,6 +303,71 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- deterministic MinHash signatures --------------------------------------
+# k=8 "permutations", each simulated by salting md5: h_i(tok) = md5(i || ':'
+# || tok); the signature component is the lexicographic min over the doc's
+# distinct tokens. Engine-neutral (md5 hex is identical in Spark and DuckDB),
+# so unlike ml.MinHashLSH (q_dedup_minhash, rows-only) this is hash-checkable.
+_MINHASH_K = 8
+_MINHASH_BAND = 4  # 2 bands of 4 rows — the LSH bucketing key
+
+
+def _minhash_oracle() -> str:
+    sigs = ",\n           ".join(
+        f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(_MINHASH_K)
+    )
+    bands = ",\n           ".join(
+        "md5({}) AS band{}".format(
+            " || ".join(f"mh{i}" for i in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND)),
+            b,
+        )
+        for b in range(_MINHASH_K // _MINHASH_BAND)
+    )
+    cols = ", ".join(f"mh{i}" for i in range(_MINHASH_K))
+    return f"""
+    WITH sig AS (
+      SELECT doc_id,
+           {sigs}
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, {cols},
+           {bands}
+    FROM sig
+    """
+
+
+@query("q_dedup_minhash_sig", oracle=_minhash_oracle())
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k=8 MinHash signature + LSH band keys per document.
+
+    The hash-checked half of the 100 TB MinHash dedup path (the rows-only
+    ml.MinHashLSH candidate join is q_dedup_minhash): one explode + one
+    groupBy with k min-aggregates — linear, single shuffle on doc_id —
+    then band keys as md5 over signature slices. Near-dup candidates are
+    docs sharing a band key (a groupBy on band{b}), never an all-pairs
+    join. Salted md5 stands in for the permutation family so both engines
+    compute bit-identical signatures.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"mh{i}")
+        for i in range(_MINHASH_K)
+    ]
+    sig = tok.groupBy("doc_id").agg(*aggs)
+    bands = [
+        F.md5(
+            F.concat(*[F.col(f"mh{i}") for i in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND)])
+        ).alias(f"band{b}")
+        for b in range(_MINHASH_K // _MINHASH_BAND)
+    ]
+    return sig.select("doc_id", *[f"mh{i}" for i in range(_MINHASH_K)], *bands)
+
+
 @query(
     "q_dedup_cluster",
     oracle="""
@@ -331,46 +403,50 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; label lineage is truncated with localCheckpoint so the
     plan stays O(1) per round. Converges in O(component diameter)
     iterations — the Pregel/GraphX pattern without leaving DataFrames.
-    The oracle computes the same unique fixpoint via a recursive CTE.
+    Only docs that appear in some near-dup pair enter the iteration
+    (singletons keep cluster_id = doc_id for free via the final
+    left join), so the iterated frame is |docs-in-pairs|, not |docs| —
+    at 100 TB the pair graph is orders of magnitude smaller than the
+    corpus. The oracle computes the same unique fixpoint via a
+    recursive CTE.
     """
-    from pyspark.sql import Window
-
     d = table(spark, sf_dir, "documents")
-    ex = (
-        d.select("doc_id", "lang", "source", F.explode(F.split("text", " ")).alias("el"))
-        .distinct()
-        .withColumn("n_elems", F.count("*").over(Window.partitionBy("doc_id")))
-    )
-    pairs = _inverted_index_jaccard(ex, 0.8).select("doc_a", "doc_b")
+    pairs = _inverted_index_jaccard(_unigram_elements(d), 0.8).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.localCheckpoint(eager=True)
 
-    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
-        eager=True
+    # seed labels from pair endpoints only (edges holds both directions,
+    # so src alone covers every endpoint)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(20):  # cap >> observed component diameter
+        # tag the incumbent label through the min-aggregate so convergence
+        # is a filter-count on the already-materialized frame — no extra
+        # join job per round
         neighbor = (
             edges.join(labels, edges.dst == labels.doc_id)
-            .select(F.col("src").alias("doc_id"), "cluster_id")
+            .select(F.col("src").alias("doc_id"), "cluster_id", F.lit(None).cast("long").alias("old"))
         )
-        new_labels = (
-            labels.unionByName(neighbor)
+        merged = (
+            labels.select("doc_id", "cluster_id", F.col("cluster_id").alias("old"))
+            .unionByName(neighbor)
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(F.min("cluster_id").alias("cluster_id"), F.min("old").alias("old"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.where(F.col("cluster_id") != F.col("old")).count()
+        labels = merged.select("doc_id", "cluster_id")
         if changed == 0:
             break
-    return labels
+    return d.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
 
 
 @query(

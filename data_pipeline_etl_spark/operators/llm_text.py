@@ -230,16 +230,24 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Three hash aggregates + one broadcast-able df join — the classic
     text-featurization pipeline, all codegen. IDF values are per-row
     deterministic (single ln per token); rounding at 6 dp covers libm.
+    The corpus size joins in as a broadcast 1-row aggregate (same shape as
+    q_embed_quantize's bounds) — no driver-side count(), one job total.
     """
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; fixture doc counts are small and known
-    scored = tf.join(df, "tok").select(
-        "doc_id",
-        "tok",
-        F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
     return (
