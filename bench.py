@@ -65,13 +65,23 @@ def main() -> None:
     regressions = []
     try:
         with open(side_path) as f:
-            prev = json.load(f).get("queries", {})
+            prev_doc = json.load(f)
+        prev = prev_doc.get("queries", {})
+        # The committed side file may come from a different machine, where
+        # absolute wall-clock doesn't transfer — normalize by the ratio of
+        # total runtimes over the common query set before comparing, so a
+        # uniformly slower host doesn't flag everything (and a uniformly
+        # faster one doesn't mask a real regression).
+        common = [n for n in timings if n in prev]
+        prev_sum = sum(prev[n] for n in common)
+        cur_sum = sum(timings[n] for n in common)
+        scale = cur_sum / prev_sum if prev_sum > 0 else 1.0
         regressions = sorted(
             name
-            for name, t in timings.items()
-            if name in prev and prev[name] >= 0.5 and t > 1.5 * prev[name]
+            for name in common
+            if prev[name] >= 0.2 and timings[name] > 1.5 * prev[name] * scale
         )
-    except (OSError, ValueError):
+    except (OSError, ValueError, ZeroDivisionError):
         pass
     with open(side_path, "w") as f:
         json.dump(
@@ -101,16 +111,19 @@ def main() -> None:
         "q_stream_tumbling",
         "q_win_topn",
     ]
-    line = json.dumps(
-        {
-            "metric": f"total_wall_sec_{len(timings)}_queries",
-            "value": total,
-            "unit": "sec",
-            "queries": {n: timings[n] for n in headline if n in timings},
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        }
-    )
-    assert len(line) < 1000, f"bench line too long ({len(line)} bytes)"
+    payload = {
+        "metric": f"total_wall_sec_{len(timings)}_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in headline if n in timings},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload)
+    if len(line) >= 1000:
+        # Never abort after the side file is written — an empty queries map
+        # (full map lives in BENCH_QUERIES.json) beats no stdout line at all.
+        payload["queries"] = {}
+        line = json.dumps(payload)
     print(line)
 
 

@@ -6,6 +6,10 @@ ULP → rounded to 6 dp on both sides. Zero-crossing outputs (sin/cos)
 additionally get `+ 0.0`: DuckDB's round can yield -0.0 where Spark's
 BigDecimal round yields +0.0 (observed once in 150k rows at sf0.1), and
 IEEE `-0.0 + 0.0 = +0.0` normalizes both engines.
+
+Stringified array outputs use `F.array_join`, never `concat_ws`: a NULL
+array is NULL under array_join and DuckDB's array_to_string, but '' under
+concat_ws — a latent hash mismatch the moment a fixture gains NULLs.
 """
 
 from __future__ import annotations
@@ -156,7 +160,7 @@ def q_str_regexp2(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.expr("regexp_extract_all(text, '[a-z]*a[a-z]*', 0)")
     return d.select(
         "doc_id",
-        F.concat_ws(" ", words).alias("a_words"),
+        F.array_join(words, " ").alias("a_words"),
         F.size(words).alias("n_a_words"),
     ).where(F.expr(r"text RLIKE 'spark\\s+\\w*stream'"))
 
@@ -179,13 +183,13 @@ def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted_distinct = F.array_sort(F.array_distinct(toks))
     return d.select(
         "doc_id",
-        F.concat_ws(" ", F.slice(sorted_distinct, 2, 3)).alias("toks_2_4"),
+        F.array_join(F.slice(sorted_distinct, 2, 3), " ").alias("toks_2_4"),
         F.array_position(sorted_distinct, "spark").alias("spark_pos"),
-        F.concat_ws(
-            " ", F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, -2, 2)))
+        F.array_join(
+            F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, -2, 2))), " "
         ).alias("ends"),
-        F.concat_ws(
-            " ", F.concat(F.split("lang", "-"), F.array(F.col("source")))
+        F.array_join(
+            F.concat(F.split("lang", "-"), F.array(F.col("source"))), " "
         ).alias("lang_source"),
     )
 

@@ -216,10 +216,12 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     The collected list is emitted as a '|'-joined string: declared-query
     outputs must be scalar columns (array outputs crash downstream
     pandas-based canonicalizers — see tests/test_schema_align.py).
+    array_join, not concat_ws: a NULL array stays NULL on both engines
+    (concat_ws would fold it to '' while array_to_string keeps NULL).
     """
     n = table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("names")
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("names")
     )
 
 

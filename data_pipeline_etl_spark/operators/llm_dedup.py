@@ -78,18 +78,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set fingerprint groups: docs whose distinct-token sets coincide."""
     d = table(spark, sf_dir, "documents")
-    fp = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(F.split("text", " ")))))
+    fp = F.md5(F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " "))
     return (
         d.select("doc_id", fp.alias("fp"))
         .groupBy("fp")
         .agg(
             F.count("*").alias("n_docs"),
             # scalar output: numeric sort first, then cast to string and join
-            F.concat_ws(
-                ",",
+            # (array_join: NULL-array semantics match DuckDB array_to_string)
+            F.array_join(
                 F.transform(
                     F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
                 ),
+                ",",
             ).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
@@ -99,30 +100,38 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _unigram_elements(d: DataFrame) -> DataFrame:
     """Exploded distinct-unigram table for ``_inverted_index_jaccard``.
 
-    Dedup and set size are computed per-row (array_distinct + size) BEFORE
-    the explode, so building the element table needs zero shuffles — the
-    alternative (explode → distinct → count window) costs two full shuffles
-    of the exploded frame, which at 100 TB is the dominant cost.
+    Per-row array_distinct BEFORE the explode gives distinct (doc_id, el)
+    with zero shuffles — the alternative (explode → distinct) costs a full
+    shuffle of the exploded frame. Set sizes are deliberately NOT computed
+    here: a pre-explode ``size(...)`` alias gets re-inlined by Catalyst's
+    project-collapse and re-evaluated per *exploded* row on both sides of
+    the self-join (measured 8× regression at sf0.1) — the helper derives
+    them from an aggregate instead.
     """
-    toks = F.array_distinct(F.split("text", " "))
     return d.select(
-        "doc_id", "lang", "source", F.size(toks).alias("n_elems"), F.explode(toks).alias("el")
+        "doc_id", "lang", "source",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("el"),
     )
 
 
 def _inverted_index_jaccard(ex: DataFrame, threshold: float) -> DataFrame:
     """Blocked inverted-index Jaccard from an exploded element table
-    ``ex(doc_id, lang, source, n_elems, el)`` with distinct (doc_id, el):
+    ``ex(doc_id, lang, source, el)`` with distinct (doc_id, el):
     equi-join on element → count shared elements per pair → set algebra.
 
     This is the shuffle-native formulation: every step is a codegen'd
     hash join/aggregate (no interpreted array intersections per pair),
     and pairs only materialize for documents sharing >= 1 element within
-    a (lang, source) block. At corpus scale the block key becomes an LSH
-    band (q_dedup_minhash) — the join topology stays identical.
+    a (lang, source) block. Set sizes come from a doc-level count
+    aggregate joined onto the *pair* frame after the intersection count —
+    the element self-join stays as narrow as possible and the size join
+    touches |pairs| + |docs| rows, both ≪ the exploded frame. At corpus
+    scale the block key becomes an LSH band (q_dedup_minhash) — the join
+    topology stays identical.
     """
+    counts = ex.groupBy("doc_id").agg(F.count("*").alias("n_elems"))
     a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
+    inter = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -133,10 +142,13 @@ def _inverted_index_jaccard(ex: DataFrame, threshold: float) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_elems").alias("na"),
-            F.col("b.n_elems").alias("nb"),
         )
         .agg(F.count("*").alias("inter"))
+    )
+    pairs = inter.join(
+        counts.select(F.col("doc_id").alias("doc_a"), F.col("n_elems").alias("na")), "doc_a"
+    ).join(
+        counts.select(F.col("doc_id").alias("doc_b"), F.col("n_elems").alias("nb")), "doc_b"
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
@@ -182,13 +194,12 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (
+    ex = (
         tok.withColumn("nxt", F.lead("tok").over(w))
         .where(F.col("nxt").isNotNull())
         .select("doc_id", "lang", "source", F.concat_ws(" ", "tok", "nxt").alias("el"))
         .distinct()
     )
-    ex = bg.withColumn("n_elems", F.count("*").over(Window.partitionBy("doc_id")))
     return _inverted_index_jaccard(ex, 0.4)
 
 
@@ -312,6 +323,27 @@ _MINHASH_K = 8
 _MINHASH_BAND = 4  # 2 bands of 4 rows — the LSH bucketing key
 
 
+def _minhash_sig(d: DataFrame, with_block: bool = False) -> DataFrame:
+    """Per-doc k-component MinHash signature frame (optionally carrying the
+    (lang, source) block key): one explode + one groupBy with k min
+    aggregates — linear, single shuffle on the group key."""
+    keys = ["doc_id"] + (["lang", "source"] if with_block else [])
+    tok = d.select(
+        *keys, F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"mh{i}")
+        for i in range(_MINHASH_K)
+    ]
+    return tok.groupBy(*keys).agg(*aggs)
+
+
+def _band_key(b: int):
+    return F.md5(
+        F.concat(*[F.col(f"mh{i}") for i in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND)])
+    )
+
+
 def _minhash_oracle() -> str:
     sigs = ",\n           ".join(
         f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(_MINHASH_K)
@@ -350,22 +382,112 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. Salted md5 stands in for the permutation family so both engines
     compute bit-identical signatures.
     """
-    d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"mh{i}")
-        for i in range(_MINHASH_K)
-    ]
-    sig = tok.groupBy("doc_id").agg(*aggs)
+    sig = _minhash_sig(table(spark, sf_dir, "documents"))
     bands = [
-        F.md5(
-            F.concat(*[F.col(f"mh{i}") for i in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND)])
-        ).alias(f"band{b}")
-        for b in range(_MINHASH_K // _MINHASH_BAND)
+        _band_key(b).alias(f"band{b}") for b in range(_MINHASH_K // _MINHASH_BAND)
     ]
     return sig.select("doc_id", *[f"mh{i}" for i in range(_MINHASH_K)], *bands)
+
+
+def _lsh_candidates_oracle() -> str:
+    sigs = ",\n           ".join(
+        f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(_MINHASH_K)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, lang, source, {b} AS band_idx, md5({expr}) AS band_key FROM sig".format(
+            b=b,
+            expr=" || ".join(
+                f"mh{i}" for i in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND)
+            ),
+        )
+        for b in range(_MINHASH_K // _MINHASH_BAND)
+    )
+    est = " + ".join(
+        f"CAST(sa.mh{i} = sb.mh{i} AS INTEGER)" for i in range(_MINHASH_K)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT doc_id, lang, source,
+           {sigs}
+      FROM (SELECT doc_id, lang, source,
+                   unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents)
+      GROUP BY doc_id, lang, source
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.n_shared_bands AS BIGINT) AS n_shared_bands,
+           round(({est}) / {_MINHASH_K}.0, 6) AS jaccard_est
+    FROM cand c
+    JOIN sig sa ON c.doc_a = sa.doc_id
+    JOIN sig sb ON c.doc_b = sb.doc_id
+    """
+
+
+@query("q_dedup_lsh_candidates", oracle=_lsh_candidates_oracle())
+def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs from deterministic MinHash band keys, with the
+    signature-agreement Jaccard estimate per pair.
+
+    The full hash-checked LSH pipeline: signatures (linear groupBy) →
+    band keys → candidates = docs sharing a band within a (lang, source)
+    block — a groupBy on the band key, never an all-pairs join — then
+    Jaccard estimated as the fraction of agreeing signature components
+    (two |docs|-sized joins onto the |pairs|-sized candidate frame).
+    Blocking by metadata bounds the fixture's degenerate band-collision
+    rate (31-token vocabulary, memory: fixture-traps); on a real corpus
+    the band collision probability (~jaccard^band_size) is what prunes
+    the pair space and the block key can drop away entirely.
+    """
+    d = table(spark, sf_dir, "documents")
+    sig = _minhash_sig(d, with_block=True)
+    n_bands = _MINHASH_K // _MINHASH_BAND
+    bands = sig.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.posexplode(F.array(*[_band_key(b) for b in range(n_bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    sa = sig.select("doc_id", *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(_MINHASH_K)])
+    sb = sig.select("doc_id", *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(_MINHASH_K)])
+    agree = sum(
+        (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")).cast("int") for i in range(_MINHASH_K)
+    )
+    return (
+        cand.join(sa.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sb.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            F.round(agree / float(_MINHASH_K), 6).alias("jaccard_est"),
+        )
+    )
 
 
 @query(

@@ -81,13 +81,15 @@ def test_oracle_parity(name, spark, duck):
         f"{name}: column mismatch spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}"
     )
     assert len(sdf) == len(ddf), f"{name}: row count {len(sdf)} vs {len(ddf)}"
-    # Driver-faithful canonicalization probe: the driver sorts the result
-    # frame with pandas sort_values, which raises on unhashable cells
-    # (lists/dicts). Run it so driver-incompatible outputs fail HERE, not in
+    # Driver-faithful canonicalization probe: the driver's canonicalizer
+    # HASHES cells (sort_values alone only compares and would pass on
+    # list-valued cells — verified empirically), so run drop_duplicates,
+    # which does hash every cell and raises TypeError on unhashable
+    # (list/dict) outputs. Driver-incompatible outputs fail HERE, not in
     # CORRECTNESS_r{N}.json (round-1 lesson: q_agg_collect).
     cols = sorted(sdf.columns)
-    sdf[cols].sort_values(by=cols, kind="mergesort")
-    ddf[cols].sort_values(by=cols, kind="mergesort")
+    sdf[cols].drop_duplicates()
+    ddf[cols].drop_duplicates()
     ca, cb = _canon_frame(sdf), _canon_frame(ddf)
     assert ca == cb, f"{name}: value mismatch\n{_diff_sample(ca, cb)}"
 
