@@ -55,6 +55,64 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-language sampling rates in sixteenths (hex-digit buckets of a content
+# hash): the source-mixing knob of a training-data pipeline — upsample rare
+# languages, downsample dominant ones, reproducibly.
+_STRATA_RATES = {"en": 8, "de": 4, "es": 4, "fr": 2, "zh": 2}  # /16
+
+
+def _strata_case_sql() -> str:
+    return (
+        "CASE lang "
+        + " ".join(f"WHEN '{l}' THEN {n}" for l, n in _STRATA_RATES.items())
+        + " ELSE 1 END"
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_total,
+           count(CASE WHEN (CASE WHEN substring(md5(text), 2, 1) BETWEEN 'a' AND 'f'
+                                 THEN ascii(substring(md5(text), 2, 1)) - 87
+                                 ELSE ascii(substring(md5(text), 2, 1)) - 48 END)
+                           < ({_strata_case_sql()})
+                 THEN 1 END) AS n_sampled
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified reproducible sampling: per-language target rates in
+    sixteenths, membership decided by a content-hash digit.
+
+    Same zero-shuffle membership property as q_sample_hash (a pure
+    function of content — partition-independent, retry-stable, no
+    rand()), but with a per-stratum rate: hex digit value of md5(text)[2]
+    < rate(lang). At 100 TB this is the language-rebalancing pass of a
+    corpus mix, and it costs one aggregate over a map-side projection.
+    """
+    d = table(spark, sf_dir, "documents")
+    hexd = F.substring(F.md5("text"), 2, 1)
+    # hex digit -> 0..15 without conv(): digits via ascii-'0', a-f via ascii-87
+    digit_val = F.when(
+        hexd.between("a", "f"), F.ascii(hexd) - 87
+    ).otherwise(F.ascii(hexd) - F.ascii(F.lit("0")))
+    # same precedence as the oracle's CASE (first match wins)
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(n))
+            for lang, n in _STRATA_RATES.items()
+        ],
+        F.lit(1),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(digit_val < rate, 1)).alias("n_sampled"),
+    )
+
+
 @query(
     "q_shard_assign",
     oracle="""

@@ -200,6 +200,70 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnowing (MOSS-style) fingerprint parameters: k-char shingles, window w.
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+
+@query(
+    "q_text_winnow",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(1, length(text) - {_WINNOW_K - 1}))) AS pos
+      FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id, pos, md5(substring(text, pos, {_WINNOW_K})) AS h FROM pos
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, wmin AS h FROM (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS wmin
+        FROM hashes
+      )
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+           md5(array_to_string(list(h ORDER BY h), '')) AS fp_digest
+    FROM sel GROUP BY doc_id
+    """,
+)
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: rolling k-char-shingle hashes,
+    one selected (window-min) per w-window, deduplicated per document.
+
+    The MOSS fingerprinting scheme — guarantees any shared substring of
+    length >= k+w-1 yields a shared fingerprint, while storing ~2/(w+1)
+    of the shingle hashes. Shape: per-row position explode (linear in
+    corpus characters, no join), one window pass per doc ordered by
+    position, then a distinct + per-doc aggregate — a single shuffle on
+    doc_id end-to-end since explode and window share the doc_id key.
+    Emitted as count + digest-of-sorted-fingerprints so the output stays
+    scalar and hash-checkable; the fingerprint *set* itself would feed an
+    inverted-index join exactly like _inverted_index_jaccard at scale.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - (_WINNOW_K - 1)))
+        ).alias("pos"),
+    )
+    hashes = pos.select(
+        "doc_id", "pos", F.md5(F.expr(f"substring(text, pos, {_WINNOW_K})")).alias("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
+    sel = hashes.select("doc_id", F.min("h").over(w).alias("h")).distinct()
+    return sel.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.md5(F.array_join(F.sort_array(F.collect_list("h")), "")).alias("fp_digest"),
+    )
+
+
 @query(
     "q_text_tfidf",
     oracle="""

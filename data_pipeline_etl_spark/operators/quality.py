@@ -104,6 +104,65 @@ def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 6) AS value,
+           round((e.value - m.med) / (1.4826 * d.mad), 6) AS robust_z
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    WHERE d.mad > 0
+      AND abs((e.value - m.med) / (1.4826 * d.mad)) > 3.5
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |value - median| / (1.4826 * MAD) > 3.5
+    per event type — the median-absolute-deviation analog of
+    q_anomaly_zscore, immune to the outliers it hunts.
+
+    Same two-broadcast-pass shape as zscore with one extra tiny
+    aggregate: per-type median (|event_types| rows, broadcast back),
+    per-type MAD over the deviations (broadcast back), then a map-side
+    filter — never a window over the full stream. Spark's exact
+    percentile() interpolation matches DuckDB quantile_cont bit-wise on
+    float64 (cf. q_agg_percentile); the mad > 0 guard keeps the
+    degenerate >50%-identical-values stratum out (division semantics at
+    0 differ across engines).
+    """
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    rz = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0) & (F.abs(rz) > 3.5))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(rz, 6).alias("robust_z"),
+        )
+    )
+
+
+@query(
     "q_anomaly_zscore",
     oracle="""
     WITH stats AS (
