@@ -58,6 +58,41 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_framesample",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(floor((greatest(octet_length(encode(text)), 1) - 1) / 64) + 1
+                AS BIGINT) AS n_frames,
+           CAST(1 + 64 * floor((greatest(octet_length(encode(text)), 1) - 1) / 64)
+                AS BIGINT) AS last_offset
+    FROM documents
+    """,
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling surface: one sampled offset per 64 payload bytes per
+    asset (the video-frame-extraction access pattern), aggregated back to
+    per-asset frame counts.
+
+    Drives the real ``frame_sample`` plumbing (streaming/multimodal.py):
+    offsets come from a per-row sequence explode over the opaque binary
+    payload — linear in payload bytes, no join, no Python — then one
+    groupBy on asset_id. The oracle closes the telescope arithmetically
+    (n_frames = floor((len-1)/64)+1), which also documents the sampling
+    contract.
+    """
+    from data_pipeline_etl_spark.streaming import multimodal
+
+    d = table(spark, sf_dir, "documents")
+    frames = multimodal.frame_sample(multimodal.make_assets(d), every_n_bytes=64)
+    return frames.groupBy("asset_id", "media_type").agg(
+        F.count("*").alias("n_frames"),
+        F.max("offset").cast("long").alias("last_offset"),
+    )
+
+
+@query(
     "q_multimodal_decode",
     oracle="""
     SELECT doc_id,
