@@ -314,6 +314,66 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_survivor",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS content_hash
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, content_hash, n_chars,
+             row_number() OVER (PARTITION BY content_hash
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY content_hash) AS group_size
+      FROM fp
+    )
+    SELECT doc_id, content_hash,
+           CAST(group_size AS BIGINT) AS group_size,
+           rn = 1 AS keep
+    FROM ranked
+    WHERE group_size > 1
+    """,
+)
+def q_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship: within each duplicate group (token-set
+    fingerprint key — the fixture has no byte-exact dups at sf0.01, cf.
+    q_dedup_exact, but 21 fingerprint groups), keep the longest document
+    (doc_id tiebreak) and mark the rest for drop.
+
+    The *resolution* step that the accounting queries only count: emit a
+    keep/drop decision per member of every multi-doc group. One shuffle
+    total — the row_number and count windows share the content_hash
+    partitioning, so ranking rides the same exchange. At 100 TB the
+    digest key is uniform (md5), so no skew; the keep rule is
+    deterministic, making retries and backfills idempotent. Swapping the
+    key column for md5 of normalized content gives byte-exact
+    survivorship with the identical plan.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    fp_expr = F.md5(F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " "))
+    fp = d.select("doc_id", "n_chars", fp_expr.alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    ranked = fp.select(
+        "doc_id",
+        "content_hash",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count("*").over(w).alias("group_size"),
+    )
+    return ranked.where(F.col("group_size") > 1).select(
+        "doc_id",
+        "content_hash",
+        F.col("group_size").cast("long").alias("group_size"),
+        (F.col("rn") == 1).alias("keep"),
+    )
+
+
 # --- deterministic MinHash signatures --------------------------------------
 # k=8 "permutations", each simulated by salting md5: h_i(tok) = md5(i || ':'
 # || tok); the signature component is the lexicographic min over the doc's

@@ -64,6 +64,33 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_win_pct_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
+    """,
+)
+def q_win_pct_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist — relative-position window statistics.
+
+    Both engines compute the textbook definitions ((rank-1)/(n-1) and
+    rows<=current/n) as one float64 division, so 6-dp rounding hashes
+    identically. Same single-shuffle window profile as q_win_rank.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
     "q_win_lag_lead",
     oracle="""
     SELECT user_id, event_id,
