@@ -155,12 +155,13 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lang, markers in _MARKERS.items()
         ]
     )
-    unp = None
-    for lang in _MARKERS:
-        part = scores.select(
-            "doc_id", F.lit(lang).alias("lang"), F.col(f"score_{lang}").alias("score")
-        )
-        unp = part if unp is None else unp.unionByName(part)
+    # stack() unpivots in ONE generate pass over the aggregate output —
+    # a per-language unionByName would re-plan (and without exchange
+    # reuse, re-run) the score aggregate once per language
+    stack_args = ", ".join(f"'{lang}', score_{lang}" for lang in _MARKERS)
+    unp = scores.select(
+        "doc_id", F.expr(f"stack({len(_MARKERS)}, {stack_args}) AS (lang, score)")
+    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
     return (
         unp.withColumn("rn", F.row_number().over(w))
