@@ -102,6 +102,37 @@ def test_no_python_udf_in_builtin_queries(spark):
     assert not offenders, f"Python in hot path: {offenders}"
 
 
+def test_winnow_single_shuffle(spark):
+    """Explode, window and final aggregate all key on doc_id — the whole
+    fingerprinting pass must ride ONE exchange."""
+    plan = _plan(QUERIES["q_text_winnow"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_survivor_windows_share_shuffle(spark):
+    """row_number and count windows both partition on content_hash — a
+    second exchange would mean the windows stopped sharing it."""
+    plan = _plan(QUERIES["q_dedup_survivor"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_jaccard_no_per_row_size_recompute(spark):
+    """Regression pin: carrying size(array_distinct(split(...))) through
+    the element explode re-evaluates the split per exploded row on both
+    sides of the self-join (measured 8x at sf0.1). Set sizes must come
+    from the count aggregate, so the expression must not appear at all."""
+    for name in ("q_sim_jaccard", "q_dedup_cluster"):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "size(array_distinct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, name
+
+
+def test_lsh_candidates_hash_joins_only(spark):
+    """Band-bucket candidate generation must stay equi-join shaped."""
+    plan = _plan(QUERIES["q_dedup_lsh_candidates"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_wholestage_codegen_active(spark):
     df = QUERIES["q_agg_groupby"](spark, SF_DIR)
     df.collect()  # AQE finalizes the plan on execution
