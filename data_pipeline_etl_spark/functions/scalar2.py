@@ -195,6 +195,42 @@ def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_map_funcs",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment                     AS seg_val,
+           CAST(c_nationkey AS VARCHAR)     AS nat_val,
+           2                                AS n_keys,
+           'nat,seg'                        AS keys_csv,
+           c_mktsegment IS NOT NULL         AS has_seg
+    FROM customer
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: create_map / element_at / map_keys /
+    map_contains_key, flattened to scalar outputs.
+
+    The oracle states the expected values directly (DuckDB's MAP dialect
+    differs), so it is the semantic spec the Spark map ops must
+    reproduce. Maps stay codegen'd JVM expressions — a per-row key-value
+    projection, no shuffle.
+    """
+    c = table(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"),
+        F.lit("nat"), F.col("c_nationkey").cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        F.element_at(m, "seg").alias("seg_val"),
+        F.element_at(m, "nat").alias("nat_val"),
+        F.size(m).cast("int").alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
+        F.map_contains_key(m, "seg").alias("has_seg"),
+    )
+
+
+@query(
     "q_null_funcs",
     oracle="""
     SELECT o_orderkey,

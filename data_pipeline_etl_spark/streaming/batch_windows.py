@@ -192,3 +192,50 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
     )
+
+
+@query(
+    "q_rollup_time",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(date_trunc('day', ts)  AS TIMESTAMP) AS day,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             value
+      FROM events
+    )
+    SELECT day, hour,
+           CAST(GROUPING(hour) AS BIGINT) AS g_hour,
+           count(*) AS n,
+           round(sum(value), 4) AS total
+    FROM b
+    GROUP BY GROUPING SETS ((day), (day, hour))
+    """,
+)
+def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (hourly + daily in one pass) — the
+    hypertable continuous-aggregate shape.
+
+    GROUPING SETS compiles to one Expand + a single partial→final
+    aggregate, so both granularities cost one scan and one shuffle
+    instead of two jobs; shuffle volume is bounded by |time buckets|,
+    not |events|. grouping(hour) tags day-total rows apart from hour
+    rows (hour itself is NULL there on both engines).
+    """
+    e = table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_rollup_v")
+    return spark.sql(
+        """
+        WITH b AS (
+          SELECT CAST(date_trunc('day', ts)  AS TIMESTAMP_NTZ) AS day,
+                 CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ) AS hour,
+                 value
+          FROM events_rollup_v
+        )
+        SELECT day, hour,
+               CAST(grouping(hour) AS BIGINT) AS g_hour,
+               count(*) AS n,
+               round(sum(value), 4) AS total
+        FROM b
+        GROUP BY GROUPING SETS ((day), (day, hour))
+        """
+    )
