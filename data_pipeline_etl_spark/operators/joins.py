@@ -388,3 +388,42 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("prio").eqNullSafe(F.col("prio_b")))
         .select("prio", "n_open", "n_final")
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT e.event_type,
+           count(*) AS n,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join through the declared surface: the salted join
+    (operators/skew.py) must produce results identical to the plain equi
+    join — the oracle IS the plain join.
+
+    Salting spreads a known hot key over n_salts (key, salt) buckets:
+    the large/skewed side gets a deterministic whole-row-hash salt, the
+    small side is replicated n_salts times. At 100 TB this converts one
+    straggler task into n_salts even tasks for bot users/sentinel keys
+    that AQE's runtime skew split can't always catch (e.g. when the hot
+    key also explodes the post-join row count).
+    """
+    from data_pipeline_etl_spark.operators.skew import salted_join
+
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    joined = salted_join(
+        e.select("user_id", "event_type", "value"),
+        c.select("c_custkey"),
+        "user_id",
+        "c_custkey",
+        n_salts=8,
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
