@@ -201,6 +201,56 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_text_charngrams",
+    oracle="""
+    WITH grams AS (
+      SELECT lang, substring(text, pos, 3) AS gram
+      FROM (SELECT lang, text,
+                   unnest(generate_series(1, greatest(1, length(text) - 2))) AS pos
+            FROM documents)
+    ),
+    freq AS (
+      SELECT lang, gram, count(*) AS n FROM grams GROUP BY lang, gram
+    )
+    SELECT lang, gram, n, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT lang, gram, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rn
+      FROM freq
+    ) WHERE rn <= 5
+    """,
+)
+def q_text_charngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 character trigrams per language — the n-gram profile that
+    production language-ID ranks against (q_text_langid demonstrates the
+    vote/argmax mechanism; this builds the profiles).
+
+    Per-row position explode (linear in corpus characters, no join) into
+    a (lang, gram) hash aggregate whose state is profile-sized, then a
+    top-k window over the tiny aggregate. Same shape at 100 TB: the
+    explode is map-side, the shuffle carries |langs|×|grams| partial
+    counts, never raw text.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 2))
+        ).alias("pos"),
+    ).select("lang", F.expr("substring(text, pos, 3)").alias("gram"))
+    freq = grams.groupBy("lang", "gram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        freq.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .withColumn("rn", F.col("rn").cast("long"))
+        .select("lang", "gram", "n", "rn")
+    )
+
+
 # Winnowing (MOSS-style) fingerprint parameters: k-char shingles, window w.
 _WINNOW_K = 8
 _WINNOW_W = 4
