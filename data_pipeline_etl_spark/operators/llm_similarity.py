@@ -366,3 +366,41 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("dist"), 6).alias("avg_dist"),
         )
     )
+
+
+@query(
+    "q_embed_dimstats",
+    oracle="""
+    SELECT CAST(i - 1 AS INTEGER) AS dim,
+           count(*) AS n,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v,
+           round(stddev_samp(CAST(embedding[i] AS DOUBLE)), 6) AS std_v,
+           round(min(CAST(embedding[i] AS DOUBLE)), 6) AS min_v,
+           round(max(CAST(embedding[i] AS DOUBLE)), 6) AS max_v
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+    GROUP BY i
+    """,
+)
+def q_embed_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean/std/min/max over the
+    corpus) — the profile that feeds whitening, normalization and
+    quantizer calibration (q_embed_quantize uses the global min/max
+    variant of the same pass).
+
+    posexplode is map-side (rows = |corpus| x dim), then one hash
+    aggregate keyed on the 64-value dim — shuffle volume is
+    |dims| x |partitions| partial states, never the vectors themselves.
+    Float32 components are cast to float64 before aggregation on both
+    engines per the parity discipline.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    return ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("v"), 6).alias("std_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )

@@ -103,6 +103,90 @@ def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Columns profiled by q_profile_colstats: (name, is_numeric)
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_totalprice", True),
+    ("o_orderstatus", False),
+    ("o_orderpriority", False),
+]
+
+
+@query(
+    "q_profile_colstats",
+    oracle="""
+    WITH agg AS (
+      SELECT count(*) AS n_rows,
+             {cols}
+      FROM orders
+    )
+    SELECT * FROM (
+      {rows}
+    )
+    """.format(
+        cols=",\n             ".join(
+            f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}"
+            + (
+                f", round(min({c}), 6) AS mn_{c}, round(max({c}), 6) AS mx_{c}"
+                if num
+                else ""
+            )
+            for c, num in _PROFILE_COLS
+        ),
+        rows="\n      UNION ALL ".join(
+            "SELECT '{c}' AS col, n_rows, CAST(n_rows - nn_{c} AS BIGINT) AS n_nulls, "
+            "CAST(nd_{c} AS BIGINT) AS n_distinct, {mn} AS min_num, {mx} AS max_num "
+            "FROM agg".format(
+                c=c,
+                mn=f"CAST(mn_{c} AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)",
+                mx=f"CAST(mx_{c} AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)",
+            )
+            for c, num in _PROFILE_COLS
+        ),
+    ),
+)
+def q_profile_colstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column data profile (null count, distinct count, numeric
+    min/max) in ONE aggregate pass over the table.
+
+    The schema-profiling primitive: all per-column statistics are
+    expressions of a single partial→final aggregate — one scan, one
+    tiny shuffle — then unpivoted to a row per column from the 1-row
+    aggregate output (driver-free; the unpivot is over one row, not the
+    fact table). Profiling k columns costs the same scan as profiling
+    one.
+    """
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c, num in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if num:
+            aggs.append(F.round(F.min(c), 6).alias(f"mn_{c}"))
+            aggs.append(F.round(F.max(c), 6).alias(f"mx_{c}"))
+    agg = o.agg(*aggs)
+    # stack() unpivots the 1-row aggregate in one generate pass (a
+    # per-column unionByName would re-plan the full-table aggregate per
+    # column — the q_text_langid lesson)
+    stack_args = ", ".join(
+        f"'{c}', CAST(n_rows - nn_{c} AS BIGINT), CAST(nd_{c} AS BIGINT), "
+        + (
+            f"CAST(mn_{c} AS DOUBLE), CAST(mx_{c} AS DOUBLE)"
+            if num
+            else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+        )
+        for c, num in _PROFILE_COLS
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col, n_nulls, n_distinct, min_num, max_num)"
+        ),
+        "n_rows",
+    )
+
+
 @query(
     "q_anomaly_mad",
     oracle="""
