@@ -452,3 +452,68 @@ def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         F.round(F.col("n_kept") / F.sum("n_kept").over(w), 6).alias("mix_frac"),
     )
+
+
+@query(
+    "q_dedup_chunkdup",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(string_split(text, ' '),
+                          chunk_id * {_CHUNK} + 1, chunk_id * {_CHUNK} + {_CHUNK}),
+               ' ')) AS chunk_md5
+      FROM (SELECT doc_id, text, len(string_split(text, ' ')) AS n FROM documents),
+           unnest(generate_series(0, CAST(floor((n - 1) / {_CHUNK}) AS INT))) AS g(chunk_id)
+    ),
+    dup AS (
+      SELECT chunk_md5 FROM chunks GROUP BY chunk_md5
+      HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           count(d.chunk_md5) AS n_dup_chunks,
+           round(count(d.chunk_md5) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+    FROM chunks c LEFT JOIN dup d ON c.chunk_md5 = d.chunk_md5
+    GROUP BY c.doc_id
+    """,
+)
+def q_dedup_chunkdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplicate contamination: the fraction of each
+    document's 16-token chunks that also appear in some OTHER document —
+    the paragraph-dedup signal (CCNet/RefinedWeb style) at chunk
+    granularity.
+
+    Chunking is the q_text_chunk explode (linear, no join); the dup set
+    is one hash aggregate on chunk_md5; membership is a left join of
+    chunks against the (much smaller) dup-digest set, then a per-doc
+    aggregate. All shuffle keys are 16-byte digests or doc_id — uniform,
+    partitionable, no skew. At 100 TB the dup set is the only global
+    state and it is digest-sized, not text-sized.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    chunked = d.select(
+        "doc_id",
+        t.alias("t"),
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.size(t) - 1) / _CHUNK).cast("int"))
+        ).alias("chunk_id"),
+    )
+    piece = F.slice("t", F.col("chunk_id") * _CHUNK + 1, _CHUNK)
+    chunks = chunked.select("doc_id", F.md5(F.array_join(piece, " ")).alias("chunk_md5"))
+    dup = (
+        chunks.groupBy("chunk_md5")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("chunk_md5", F.lit(1).alias("is_dup"))
+    )
+    return (
+        chunks.join(dup, "chunk_md5", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count("is_dup").alias("n_dup_chunks"),
+            F.round(F.count("is_dup") / F.count("*").cast("double"), 6).alias("dup_ratio"),
+        )
+    )
