@@ -49,9 +49,21 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # (CORRECTNESS_r*.json at the repo root): never-graded queries first, then
 # least-recently-graded, so the budget always extends driver-visible coverage
 # instead of re-treading green rows. ``_FORCE_FRONT`` is a manual escape hatch
-# for queries repaired this round that must be re-graded despite a recent
-# grade (empty when nothing was repaired).
-_FORCE_FRONT: list[str] = []
+# for queries modified since their last grade, which must be re-graded even
+# though the record shows them green (empty when nothing was touched).
+_FORCE_FRONT: list[str] = [
+    # round 3 restructures (values unchanged — verified vs oracle at sf0.01
+    # and sf0.1 locally — but the driver record should re-confirm):
+    "q_sim_jaccard",      # size-join restructure of the inverted index
+    "q_dedup_cluster",    # endpoint seeding + fold-in convergence check
+    "q_dedup_ngram",      # shares _inverted_index_jaccard
+    "q_text_tfidf",       # broadcast corpus-size join
+    "q_text_langid",      # stack() unpivot
+    "q_agg_collect",      # array_join stringification
+    "q_str_regexp2",
+    "q_array_funcs2",
+    "q_dedup_fingerprint",
+]
 
 
 def _last_graded_round() -> dict[str, int]:
