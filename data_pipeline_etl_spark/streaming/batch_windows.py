@@ -239,3 +239,61 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((day), (day, hour))
         """
     )
+
+
+_MEM_SINK_SEQ = iter(range(10**9))
+
+
+@query(
+    "q_stream_tumbling_live",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregate executed as a REAL Structured
+    Streaming job: parquet file source → windowed aggregation → memory
+    sink, drained with an availableNow trigger — then hash-checked
+    against the same DuckDB oracle as the batch q_stream_tumbling.
+
+    This is the batch/stream equivalence contract surfaced through the
+    driver: identical expressions, streaming execution, identical
+    result. The file source swaps for Kafka on a cluster; availableNow
+    processes the backlog in bounded micro-batches; complete-mode state
+    is |windows × event_types|, not |events|. (Eager by necessity — a
+    streaming query must run to produce its result table.)
+    """
+    from data_pipeline_etl_spark.session import configure
+    from data_pipeline_etl_spark.streaming.jobs import run_to_memory_sink
+
+    configure(spark)  # nanosAsLong for the raw events.parquet read
+    schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        # the file source requires a directory; pathGlobFilter selects the
+        # events file out of the fixture dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("day_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+    qname = f"mem_tumbling_live_{next(_MEM_SINK_SEQ)}"
+    run_to_memory_sink(agg, qname, output_mode="complete")
+    return spark.table(qname)
