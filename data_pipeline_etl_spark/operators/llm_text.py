@@ -371,3 +371,52 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.col("rn").cast("long"))
         .select("doc_id", "tok", "tfidf", "rn")
     )
+
+
+@query(
+    "q_text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ),
+    total AS (SELECT sum(n) AS total_toks FROM vocab)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(sum(ln(v.n / CAST(tt.total_toks AS DOUBLE))), 4) AS logprob,
+           round(sum(ln(v.n / CAST(tt.total_toks AS DOUBLE))) / count(*), 6)
+             AS avg_logprob
+    FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN total tt
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring: per-doc sum and mean of
+    ln P(token) under the corpus unigram distribution — the classic
+    cheap perplexity proxy for quality filtering (garbage text scores
+    far from the corpus mode).
+
+    Two tiny aggregates (vocabulary counts, corpus total) broadcast back
+    onto the exploded token stream, then one per-doc aggregate — the
+    same two-pass broadcast shape as q_anomaly_zscore. The vocabulary is
+    the only global state (|vocab| rows, not |corpus|). Summed ln terms
+    are all-negative (no cancellation), so 4-dp rounding of the sum and
+    6-dp of the mean hash identically across engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total_toks"))
+    lp = F.log(F.col("n") / F.col("total_toks").cast("double"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(lp), 4).alias("logprob"),
+            F.round(F.sum(lp) / F.count("*"), 6).alias("avg_logprob"),
+        )
+    )
