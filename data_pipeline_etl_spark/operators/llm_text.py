@@ -256,6 +256,26 @@ _WINNOW_K = 8
 _WINNOW_W = 4
 
 
+def winnow_fingerprints(d: DataFrame, k: int = _WINNOW_K, w: int = _WINNOW_W) -> DataFrame:
+    """Selected winnowing fingerprints ``(doc_id, h)`` for a frame with
+    (doc_id, text): k-char shingle hashes, window-min of w, deduplicated.
+    Guarantee (Schleimer et al.): two texts sharing a substring of length
+    >= k + w - 1 share at least one fingerprint (tests/test_properties.py
+    pins this on generated inputs)."""
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - (k - 1)))
+        ).alias("pos"),
+    )
+    hashes = pos.select(
+        "doc_id", "pos", F.md5(F.expr(f"substring(text, pos, {k})")).alias("h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return hashes.select("doc_id", F.min("h").over(win).alias("h")).distinct()
+
+
 @query(
     "q_text_winnow",
     oracle=f"""
@@ -294,21 +314,8 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar and hash-checkable; the fingerprint *set* itself would feed an
     inverted-index join exactly like _inverted_index_jaccard at scale.
     """
-    from pyspark.sql import Window
-
     d = table(spark, sf_dir, "documents")
-    pos = d.select(
-        "doc_id",
-        "text",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - (_WINNOW_K - 1)))
-        ).alias("pos"),
-    )
-    hashes = pos.select(
-        "doc_id", "pos", F.md5(F.expr(f"substring(text, pos, {_WINNOW_K})")).alias("h")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
-    sel = hashes.select("doc_id", F.min("h").over(w).alias("h")).distinct()
+    sel = winnow_fingerprints(d)
     return sel.groupBy("doc_id").agg(
         F.count("*").alias("n_fp"),
         F.md5(F.array_join(F.sort_array(F.collect_list("h")), "")).alias("fp_digest"),

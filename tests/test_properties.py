@@ -118,3 +118,88 @@ def test_exceptall_cardinality(spark, rows):
     df = spark.createDataFrame(rows, "g1 STRING, g2 STRING, v INT")
     half = df.limit(max(1, len(rows) // 2))
     assert df.exceptAll(half).count() == df.count() - half.count()
+
+
+_ALPH = "ab"  # tiny alphabet maximizes accidental shingle collisions — good stress
+
+
+@given(
+    shared=st.text(alphabet=_ALPH, min_size=11, max_size=16),  # >= k + w - 1 = 11
+    pre_a=st.text(alphabet=_ALPH, min_size=0, max_size=10),
+    suf_a=st.text(alphabet=_ALPH, min_size=0, max_size=10),
+    pre_b=st.text(alphabet=_ALPH, min_size=0, max_size=10),
+    suf_b=st.text(alphabet=_ALPH, min_size=0, max_size=10),
+)
+@SETTINGS
+def test_winnow_shared_substring_guarantee(spark, shared, pre_a, suf_a, pre_b, suf_b):
+    """Schleimer et al.: docs sharing a substring of length >= k+w-1
+    (= 11 for k=8, w=4) share at least one winnowing fingerprint."""
+    from data_pipeline_etl_spark.operators.llm_text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, pre_a + shared + suf_a), (1, pre_b + shared + suf_b)],
+        "doc_id INT, text STRING",
+    )
+    fp = winnow_fingerprints(df).collect()
+    a = {r["h"] for r in fp if r["doc_id"] == 0}
+    b = {r["h"] for r in fp if r["doc_id"] == 1}
+    assert a & b, "no shared fingerprint despite shared substring"
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["t0", "t1", "t2"]), min_size=1, max_size=4),
+        min_size=2,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_minhash_identical_sets_share_all_bands(spark, texts):
+    """Docs with identical distinct-token sets get identical signatures
+    (hence collide in every LSH band); signature components are minima,
+    so any doc's signature is stable under token repetition."""
+    from data_pipeline_etl_spark.operators.llm_dedup import _MINHASH_K, _minhash_sig
+
+    rows = []
+    for i, toks in enumerate(texts):
+        rows.append((2 * i, " ".join(toks)))          # original
+        rows.append((2 * i + 1, " ".join(toks + toks)))  # repeated tokens
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    sigs = {r["doc_id"]: tuple(r[f"mh{j}"] for j in range(_MINHASH_K))
+            for r in _minhash_sig(df).collect()}
+    for i in range(len(texts)):
+        assert sigs[2 * i] == sigs[2 * i + 1]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["p q", "q r", "r s"]), st.integers(1, 500)),
+        min_size=2,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_survivorship_exactly_one_keeper_per_group(spark, rows):
+    """Every multi-member duplicate group keeps exactly one doc, and
+    group_size equals the member count."""
+    df = spark.createDataFrame(
+        [(i, t, n) for i, (t, n) in enumerate(rows)],
+        "doc_id INT, text STRING, n_chars INT",
+    )
+    fp = F.md5(F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " "))
+    base = df.select("doc_id", "n_chars", fp.alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    ranked = base.select(
+        "doc_id",
+        "content_hash",
+        F.row_number().over(w.orderBy(F.desc("n_chars"), F.asc("doc_id"))).alias("rn"),
+        F.count("*").over(w).alias("group_size"),
+    ).where(F.col("group_size") > 1)
+    out = ranked.collect()
+    by_hash: dict[str, list] = {}
+    for r in out:
+        by_hash.setdefault(r["content_hash"], []).append(r)
+    for h, members in by_hash.items():
+        keeps = [m for m in members if m["rn"] == 1]
+        assert len(keeps) == 1, h
+        assert all(m["group_size"] == len(members) for m in members)
