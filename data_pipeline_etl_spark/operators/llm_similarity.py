@@ -22,8 +22,11 @@ Scale story:
 - q_sim_ivf_topk: IVF-style ANN — candidates restricted to the query's
   coarse cell (here: the ``label`` column as the quantization cell).
   At 100 TB, cells are k-means centroids and pruning is a partition filter.
-- q_sim_neardup: cell-blocked all-pairs nearest neighbor (embedding
-  near-dup); the unblocked form is O(n²) — LSH/IVF is the at-scale path.
+- q_sim_neardup: LSH-banded nearest neighbor (embedding near-dup);
+  candidates come from random-hyperplane band buckets whose size is
+  bounded by the collision probability (and tunable via bits-per-band),
+  never from a fixed low-cardinality metadata key — the blocked join
+  stays sub-quadratic at any corpus size.
 """
 
 from __future__ import annotations
