@@ -10,15 +10,28 @@ IEEE `-0.0 + 0.0 = +0.0` normalizes both engines.
 Stringified array outputs use `F.array_join`, never `concat_ws`: a NULL
 array is NULL under array_join and DuckDB's array_to_string, but '' under
 concat_ws — a latent hash mismatch the moment a fixture gains NULLs.
+EMPTY arrays diverge one step further: DuckDB's array_to_string folds an
+empty list to NULL where Spark's array_join yields '' — so any output
+whose array can legitimately be empty (regexp_extract_all misses, short
+slices) goes through ``joined_or_null``, which maps both NULL and empty
+to NULL on the Spark side (tests/test_null_parity.py pins all three
+behaviors against a live DuckDB).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_etl_spark.registry import query
 from data_pipeline_etl_spark.sources.tables import table
+
+
+def joined_or_null(arr: Column | str, sep: str) -> Column:
+    """array_join with DuckDB array_to_string's NULL semantics: NULL
+    array -> NULL (size(NULL) is NULL), empty array -> NULL (not '')."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    return F.when(F.size(arr) > 0, F.array_join(arr, sep))
 
 
 @query(
@@ -160,7 +173,9 @@ def q_str_regexp2(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.expr("regexp_extract_all(text, '[a-z]*a[a-z]*', 0)")
     return d.select(
         "doc_id",
-        F.array_join(words, " ").alias("a_words"),
+        # a doc with no 'a' at all yields an empty match list -> NULL on
+        # both engines via the guard (DuckDB folds empty to NULL)
+        joined_or_null(words, " ").alias("a_words"),
         F.size(words).alias("n_a_words"),
     ).where(F.expr(r"text RLIKE 'spark\\s+\\w*stream'"))
 
@@ -183,7 +198,8 @@ def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted_distinct = F.array_sort(F.array_distinct(toks))
     return d.select(
         "doc_id",
-        F.array_join(F.slice(sorted_distinct, 2, 3), " ").alias("toks_2_4"),
+        # a 1-distinct-token doc makes slice [2:4] empty -> NULL on both
+        joined_or_null(F.slice(sorted_distinct, 2, 3), " ").alias("toks_2_4"),
         F.array_position(sorted_distinct, "spark").alias("spark_pos"),
         F.array_join(
             F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, -2, 2))), " "

@@ -243,10 +243,17 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered string aggregation (listagg) per group."""
+    """Ordered string aggregation (listagg) per group.
+
+    DuckDB's string_agg skips NULLs and yields NULL for an all-NULL
+    group; collect_list also skips NULLs, so the empty-array guard maps
+    that case to NULL instead of concat's '' (parity discipline —
+    invisible on NULL-free fixtures, pinned by tests/test_null_parity.py).
+    """
     n = table(spark, sf_dir, "nation")
+    arr = F.sort_array(F.collect_list("n_name"))
     return n.groupBy("n_regionkey").agg(
-        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("names_csv")
+        F.when(F.size(arr) > 0, F.array_join(arr, ",")).alias("names_csv")
     )
 
 

@@ -184,7 +184,9 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.size(piece).cast("long").alias("n_tokens"),
-        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+        # array_join, not concat_ws: NULL-array semantics match the
+        # oracle's array_to_string (parity discipline, scalar2.py docstring)
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
     )
 
 
@@ -438,7 +440,10 @@ def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     The curriculum/mixture-weights primitive for training-data assembly:
     membership is a pure content-hash function per tier (reproducible,
     partition-independent, no shuffle to decide), and the composition
-    report is one aggregate plus a keyless window over the 20-row result.
+    report is one aggregate plus a broadcast one-row total joined back
+    onto the 20-row result — no keyless window, no single-task
+    WindowExec (counts are longs, so the division is exact on both
+    engines regardless of summation order).
     """
     d = table(spark, sf_dir, "documents")
     digit = F.substring(F.md5("text"), 1, 1)
@@ -446,11 +451,11 @@ def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isin(*_TIER_A), digit.isin(*"01234567")
     ).otherwise(digit.isin(*"0123"))
     kept = d.where(keep).groupBy("source").agg(F.count("*").alias("n_kept"))
-    w = Window.partitionBy()
-    return kept.select(
+    total = kept.agg(F.sum("n_kept").alias("n_total"))
+    return kept.crossJoin(F.broadcast(total)).select(
         "source",
         "n_kept",
-        F.round(F.col("n_kept") / F.sum("n_kept").over(w), 6).alias("mix_frac"),
+        F.round(F.col("n_kept") / F.col("n_total"), 6).alias("mix_frac"),
     )
 
 

@@ -306,9 +306,11 @@ def q_win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-report: each nation's share of total revenue.
 
-    The keyless total window runs over the *aggregated* 25-row frame, not
-    the fact table — grouping first keeps the unpartitioned window safe at
-    any scale (SCALE.md forbids keyless windows over raw facts).
+    The grand total comes from a one-row aggregate broadcast back onto the
+    25-row group frame (same shape as q_text_tfidf's corpus-size join) —
+    no keyless window anywhere, so no single-task WindowExec and no
+    "No Partition Defined" warning at any scale. The oracle keeps DuckDB's
+    idiomatic `sum() OVER ()`; both compute the same double.
     """
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
@@ -321,9 +323,9 @@ def q_win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
-    w = Window.partitionBy()
-    return rev.select(
+    total = rev.agg(F.sum("revenue").alias("total_rev"))
+    return rev.crossJoin(F.broadcast(total)).select(
         "n_name",
         F.round("revenue", 4).alias("revenue"),
-        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+        F.round(F.col("revenue") / F.col("total_rev"), 6).alias("share"),
     )

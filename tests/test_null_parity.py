@@ -1,0 +1,141 @@
+"""NULL-injection parity for stringified-array outputs (SURVEY.md §5.2.4).
+
+The parquet fixtures carry no NULLs, so the driver's hash gate can never
+exercise the NULL/empty-array branches of the stringification primitives
+the declared queries rely on. These tests inject them directly and pin the
+cross-engine contract:
+
+- NULL array: NULL under Spark ``array_join`` and DuckDB
+  ``array_to_string``, but '' under ``concat_ws`` — which bans concat_ws
+  from stringified outputs.
+- EMPTY array: DuckDB ``array_to_string`` folds it to NULL; Spark
+  ``array_join`` yields ''. Outputs whose array can be empty therefore go
+  through ``scalar2.joined_or_null`` (empty -> NULL on the Spark side).
+- Spark ``collect_list`` + empty-array guard ≡ DuckDB ``string_agg``:
+  NULL elements skipped, all-NULL group -> NULL (q_agg_stringagg's shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+
+def _arr_df(spark):
+    schema = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("arr", ArrayType(StringType()), True),
+        ]
+    )
+    rows = [
+        ("null_arr", None),
+        ("empty_arr", []),
+        ("one", ["a"]),
+        ("two", ["a", "b"]),
+        ("null_elem", ["a", None, "b"]),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_joined_or_null_matches_array_to_string(spark, duck):
+    from data_pipeline_etl_spark.functions.scalar2 import joined_or_null
+
+    got = {
+        r["id"]: r["joined"]
+        for r in _arr_df(spark)
+        .select("id", joined_or_null("arr", ",").alias("joined"))
+        .collect()
+    }
+    duck_got = dict(
+        duck.sql(
+            """
+            SELECT id, array_to_string(arr, ',') AS joined
+            FROM (VALUES ('null_arr', CAST(NULL AS VARCHAR[])),
+                         ('empty_arr', CAST([] AS VARCHAR[])),
+                         ('one', ['a']),
+                         ('two', ['a','b']),
+                         ('null_elem', ['a', NULL, 'b'])) v(id, arr)
+            """
+        ).fetchall()
+    )
+    assert got == duck_got
+    assert got["null_arr"] is None  # NULL array stays NULL on both engines
+    assert got["empty_arr"] is None  # DuckDB folds empty to NULL; guard matches
+    assert got["null_elem"] == "a,b"  # NULL elements skipped on both
+
+
+def test_bare_array_join_diverges_on_empty_array(spark, duck):
+    # Why the guard exists: bare array_join gives '' where DuckDB gives NULL.
+    row = (
+        _arr_df(spark)
+        .where(F.col("id") == "empty_arr")
+        .select(F.array_join("arr", ",").alias("aj"))
+        .collect()[0]
+    )
+    assert row["aj"] == ""
+    assert duck.sql("SELECT array_to_string([], ',')").fetchone()[0] is None
+
+
+def test_concat_ws_diverges_on_null_array(spark):
+    # The reason concat_ws is banned from stringified outputs: it folds a
+    # NULL array to '' where array_join (and DuckDB) keep NULL.
+    row = (
+        _arr_df(spark)
+        .where(F.col("id") == "null_arr")
+        .select(
+            F.concat_ws(",", "arr").alias("cw"),
+            F.array_join("arr", ",").alias("aj"),
+        )
+        .collect()[0]
+    )
+    assert row["cw"] == ""  # the divergent behavior
+    assert row["aj"] is None  # the engine-neutral behavior
+
+
+def test_stringagg_all_null_group_is_null(spark, duck):
+    # q_agg_stringagg's shape: collect_list skips NULLs -> empty array for
+    # an all-NULL group; the size() guard maps that to NULL exactly like
+    # DuckDB's string_agg.
+    schema = StructType(
+        [
+            StructField("grp", StringType(), False),
+            StructField("val", StringType(), True),
+        ]
+    )
+    rows = [
+        ("mixed", "b"),
+        ("mixed", None),
+        ("mixed", "a"),
+        ("all_null", None),
+        ("all_null", None),
+    ]
+    sdf = spark.createDataFrame(rows, schema)
+    arr = F.sort_array(F.collect_list("val"))
+    got = {
+        r["grp"]: r["csv"]
+        for r in sdf.groupBy("grp")
+        .agg(F.when(F.size(arr) > 0, F.array_join(arr, ",")).alias("csv"))
+        .collect()
+    }
+    duck_got = dict(
+        duck.sql(
+            """
+            SELECT grp, string_agg(val, ',' ORDER BY val) AS csv
+            FROM (VALUES ('mixed', 'b'), ('mixed', NULL), ('mixed', 'a'),
+                         ('all_null', NULL), ('all_null', NULL)) v(grp, val)
+            GROUP BY grp
+            """
+        ).fetchall()
+    )
+    assert got == duck_got
+    assert got["mixed"] == "a,b"
+    assert got["all_null"] is None
+
+
+def test_null_safe_queries_still_green(spark, duck):
+    # The three touched queries stay hash-identical on the real fixtures.
+    from tests.test_parity import test_oracle_parity
+
+    for name in ("q_agg_stringagg", "q_win_share", "q_mix_weighted"):
+        test_oracle_parity(name, spark, duck)
