@@ -220,53 +220,121 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Random-hyperplane LSH parameters (q_sim_neardup). Plane components are a
+# deterministic integer hash — ((j*8191 + i) * 2654435761) % 1021, Knuth
+# multiplicative, max intermediate ~6.7e14 (no int64 overflow) — mapped to
+# [-1, 1), so BOTH engines materialize bit-identical hyperplanes with zero
+# side tables. Sign bits pack into _LSH_BANDS bands of _LSH_ROWS bits: a
+# candidate pair must agree on all 8 bits of some band. P(band collision) =
+# (1 - θ/π)^8 — near-duplicates (θ→0) collide with probability →1, random
+# pairs (θ≈π/2) at ~0.4% per band, so bucket sizes track the number of
+# actual near-dup pairs, not a fixed fraction of the corpus, and the
+# blocked join stays sub-quadratic at any scale (tighten by raising
+# _LSH_ROWS if a corpus is pathologically self-similar).
+_LSH_BANDS = 4
+_LSH_ROWS = 8
+_LSH_PLANES = _LSH_BANDS * _LSH_ROWS
+
+_PLANE_SQL = "(CAST(((j * 8191 + i) * 2654435761) % 1021 AS DOUBLE) / 510.5 - 1.0)"
+
+_BITS_DUCK = f"""list_transform(generate_series(0, {_LSH_PLANES - 1}), j ->
+           CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+                  i -> CAST(embedding[i] AS DOUBLE) * {_PLANE_SQL})) >= 0
+                THEN 1 ELSE 0 END)"""
+
+_SIG_DUCK = " + ".join(
+    f"bits[{_LSH_ROWS}*g.k + {t + 1}]*{2 ** (_LSH_ROWS - 1 - t)}"
+    for t in range(_LSH_ROWS)
+)
+
+
 @query(
     "q_sim_neardup",
     oracle=f"""
-    WITH scored AS (
-      SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+    WITH bitted AS (
+      SELECT vec_id, {_BITS_DUCK} AS bits
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id, g.k AS band, {_SIG_DUCK} AS sig
+      FROM bitted, unnest(generate_series(0, {_LSH_BANDS - 1})) AS g(k)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT p.q_id, p.c_id,
              {_COS_SQL} AS cos_sim
-      FROM (SELECT vec_id, label, embedding AS qe FROM embeddings) a
-        JOIN (SELECT vec_id, label, embedding AS ce FROM embeddings) b
-          ON a.label = b.label AND a.vec_id <> b.vec_id
+      FROM pairs p
+      JOIN (SELECT vec_id, embedding AS qe FROM embeddings) qa ON p.q_id = qa.vec_id
+      JOIN (SELECT vec_id, embedding AS ce FROM embeddings) ca ON p.c_id = ca.vec_id
     )
-    SELECT q_id AS vec_id, vec_id AS nn_id, cos_sim AS nn_cos
+    SELECT q_id AS vec_id, c_id AS nn_id, cos_sim AS nn_cos
     FROM (
-      SELECT q_id, vec_id, cos_sim,
-             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+      SELECT q_id, c_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
       FROM scored
     ) WHERE rn = 1
     """,
 )
 def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: every vector's nearest neighbor in its cell.
+    """Embedding near-dup: each vector's nearest neighbor among its LSH
+    band-bucket candidates (random-hyperplane signatures, exact cosine
+    rescoring within buckets).
 
-    Cell-blocked (label) all-pairs — |cell|² per cell, not |corpus|²; the
-    unblocked at-scale variant swaps the cell key for LSH bands.
+    Topology: one linear pass computes 32 sign bits per vector (the
+    hyperplanes are hashed into existence — no side table, no broadcast),
+    bits pack into 4×8-bit band signatures, candidates come from the
+    (band, sig) self-equi-join, and only candidate pairs pay the exact
+    cosine fold. Bucket sizes are bounded by the band collision
+    probability (see _LSH_BANDS above), NOT by a fixed low-cardinality
+    metadata key — this is the 100 TB-safe blocking the label-cell
+    variant (q_sim_ivf_topk) can't provide. Vectors whose buckets contain
+    no other member have no near-dup candidates and drop out, exactly as
+    a production near-dup sweep wants.
     """
     base = _normed(spark, sf_dir)
-    a = base.select(
-        F.col("vec_id").alias("q_id"),
-        "label",
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
+    bits = F.expr(
+        f"transform(sequence(0, {_LSH_PLANES - 1}), j -> "
+        f"CASE WHEN aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), "
+        f"(acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE) * {_PLANE_SQL}"
+        f") >= 0 THEN 1 ELSE 0 END)"
     )
-    b = base.select(
-        "vec_id",
-        F.col("label").alias("b_label"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
+    bands = F.expr(
+        f"transform(sequence(0, {_LSH_BANDS - 1}), k -> "
+        f"aggregate(sequence(1, {_LSH_ROWS}), 0, "
+        f"(acc, t) -> acc * 2 + element_at(bits, {_LSH_ROWS} * k + t)))"
     )
-    scored = a.join(
-        b, (F.col("label") == F.col("b_label")) & (F.col("q_id") != F.col("vec_id"))
-    ).select("q_id", "vec_id", _cos_pair().alias("cos_sim"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    sigs = (
+        base.withColumn("bits", bits)
+        .select("vec_id", F.posexplode(bands).alias("band", "sig"))
+    )
+    a = sigs.select(F.col("vec_id").alias("q_id"), "band", "sig")
+    b = sigs.select(F.col("vec_id").alias("c_id"), "band", "sig")
+    pairs = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    qa = base.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    ca = base.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
+    )
+    scored = pairs.join(qa, "q_id").join(ca, "c_id").select(
+        "q_id", "c_id", _cos_pair().alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(
             F.col("q_id").alias("vec_id"),
-            F.col("vec_id").alias("nn_id"),
+            F.col("c_id").alias("nn_id"),
             F.col("cos_sim").alias("nn_cos"),
         )
     )

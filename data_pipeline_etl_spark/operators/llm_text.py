@@ -256,24 +256,43 @@ _WINNOW_K = 8
 _WINNOW_W = 4
 
 
+def winnow_fp_arrays(d: DataFrame, k: int = _WINNOW_K, w: int = _WINNOW_W) -> DataFrame:
+    """``(doc_id, fps)`` — winnowing fingerprints of ``text`` as a
+    deduplicated array column, all-array-native.
+
+    Shingle hashes, per-position window-mins, and the dedup run inside
+    higher-order expressions on each row — zero row explosion, zero
+    shuffle. (The previous explode+window formulation multiplied rows
+    |text|× and shuffled on doc_id just to window-sort; this is a pure
+    map-side two-step projection.) The shingle-hash array materializes
+    ONCE per row in the first select — the window-min lambda only
+    slices it, so the md5 count stays linear in |text|, not quadratic.
+    slice() truncates at the tail exactly like ROWS BETWEEN CURRENT ROW
+    AND w-1 FOLLOWING, so selected fingerprints are identical.
+    """
+    hashes = d.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(1, length(text) - {k - 1})), "
+            f"p -> md5(substring(text, p, {k})))"
+        ).alias("hs"),
+    )
+    return hashes.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(hs)), "
+            f"i -> array_min(slice(hs, i, {w}))))"
+        ).alias("fps"),
+    )
+
+
 def winnow_fingerprints(d: DataFrame, k: int = _WINNOW_K, w: int = _WINNOW_W) -> DataFrame:
     """Selected winnowing fingerprints ``(doc_id, h)`` for a frame with
     (doc_id, text): k-char shingle hashes, window-min of w, deduplicated.
     Guarantee (Schleimer et al.): two texts sharing a substring of length
     >= k + w - 1 share at least one fingerprint (tests/test_properties.py
     pins this on generated inputs)."""
-    pos = d.select(
-        "doc_id",
-        "text",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - (k - 1)))
-        ).alias("pos"),
-    )
-    hashes = pos.select(
-        "doc_id", "pos", F.md5(F.expr(f"substring(text, pos, {k})")).alias("h")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    return hashes.select("doc_id", F.min("h").over(win).alias("h")).distinct()
+    return winnow_fp_arrays(d, k, w).select("doc_id", F.explode("fps").alias("h"))
 
 
 @query(
@@ -306,19 +325,20 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The MOSS fingerprinting scheme — guarantees any shared substring of
     length >= k+w-1 yields a shared fingerprint, while storing ~2/(w+1)
-    of the shingle hashes. Shape: per-row position explode (linear in
-    corpus characters, no join), one window pass per doc ordered by
-    position, then a distinct + per-doc aggregate — a single shuffle on
-    doc_id end-to-end since explode and window share the doc_id key.
+    of the shingle hashes.
     Emitted as count + digest-of-sorted-fingerprints so the output stays
     scalar and hash-checkable; the fingerprint *set* itself would feed an
     inverted-index join exactly like _inverted_index_jaccard at scale.
+    Entirely shuffle-free: the fingerprint set is built as an array per
+    row (winnow_fp_arrays), so count and digest are per-row expressions —
+    no explode, no groupBy, no exchange anywhere in the plan.
     """
     d = table(spark, sf_dir, "documents")
-    sel = winnow_fingerprints(d)
-    return sel.groupBy("doc_id").agg(
-        F.count("*").alias("n_fp"),
-        F.md5(F.array_join(F.sort_array(F.collect_list("h")), "")).alias("fp_digest"),
+    sel = winnow_fp_arrays(d)
+    return sel.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fp"),
+        F.md5(F.array_join(F.array_sort("fps"), "")).alias("fp_digest"),
     )
 
 

@@ -3,13 +3,17 @@
 All timestamp columns are surfaced as TIMESTAMP_NTZ (naive, matching
 DuckDB's TIMESTAMP) so every downstream comparison is timezone-free.
 
-``events.ts`` trap (SURVEY.md §1.3, FIXTURES.md): the parquet type is INT64
-TIMESTAMP(NANOS). With ``spark.sql.legacy.parquet.nanosAsLong=true`` it
-arrives as a nanosecond long; we convert with *integer* division
-``ts div 1000`` (exact — a double-division path could lose ULPs at 1e18 ns)
-then ``timestamp_micros`` → NTZ cast under the UTC session timezone. This
-equals DuckDB's native ns→µs truncation bit-for-bit for the fixture's
-positive timestamps.
+``events.ts`` trap (SURVEY.md §1.3, FIXTURES.md): fixture generations have
+shipped two different physical types, so the loader dispatches on the
+arriving Spark type:
+- INT64 TIMESTAMP(NANOS) (rounds 1-3): with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a ns long;
+  convert with *integer* division ``ts div 1000`` (exact — a
+  double-division path could lose ULPs at 1e18 ns) then
+  ``timestamp_micros`` → NTZ cast under the UTC session timezone, equal to
+  DuckDB's native ns→µs truncation bit-for-bit for positive timestamps.
+- TIMESTAMP(MICROS) (round 4 regeneration): arrives as a timestamp
+  directly; only the NTZ cast applies.
 
 Scale note (100 TB): reads are plain ``spark.read.parquet`` so partition
 pruning / predicate pushdown / column pruning all apply; at cluster scale
@@ -19,8 +23,11 @@ operator code is agnostic to layout.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from data_pipeline_etl_spark.session import configure
 
@@ -42,17 +49,45 @@ TABLE_NAMES = (
 _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+# Parallelism floor: a single-row-group parquet file scans as ONE task no
+# matter what maxPartitionBytes says, serializing every per-row expression
+# (md5, regexp, higher-order folds) upstream of the first shuffle. When the
+# scan yields fewer partitions than the core count AND the file is big
+# enough for the fan-out to beat its scheduling cost, round-robin
+# repartition once to core count. The explicit numPartitions pins the fan-out
+# against AQE coalescing, and bench.py's .cache() materializes AFTER the
+# exchange so the one-time cost amortizes across the whole workload. At
+# cluster scale multi-split/multi-file layouts make the guard a no-op
+# (scan partitions already >= cores), so no shuffle is ever added at 100 TB.
+_FANOUT_MIN_BYTES = 256 * 1024
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir.rstrip("/"), name)
     if key not in _CACHE:
         configure(spark)
-        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+        df = spark.read.parquet(path)
+        try:
+            fsize = os.path.getsize(path)
+        except OSError:  # non-local / directory layout: leave splits alone
+            fsize = 0
+        cpus = spark.sparkContext.defaultParallelism
+        if fsize >= _FANOUT_MIN_BYTES and df.rdd.getNumPartitions() < cpus:
+            df = df.repartition(cpus)
         if name == "events":
-            # ns long → µs (exact integer div) → NTZ timestamp (UTC session).
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-            )
+            # Fixture generations have shipped ts as INT64 TIMESTAMP(NANOS)
+            # (arrives as a ns long under nanosAsLong=true) AND as plain
+            # TIMESTAMP(MICROS) (arrives as a timestamp already) — dispatch
+            # on the arriving type instead of assuming one generation.
+            if isinstance(df.schema["ts"].dataType, LongType):
+                # ns long → µs (exact integer div) → NTZ (UTC session).
+                df = df.withColumn(
+                    "ts",
+                    F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+                )
+            else:
+                df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         _CACHE[key] = df
     return _CACHE[key]
 

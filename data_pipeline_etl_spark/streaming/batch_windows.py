@@ -272,9 +272,19 @@ def q_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_etl_spark.streaming.jobs import run_to_memory_sink
 
     configure(spark)  # nanosAsLong for the raw events.parquet read
+    # Fixture generations ship ts as TIMESTAMP(NANOS) (arrives BIGINT under
+    # nanosAsLong) or TIMESTAMP(MICROS) (arrives timestamp) — probe the
+    # footer via a batch read (metadata-only) and declare the matching
+    # streaming schema, mirroring sources/tables.py's dispatch.
+    from pyspark.sql.types import LongType
+
+    raw_ts = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema["ts"].dataType
+    )
+    ns_long = isinstance(raw_ts, LongType)
     schema = (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
-        "event_type STRING, value DOUBLE, props STRING"
+        f"event_id BIGINT, ts {'BIGINT' if ns_long else 'TIMESTAMP_NTZ'}, "
+        "user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
     )
     stream = (
         spark.readStream.schema(schema)
@@ -282,8 +292,11 @@ def q_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         # events file out of the fixture dir
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
     )
+    if ns_long:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
     agg = (
         stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))

@@ -102,11 +102,12 @@ def test_no_python_udf_in_builtin_queries(spark):
     assert not offenders, f"Python in hot path: {offenders}"
 
 
-def test_winnow_single_shuffle(spark):
-    """Explode, window and final aggregate all key on doc_id — the whole
-    fingerprinting pass must ride ONE exchange."""
+def test_winnow_shuffle_free(spark):
+    """Fingerprint selection runs inside per-row array expressions — no
+    hash exchange anywhere (the only allowed exchange is the table
+    loader's round-robin parallelism fan-out)."""
     plan = _plan(QUERIES["q_text_winnow"](spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
 
 
 def test_survivor_windows_share_shuffle(spark):
@@ -125,6 +126,15 @@ def test_jaccard_no_per_row_size_recompute(spark):
         plan = _plan(QUERIES[name](spark, SF_DIR))
         assert "size(array_distinct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, name
+
+
+def test_neardup_lsh_band_blocked(spark):
+    """Embedding near-dup candidates must come from the (band, sig)
+    equi-join — never an all-pairs product or a low-cardinality metadata
+    key (the 100 TB scale gate from the round-3 verdict)."""
+    plan = _plan(QUERIES["q_sim_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"band#\d+L?, sig#\d+", plan), plan
 
 
 def test_lsh_candidates_hash_joins_only(spark):
