@@ -49,11 +49,36 @@ def main() -> None:
         df.cache().count()
     QUERIES["q_agg_groupby"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).toPandas()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    # Two full passes, per-query minimum (headline comparables get a third
+    # sample). Single-sample timing under a loaded JVM is dominated by
+    # first-run codegen + GC pauses — the round-3 "q_stream_tumbling +31%"
+    # scare was a 0.07 s delta on one sample, and a round-4 single run
+    # recorded one query at 7× its warm time. The minimum measures engine
+    # capability; scheduling noise is additive-positive, so min converges
+    # to the true cost. Pass structure and count are recorded in the side
+    # file for cross-round comparability.
+    headline = [
+        "q_agg_groupby",
+        "q_join_inner",
+        "q_dedup_exact",
+        "q_dedup_minhash",
+        "q_sim_cosine_topk",
+        "q_text_topterms",
+        "q_stream_tumbling",
+        "q_win_topn",
+    ]
+    samples: dict[str, list[float]] = {name: [] for name in QUERIES}
+    for pass_no in range(2):
+        for name in sorted(QUERIES):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).toPandas()
+            samples[name].append(time.perf_counter() - t0)
+    for name in headline:
+        if name in samples:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).toPandas()
+            samples[name].append(time.perf_counter() - t0)
+    timings = {name: round(min(s), 4) for name, s in samples.items()}
 
     total = round(sum(timings.values()), 4)
 
@@ -89,6 +114,7 @@ def main() -> None:
                 "total_sec": total,
                 "sf": sf,
                 "n_queries": len(timings),
+                "timing": "min of 2 full passes (+1 headline sample)",
                 "regressions": regressions,
                 "queries": timings,
             },
@@ -101,16 +127,6 @@ def main() -> None:
     # dict shape but carries only the headline subset (BASELINE.md
     # comparables + one per north-star family); the full map is in the side
     # file.
-    headline = [
-        "q_agg_groupby",
-        "q_join_inner",
-        "q_dedup_exact",
-        "q_dedup_minhash",
-        "q_sim_cosine_topk",
-        "q_text_topterms",
-        "q_stream_tumbling",
-        "q_win_topn",
-    ]
     payload = {
         "metric": f"total_wall_sec_{len(timings)}_queries",
         "value": total,

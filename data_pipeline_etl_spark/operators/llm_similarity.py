@@ -295,7 +295,12 @@ def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no other member have no near-dup candidates and drop out, exactly as
     a production near-dup sweep wants.
     """
-    base = _normed(spark, sf_dir)
+    from data_pipeline_etl_spark.sources.tables import fanout
+
+    # 32 interpreted 64-dim folds per vector for the sign bits plus one
+    # fold per candidate pair: parallelize the scan (measured -1.9 s at
+    # sf0.1 vs a single-task single-row-group scan; no-op on clusters)
+    base = fanout(_normed(spark, sf_dir))
     bits = F.expr(
         f"transform(sequence(0, {_LSH_PLANES - 1}), j -> "
         f"CASE WHEN aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), "

@@ -329,11 +329,16 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emitted as count + digest-of-sorted-fingerprints so the output stays
     scalar and hash-checkable; the fingerprint *set* itself would feed an
     inverted-index join exactly like _inverted_index_jaccard at scale.
-    Entirely shuffle-free: the fingerprint set is built as an array per
-    row (winnow_fp_arrays), so count and digest are per-row expressions —
-    no explode, no groupBy, no exchange anywhere in the plan.
+    The fingerprint set is built as an array per row (winnow_fp_arrays),
+    so count and digest are per-row expressions — no explode, no groupBy,
+    no hash exchange anywhere in the plan (the only exchange is the
+    fanout() round-robin parallelism floor, absent at cluster scale).
     """
-    d = table(spark, sf_dir, "documents")
+    from data_pipeline_etl_spark.sources.tables import fanout
+
+    # per-char md5 folds dominate: parallelize the scan (measured -2.9 s
+    # at sf0.1 vs a single-task single-row-group scan; no-op on clusters)
+    d = fanout(table(spark, sf_dir, "documents"))
     sel = winnow_fp_arrays(d)
     return sel.select(
         "doc_id",

@@ -52,17 +52,18 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # for queries modified since their last grade, which must be re-graded even
 # though the record shows them green (empty when nothing was touched).
 _FORCE_FRONT: list[str] = [
-    # round 3 restructures (values unchanged — verified vs oracle at sf0.01
-    # and sf0.1 locally — but the driver record should re-confirm):
-    "q_sim_jaccard",      # size-join restructure of the inverted index
-    "q_dedup_cluster",    # endpoint seeding + fold-in convergence check
-    "q_dedup_ngram",      # shares _inverted_index_jaccard
-    "q_text_tfidf",       # broadcast corpus-size join
-    "q_text_langid",      # stack() unpivot
-    "q_agg_collect",      # array_join stringification
-    "q_str_regexp2",
-    "q_array_funcs2",
-    "q_dedup_fingerprint",
+    # round 4 changes (verified vs oracle at sf0.01 and sf0.1 locally —
+    # but the driver record should re-confirm):
+    "q_sim_neardup",        # LSH band re-block (new semantics)
+    "q_text_winnow",        # array-native restructure
+    "q_win_share",          # keyless window -> broadcast total
+    "q_mix_weighted",       # keyless window -> broadcast total
+    "q_agg_stringagg",      # all-NULL-group guard
+    "q_str_regexp2",        # empty-array -> NULL guard
+    "q_array_funcs2",       # empty-array -> NULL guard
+    "q_text_chunk",         # array_join stringification
+    "q_dedup_chunkdup",     # array_join stringification
+    "q_stream_tumbling_live",  # fixture ts-type dispatch
 ]
 
 

@@ -23,8 +23,6 @@ operator code is agnostic to layout.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
@@ -49,17 +47,26 @@ TABLE_NAMES = (
 _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
-# Parallelism floor: a single-row-group parquet file scans as ONE task no
-# matter what maxPartitionBytes says, serializing every per-row expression
-# (md5, regexp, higher-order folds) upstream of the first shuffle. When the
-# scan yields fewer partitions than the core count AND the file is big
-# enough for the fan-out to beat its scheduling cost, round-robin
-# repartition once to core count. The explicit numPartitions pins the fan-out
-# against AQE coalescing, and bench.py's .cache() materializes AFTER the
-# exchange so the one-time cost amortizes across the whole workload. At
-# cluster scale multi-split/multi-file layouts make the guard a no-op
-# (scan partitions already >= cores), so no shuffle is ever added at 100 TB.
-_FANOUT_MIN_BYTES = 256 * 1024
+def fanout(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to core count when the input provides fewer
+    partitions — the explicit parallelize-before-heavy-per-row-compute
+    primitive.
+
+    A single-row-group parquet file scans as ONE task no matter what
+    maxPartitionBytes says, serializing every per-row expression (md5,
+    regexp, higher-order folds) upstream of the first shuffle. Queries
+    whose cost is dominated by such expressions call this on their input;
+    shuffle-light queries must NOT (a blanket loader-level fan-out was
+    measured a net loss: +0.1-0.5 s scheduling tax per cheap query against
+    wins on only a handful of heavy ones). The guard makes it a no-op at
+    cluster scale, where multi-split layouts already give scan parallelism
+    >= cores — no shuffle is ever added at 100 TB. The explicit
+    numPartitions pins the fan-out against AQE coalescing.
+    """
+    cpus = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cpus:
+        return df.repartition(cpus)
+    return df
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -68,13 +75,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         configure(spark)
         path = f"{sf_dir.rstrip('/')}/{name}.parquet"
         df = spark.read.parquet(path)
-        try:
-            fsize = os.path.getsize(path)
-        except OSError:  # non-local / directory layout: leave splits alone
-            fsize = 0
-        cpus = spark.sparkContext.defaultParallelism
-        if fsize >= _FANOUT_MIN_BYTES and df.rdd.getNumPartitions() < cpus:
-            df = df.repartition(cpus)
         if name == "events":
             # Fixture generations have shipped ts as INT64 TIMESTAMP(NANOS)
             # (arrives as a ns long under nanosAsLong=true) AND as plain
