@@ -346,6 +346,157 @@ def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sim_pairs_lsh",
+    oracle=f"""
+    WITH bitted AS (
+      SELECT vec_id, {_BITS_DUCK} AS bits
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id, g.k AS band, {_SIG_DUCK} AS sig
+      FROM bitted, unnest(generate_series(0, {_LSH_BANDS - 1})) AS g(k)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT p.q_id AS vec_a, p.c_id AS vec_b,
+             {_COS_SQL} AS cos_sim
+      FROM pairs p
+      JOIN (SELECT vec_id, embedding AS qe FROM embeddings) qa ON p.q_id = qa.vec_id
+      JOIN (SELECT vec_id, embedding AS ce FROM embeddings) ca ON p.c_id = ca.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.3
+    """,
+)
+def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold similarity join: all embedding pairs with cosine >= τ,
+    candidates generated by the LSH band buckets (q_sim_neardup's
+    machinery with an ordered a<b pair space), exact rescoring inside
+    buckets.
+
+    The similarity-join primitive for embedding-level corpus dedup at
+    scale: candidate volume tracks the number of genuinely similar pairs
+    (band collision probability), never |corpus|² — and the τ filter is
+    applied AFTER exact rescoring, so band false positives cost one fold
+    each and false-negative rates are the documented LSH recall curve,
+    tunable via bits-per-band.
+    """
+    from data_pipeline_etl_spark.sources.tables import fanout
+
+    base = fanout(_normed(spark, sf_dir))
+    bits = F.expr(
+        f"transform(sequence(0, {_LSH_PLANES - 1}), j -> "
+        f"CASE WHEN aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), "
+        f"(acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE) * {_PLANE_SQL}"
+        f") >= 0 THEN 1 ELSE 0 END)"
+    )
+    bands = F.expr(
+        f"transform(sequence(0, {_LSH_BANDS - 1}), k -> "
+        f"aggregate(sequence(1, {_LSH_ROWS}), 0, "
+        f"(acc, t) -> acc * 2 + element_at(bits, {_LSH_ROWS} * k + t)))"
+    )
+    sigs = (
+        base.withColumn("bits", bits)
+        .select("vec_id", F.posexplode(bands).alias("band", "sig"))
+    )
+    a = sigs.select(F.col("vec_id").alias("q_id"), "band", "sig")
+    b = sigs.select(F.col("vec_id").alias("c_id"), "band", "sig")
+    pairs = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("q_id") < F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    qa = base.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    ca = base.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
+    )
+    return (
+        pairs.join(qa, "q_id")
+        .join(ca, "c_id")
+        .select(
+            F.col("q_id").alias("vec_a"),
+            F.col("c_id").alias("vec_b"),
+            _cos_pair().alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.3)
+    )
+
+
+@query(
+    "q_embed_whiten",
+    oracle="""
+    WITH stats AS (
+      SELECT i AS dim,
+             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mu,
+             round(stddev_samp(CAST(embedding[i] AS DOUBLE)), 6) AS sd
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+      GROUP BY i
+    ),
+    model AS (
+      SELECT list(mu ORDER BY dim) AS mus, list(sd ORDER BY dim) AS sds
+      FROM stats
+    )
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS n_dims,
+           round(sqrt(list_sum(list_transform(
+             generate_series(1, len(embedding)),
+             i -> ((CAST(embedding[i] AS DOUBLE) - m.mus[i]) / m.sds[i])
+                * ((CAST(embedding[i] AS DOUBLE) - m.mus[i]) / m.sds[i])))), 6)
+             AS wnorm
+    FROM embeddings CROSS JOIN model m
+    """,
+)
+def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension whitening (z-score standardization) of embeddings,
+    surfaced as the whitened L2 norm per vector.
+
+    The normalization pass between q_embed_dimstats (the profile) and
+    q_embed_quantize (the codec): corpus μ/σ per dimension come from one
+    posexplode aggregate, re-assemble into two |dim|-length arrays and
+    broadcast back — a 64-value model table, never a second corpus pass.
+    The model parameters are ROUNDED to 6 dp before use on both engines,
+    so the whitened values derive from identical inputs and the final
+    6 dp round never sits on an aggregation-order ULP boundary.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("pos", "v"))
+    stats = ex.groupBy("pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("mu"),
+        F.round(F.stddev_samp(F.col("v").cast("double")), 6).alias("sd"),
+    )
+    model = stats.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "mu"))), lambda s: s.mu
+        ).alias("mus"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "sd"))), lambda s: s.sd
+        ).alias("sds"),
+    )
+    wnorm = F.round(
+        F.sqrt(
+            F.expr(
+                "aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), (acc, i) -> "
+                "acc + ((CAST(element_at(embedding, i) AS DOUBLE) - element_at(mus, i)) "
+                "/ element_at(sds, i)) "
+                "* ((CAST(element_at(embedding, i) AS DOUBLE) - element_at(mus, i)) "
+                "/ element_at(sds, i)))"
+            )
+        ),
+        6,
+    )
+    return (
+        e.crossJoin(F.broadcast(model))
+        .select("vec_id", F.size("embedding").alias("n_dims"), wnorm.alias("wnorm"))
+    )
+
+
+@query(
     "q_embed_quantize",
     oracle="""
     WITH bounds AS (

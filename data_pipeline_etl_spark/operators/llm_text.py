@@ -452,3 +452,44 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(lp) / F.count("*"), 6).alias("avg_logprob"),
         )
     )
+
+
+# GPT-2-style pre-tokenizer pattern (no lookarounds, so Java regex and
+# RE2 agree): contraction suffixes, space-prefixed letter/digit runs,
+# space-prefixed punctuation runs, whitespace runs.
+_BPE_PAT = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+@query(
+    "q_text_token_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}')) AS BIGINT)
+             AS n_bpe_tokens,
+           round(len(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}'))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS bpe_per_ws
+    FROM documents
+    """,
+)
+def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-ish pre-tokenizer regex (GPT-2's word/
+    digit/punctuation/contraction split, sans lookarounds) next to the
+    whitespace count — the budget estimator for training-data token
+    accounting, where whitespace counts undercount code/punctuation-heavy
+    text.
+
+    Pure per-row projection (two regex scans per doc, no shuffle); the
+    pattern deliberately avoids lookarounds so Java regex (Spark) and RE2
+    (DuckDB) tokenize identically. Token RATE, not just count, feeds
+    mixture weighting: bpe_per_ws ≈ 1.3 for prose, >2 for code.
+    """
+    d = table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
+    ws = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.round(F.size(bpe) / F.size(ws).cast("double"), 4).alias("bpe_per_ws"),
+    )
