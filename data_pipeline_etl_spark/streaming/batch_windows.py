@@ -244,6 +244,38 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEM_SINK_SEQ = iter(range(10**9))
 
 
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """readStream over the events fixture with the same arriving-type
+    dispatch as sources/tables.py: fixture generations ship ts as INT64
+    TIMESTAMP(NANOS) (arrives BIGINT under nanosAsLong) or
+    TIMESTAMP(MICROS) (arrives timestamp) — probe the footer via a batch
+    read (metadata-only) and declare the matching streaming schema."""
+    from data_pipeline_etl_spark.session import configure
+    from pyspark.sql.types import LongType
+
+    configure(spark)  # nanosAsLong for the raw events.parquet read
+    raw_ts = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema["ts"].dataType
+    )
+    ns_long = isinstance(raw_ts, LongType)
+    schema = (
+        f"event_id BIGINT, ts {'BIGINT' if ns_long else 'TIMESTAMP_NTZ'}, "
+        "user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        # the file source requires a directory; pathGlobFilter selects the
+        # events file out of the fixture dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    if ns_long:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return stream
+
+
 @query(
     "q_stream_tumbling_live",
     oracle="""
@@ -268,35 +300,9 @@ def q_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |windows × event_types|, not |events|. (Eager by necessity — a
     streaming query must run to produce its result table.)
     """
-    from data_pipeline_etl_spark.session import configure
     from data_pipeline_etl_spark.streaming.jobs import run_to_memory_sink
 
-    configure(spark)  # nanosAsLong for the raw events.parquet read
-    # Fixture generations ship ts as TIMESTAMP(NANOS) (arrives BIGINT under
-    # nanosAsLong) or TIMESTAMP(MICROS) (arrives timestamp) — probe the
-    # footer via a batch read (metadata-only) and declare the matching
-    # streaming schema, mirroring sources/tables.py's dispatch.
-    from pyspark.sql.types import LongType
-
-    raw_ts = (
-        spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema["ts"].dataType
-    )
-    ns_long = isinstance(raw_ts, LongType)
-    schema = (
-        f"event_id BIGINT, ts {'BIGINT' if ns_long else 'TIMESTAMP_NTZ'}, "
-        "user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        # the file source requires a directory; pathGlobFilter selects the
-        # events file out of the fixture dir
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
-    if ns_long:
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
@@ -309,4 +315,37 @@ def q_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = f"mem_tumbling_live_{next(_MEM_SINK_SEQ)}"
     run_to_memory_sink(agg, qname, output_mode="complete")
+    return spark.table(qname)
+
+
+@query(
+    "q_stream_dedup_live",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming deduplication executed as a REAL Structured
+    Streaming job: parquet file source → dropDuplicates over the key
+    columns → append-mode memory sink, drained with availableNow.
+
+    The second live-execution contract next to q_stream_tumbling_live:
+    dropDuplicates keeps per-key state across micro-batches, so a key
+    seen in batch 0 is suppressed in batch 7 — the semantics a batch
+    DISTINCT gives for free but streaming must carry state for. The
+    projection keeps ONLY the dedup keys, making the surviving row per
+    key unique and the result order-insensitive (hash-checkable). State
+    is |distinct keys|; production caps it with
+    dropDuplicatesWithinWatermark (tests/test_streaming.py exercises the
+    watermarked variant).
+    """
+    from data_pipeline_etl_spark.streaming.jobs import run_to_memory_sink
+
+    dedup = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    qname = f"mem_dedup_live_{next(_MEM_SINK_SEQ)}"
+    run_to_memory_sink(dedup, qname, output_mode="append")
     return spark.table(qname)
