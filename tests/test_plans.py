@@ -104,8 +104,8 @@ def test_no_python_udf_in_builtin_queries(spark):
 
 def test_winnow_shuffle_free(spark):
     """Fingerprint selection runs inside per-row array expressions — no
-    hash exchange anywhere (the only allowed exchange is the table
-    loader's round-robin parallelism fan-out)."""
+    hash exchange anywhere (the only allowed exchange is the query's
+    fanout() round-robin parallelism floor)."""
     plan = _plan(QUERIES["q_text_winnow"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 0, plan
 
@@ -164,3 +164,18 @@ def test_events_filter_pushdown_survives_ts_conversion(spark):
     e = table(spark, SF_DIR, "events").where(F.col("event_type") == "purchase")
     plan = _plan(e)
     assert re.search(r"PushedFilters:.*event_type", plan), plan
+
+
+def test_fanout_guard_is_noop_when_parallel(spark):
+    """fanout() must not add a shuffle when the input already provides
+    >= core-count partitions — the invariant that makes it free at
+    cluster scale (many splits) while fixing single-row-group local
+    scans."""
+    from data_pipeline_etl_spark.sources.tables import fanout, table
+
+    cpus = spark.sparkContext.defaultParallelism
+    d = table(spark, SF_DIR, "documents")
+    wide = d.repartition(cpus)
+    assert fanout(wide) is wide  # already parallel: identity, no new node
+    narrow = d.coalesce(1)
+    assert fanout(narrow).rdd.getNumPartitions() == cpus
