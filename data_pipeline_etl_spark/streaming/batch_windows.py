@@ -349,3 +349,57 @@ def q_stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"mem_dedup_live_{next(_MEM_SINK_SEQ)}"
     run_to_memory_sink(dedup, qname, output_mode="append")
     return spark.table(qname)
+
+
+@query(
+    "q_stream_session_live",
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM deltas
+    )
+    SELECT user_id,
+           min(ts) AS sess_start,
+           count(*) AS n_events,
+           max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+    FROM sessions
+    GROUP BY user_id, sess
+    """,
+)
+def q_stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization executed as a REAL Structured
+    Streaming job (file source → session-window state → complete-mode
+    memory sink, availableNow drain) — the third live-execution contract,
+    covering MERGING window state: unlike tumbling windows, session
+    windows grow and fuse as events arrive, so the state store must merge
+    adjacent sessions across micro-batches. Hash-checked against the same
+    gap-based SQL oracle as batch q_stream_session; state is
+    |users × sessions|, capped with a watermark in production
+    (complete mode here because the fixture is a bounded backlog).
+    """
+    from data_pipeline_etl_spark.streaming.jobs import run_to_memory_sink
+
+    stream = _events_stream(spark, sf_dir)
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("sess_start"),
+            F.count("*").alias("n_events"),
+            (F.max(um) - F.min(um)).alias("dur_us"),
+        )
+        .select("user_id", "sess_start", "n_events", "dur_us")
+    )
+    qname = f"mem_session_live_{next(_MEM_SINK_SEQ)}"
+    run_to_memory_sink(agg, qname, output_mode="complete")
+    return spark.table(qname)
