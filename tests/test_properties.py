@@ -203,3 +203,48 @@ def test_survivorship_exactly_one_keeper_per_group(spark, rows):
         keeps = [m for m in members if m["rn"] == 1]
         assert len(keeps) == 1, h
         assert all(m["group_size"] == len(members) for m in members)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-1.0, 1.0, allow_nan=False, width=32), min_size=8, max_size=8),
+        min_size=1,
+        max_size=4,
+    )
+)
+@SETTINGS
+def test_hyperplane_lsh_exact_duplicates_collide_everywhere(spark, vecs):
+    """An exact copy of a vector produces the SAME sign bit against every
+    hyperplane, hence identical band signatures — so exact-duplicate
+    embeddings are always LSH candidates (recall = 1 for exact dups, the
+    floor any near-dup blocking scheme must guarantee)."""
+    from data_pipeline_etl_spark.operators.llm_similarity import (
+        _LSH_BANDS,
+        _LSH_PLANES,
+        _LSH_ROWS,
+        _PLANE_SQL,
+    )
+
+    rows = []
+    for i, v in enumerate(vecs):
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, list(v)))  # exact duplicate
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    bits = F.expr(
+        f"transform(sequence(0, {_LSH_PLANES - 1}), j -> "
+        f"CASE WHEN aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), "
+        f"(acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE) * {_PLANE_SQL}"
+        f") >= 0 THEN 1 ELSE 0 END)"
+    )
+    bands = F.expr(
+        f"transform(sequence(0, {_LSH_BANDS - 1}), k -> "
+        f"aggregate(sequence(1, {_LSH_ROWS}), 0, "
+        f"(acc, t) -> acc * 2 + element_at(bits, {_LSH_ROWS} * k + t)))"
+    )
+    sigs = {
+        r["vec_id"]: tuple(r["bands"])
+        for r in df.withColumn("bits", bits).select("vec_id", bands.alias("bands")).collect()
+    }
+    for i in range(len(vecs)):
+        assert sigs[2 * i] == sigs[2 * i + 1]
+        assert len(sigs[2 * i]) == _LSH_BANDS
