@@ -356,3 +356,46 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("eff_discount_keep"),
         F.sum("l_quantity").cast("double").alias("total_qty"),
     )
+
+
+@query(
+    "q_agg_approx_topk",
+    oracle="""
+    SELECT event_type AS item, n, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT event_type, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, event_type) AS rnk
+      FROM events GROUP BY event_type
+    ) WHERE rnk <= 3
+    """,
+)
+def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters: approx_top_k over the event-type
+    stream, exploded to (item, count, rank) rows.
+
+    The space-bounded frequent-items sketch for 100 TB streams — state is
+    maxItemsTracked counters regardless of row count, mergeable across
+    partitions (one partial sketch per partition, merged at the driver
+    side of the agg). On a column whose cardinality fits inside
+    maxItemsTracked the sketch is EXACT, which is what makes the DuckDB
+    group-by oracle valid here (events has 5 event types ≪ 10000); the
+    same query on an unbounded-cardinality key degrades gracefully to
+    approximate counts, which is the production trade.
+    Ties re-rank deterministically by (count desc, item) via an
+    array_sort INSIDE the one-row sketch output — no keyless window
+    (SCALE.md invariant), no extra shuffle.
+    """
+    e = table(spark, sf_dir, "events")
+    sk = e.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+    ranked = F.expr(
+        "slice(array_sort(transform(tk, "
+        "s -> struct(-s.count AS negn, s.item AS item, s.count AS n))), 1, 3)"
+    )
+    return (
+        sk.select(F.posexplode(ranked).alias("pos", "s"))
+        .select(
+            F.col("s.item").alias("item"),
+            F.col("s.n").alias("n"),
+            (F.col("pos") + 1).cast("long").alias("rnk"),
+        )
+    )

@@ -46,3 +46,17 @@ def test_json_roundtrip(spark, tmp_path):
     back = sinks.roundtrip_json(nation, spark, out)
     assert back.schema == nation.schema
     assert _multiset(back, nation.columns) == _multiset(nation, nation.columns)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC source/sink parity with the parquet-loaded table: Spark's
+    second built-in columnar format preserves values and the NTZ
+    timestamp discipline (cluster deployments mixing warehouse formats
+    must read back identically)."""
+    out = str(tmp_path / "orders_orc")
+    orders = table(spark, SF_DIR, "orders")
+    orders.write.orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == orders.schema
+    cols = ["o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus"]
+    assert _multiset(back, cols) == _multiset(orders, cols)
