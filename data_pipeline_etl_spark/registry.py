@@ -54,15 +54,15 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 _FORCE_FRONT: list[str] = [
     # round 4 output-affecting changes (verified vs oracle at sf0.01 and
     # sf0.1 locally — but the driver record should re-confirm). Kept to
-    # four so that forced + the five never-graded round-4 queries + all
+    # three so that forced + the six never-graded round-4 queries + all
     # 41 r1-stale queries exactly fill the ~50-query budget; the
-    # value-preserving guard/stringification touches (q_agg_stringagg,
-    # q_str_regexp2, q_array_funcs2, q_text_chunk, q_dedup_chunkdup,
-    # q_stream_tumbling_live) re-grade through the normal rotation.
-    "q_sim_neardup",   # LSH band re-block (new semantics)
-    "q_text_winnow",   # array-native restructure
-    "q_win_share",     # keyless window -> broadcast total
-    "q_mix_weighted",  # keyless window -> broadcast total
+    # value-preserving touches (q_mix_weighted's exact-integer total
+    # restructure, q_agg_stringagg, q_str_regexp2, q_array_funcs2,
+    # q_text_chunk, q_dedup_chunkdup, q_stream_tumbling_live) re-grade
+    # through the normal rotation.
+    "q_sim_neardup",  # LSH band re-block (new semantics)
+    "q_text_winnow",  # array-native restructure
+    "q_win_share",    # keyless window -> broadcast total (float path)
 ]
 
 
