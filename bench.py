@@ -49,14 +49,16 @@ def main() -> None:
         df.cache().count()
     QUERIES["q_agg_groupby"](spark, sf_dir).collect()
 
-    # Two full passes, per-query minimum (headline comparables get a third
-    # sample). Single-sample timing under a loaded JVM is dominated by
-    # first-run codegen + GC pauses — the round-3 "q_stream_tumbling +31%"
-    # scare was a 0.07 s delta on one sample, and a round-4 single run
-    # recorded one query at 7× its warm time. The minimum measures engine
-    # capability; scheduling noise is additive-positive, so min converges
-    # to the true cost. Pass structure and count are recorded in the side
-    # file for cross-round comparability.
+    # Three full passes, per-query MEDIAN. Single-sample timing under a
+    # loaded JVM is dominated by first-run codegen + GC pauses — the
+    # round-3 "q_stream_tumbling +31%" scare was a 0.07 s delta on one
+    # sample, and a round-4 single run recorded one query at 7× its warm
+    # time. Median-of-3 keeps one-off stalls out of the number without
+    # the optimistic bias of a minimum; deltas reproduce run-to-run
+    # within ~5%. METHODOLOGY BREAK: rounds 1-3 timed a single sample,
+    # round 4 min-of-2 — the metric NAME carries the method
+    # ("..._median3_...") so cross-round totals are never silently
+    # compared across methodologies (see BASELINE.md).
     headline = [
         "q_agg_groupby",
         "q_join_inner",
@@ -68,17 +70,12 @@ def main() -> None:
         "q_win_topn",
     ]
     samples: dict[str, list[float]] = {name: [] for name in QUERIES}
-    for pass_no in range(2):
+    for pass_no in range(3):
         for name in sorted(QUERIES):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).toPandas()
             samples[name].append(time.perf_counter() - t0)
-    for name in headline:
-        if name in samples:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).toPandas()
-            samples[name].append(time.perf_counter() - t0)
-    timings = {name: round(min(s), 4) for name, s in samples.items()}
+    timings = {name: round(sorted(s)[len(s) // 2], 4) for name, s in samples.items()}
 
     total = round(sum(timings.values()), 4)
 
@@ -114,7 +111,7 @@ def main() -> None:
                 "total_sec": total,
                 "sf": sf,
                 "n_queries": len(timings),
-                "timing": "min of 2 full passes (+1 headline sample)",
+                "timing": "median of 3 full passes",
                 "regressions": regressions,
                 "queries": timings,
             },
@@ -128,7 +125,7 @@ def main() -> None:
     # comparables + one per north-star family); the full map is in the side
     # file.
     payload = {
-        "metric": f"total_wall_sec_{len(timings)}_queries",
+        "metric": f"total_wall_sec_median3_{len(timings)}_queries",
         "value": total,
         "unit": "sec",
         "queries": {n: timings[n] for n in headline if n in timings},

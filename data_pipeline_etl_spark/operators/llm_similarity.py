@@ -444,11 +444,12 @@ def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER) AS n_dims,
-           round(sqrt(list_sum(list_transform(
-             generate_series(1, len(embedding)),
-             i -> ((CAST(embedding[i] AS DOUBLE) - m.mus[i]) / m.sds[i])
-                * ((CAST(embedding[i] AS DOUBLE) - m.mus[i]) / m.sds[i])))), 6)
-             AS wnorm
+           CASE WHEN list_contains(m.sds, 0) THEN NULL
+                ELSE round(sqrt(list_sum(list_transform(
+                  generate_series(1, len(embedding)),
+                  i -> ((CAST(embedding[i] AS DOUBLE) - m.mus[i]) / nullif(m.sds[i], 0))
+                     * ((CAST(embedding[i] AS DOUBLE) - m.mus[i]) / nullif(m.sds[i], 0))))), 6)
+           END AS wnorm
     FROM embeddings CROSS JOIN model m
     """,
 )
@@ -463,6 +464,14 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     The model parameters are ROUNDED to 6 dp before use on both engines,
     so the whitened values derive from identical inputs and the final
     6 dp round never sits on an aggregation-order ULP boundary.
+
+    Degenerate-dimension guard: a constant dimension (sd rounds to 0)
+    divides by ``nullif(sd, 0)`` on both engines, and the oracle wraps
+    the sum in ``CASE WHEN list_contains(sds, 0) THEN NULL`` because
+    DuckDB's list_sum SKIPS NULL elements while Spark's aggregate fold
+    PROPAGATES them — both sides therefore yield wnorm = NULL for every
+    row whenever any dimension is constant, instead of inf/NaN or an
+    engine-divergent partial sum.
     """
     e = table(spark, sf_dir, "embeddings")
     ex = e.select(F.posexplode("embedding").alias("pos", "v"))
@@ -483,9 +492,9 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), (acc, i) -> "
                 "acc + ((CAST(element_at(embedding, i) AS DOUBLE) - element_at(mus, i)) "
-                "/ element_at(sds, i)) "
+                "/ nullif(element_at(sds, i), CAST(0 AS DOUBLE))) "
                 "* ((CAST(element_at(embedding, i) AS DOUBLE) - element_at(mus, i)) "
-                "/ element_at(sds, i)))"
+                "/ nullif(element_at(sds, i), CAST(0 AS DOUBLE))))"
             )
         ),
         6,

@@ -52,17 +52,24 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # for queries modified since their last grade, which must be re-graded even
 # though the record shows them green (empty when nothing was touched).
 _FORCE_FRONT: list[str] = [
-    # round 4 output-affecting changes (verified vs oracle at sf0.01 and
-    # sf0.1 locally — but the driver record should re-confirm). Kept to
-    # three so that forced + the six never-graded round-4 queries + all
-    # 41 r1-stale queries exactly fill the ~50-query budget; the
-    # value-preserving touches (q_mix_weighted's exact-integer total
-    # restructure, q_agg_stringagg, q_str_regexp2, q_array_funcs2,
-    # q_text_chunk, q_dedup_chunkdup, q_stream_tumbling_live) re-grade
-    # through the normal rotation.
-    "q_sim_neardup",  # LSH band re-block (new semantics)
-    "q_text_winnow",  # array-native restructure
-    "q_win_share",    # keyless window -> broadcast total (float path)
+    # Discipline (tightened round 5 per VERDICT r4 item 2): ANY query
+    # touched since its last driver grade re-grades next round, whether
+    # or not the change is believed value-preserving. Local parity at
+    # sf0.01 + sf0.1 covers them, but the driver record is the ledger.
+    #
+    # (a) round-4 touches excluded from the r4 force-front on
+    # "value-preserving" grounds — re-grade them now:
+    # (q_agg_stringagg, also touched r4, was graded green IN r4 —
+    # CORRECTNESS_r04.json — so its record is already post-touch.)
+    "q_mix_weighted",        # exact-integer total restructure (r4)
+    "q_str_regexp2",         # NULL/empty-semantics touch (r4)
+    "q_array_funcs2",        # NULL/empty-semantics touch (r4)
+    "q_text_chunk",          # NULL/empty-semantics touch (r4)
+    "q_dedup_chunkdup",      # touched r4
+    "q_stream_tumbling_live",  # touched r4
+    # (b) round-5 touches:
+    "q_math_funcs",     # output-affecting: bounded to 1-in-10 orderkey stripe
+    "q_embed_whiten",   # nullif(sd,0) degenerate-dimension guard (both engines)
 ]
 
 
