@@ -93,6 +93,43 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_binmeta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text)                                  AS payload_md5,
+           to_base64(encode(substring(text, 1, 8)))   AS head_b64
+    FROM documents
+    WHERE octet_length(encode(text)) >= 64
+    """,
+)
+def q_multimodal_binmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native binary-column metadata — the bytes path WITHOUT Python.
+
+    Complements q_multimodal_decode (which drives the Arrow/mapInPandas
+    plumbing): here the opaque payload is a real BinaryType column and
+    every operation on it — byte length, md5 digest, base64 of the
+    8-byte header — is a JVM builtin inside whole-stage codegen. This is
+    the triage tier of a 100 TB multimodal pipeline: dedup keys, size
+    partitioning, and magic-byte sniffing must run at scan throughput on
+    the binary column itself, long before any Python codec touches a
+    batch. The byte-length predicate also shows binary metadata is
+    filterable mid-pipeline.
+    """
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return (
+        d.select(
+            "doc_id",
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("payload_md5"),
+            F.base64(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("head_b64"),
+        )
+        .where(F.col("n_bytes") >= 64)
+    )
+
+
+@query(
     "q_multimodal_decode",
     oracle="""
     SELECT doc_id,

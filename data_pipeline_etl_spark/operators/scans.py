@@ -57,6 +57,57 @@ def q_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_csv_ingest",
+    oracle="""
+    WITH raw AS (
+      SELECT concat_ws(',', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+                       event_type, strftime(ts, '%Y-%m-%d %H:%M:%S')) AS line
+      FROM events
+    ), parsed AS (
+      SELECT string_split(line, ',') AS p FROM raw
+    )
+    SELECT CAST(p[1] AS BIGINT)    AS event_id,
+           CAST(p[2] AS BIGINT)    AS user_id,
+           p[3]                    AS event_type,
+           CAST(p[4] AS TIMESTAMP) AS ts_parsed
+    FROM parsed
+    WHERE p[3] IN ('click', 'purchase')
+    """,
+)
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw CSV-line ingestion through ``from_csv`` with an explicit schema.
+
+    The §2.A interchange path made driver-visible without temp files: a
+    deterministic CSV line is synthesized from events (identically on both
+    engines — integer keys, an enum string, a second-truncated timestamp;
+    no raw doubles, whose string formatting is engine-specific), then
+    parsed back through Spark's ``from_csv`` — a JVM expression inside
+    whole-stage codegen, not a Python csv reader — while the oracle parses
+    the same line with DuckDB ``string_split`` + casts. The post-parse
+    predicate proves the parsed columns are real (filterable) columns.
+
+    At 100 TB this is the schema-on-read pattern for text landing zones:
+    the parse is per-row, pipelined, and shuffle-free; malformed rows
+    surface as NULLs (PERMISSIVE mode) rather than job failures.
+    """
+    e = table(spark, sf_dir, "events")
+    line = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+    )
+    parsed = e.select(
+        F.from_csv(
+            line,
+            "event_id BIGINT, user_id BIGINT, event_type STRING, ts_parsed TIMESTAMP_NTZ",
+        ).alias("r")
+    ).select("r.*")
+    return parsed.where(F.col("event_type").isin("click", "purchase"))
+
+
+@query(
     "q_json_build",
     oracle="""
     SELECT o_orderkey,
