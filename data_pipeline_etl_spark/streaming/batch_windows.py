@@ -352,6 +352,110 @@ def q_stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_late_live",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    WHERE NOT (ts < TIMESTAMP '2024-01-15 00:00:00' AND event_id % 7 = 0)
+    GROUP BY 1, 2
+    HAVING CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
+             <= (SELECT w FROM wm)
+    """,
+)
+def q_stream_late_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics executed as a REAL Structured
+    Streaming job and hash-checked end to end — the fourth live contract,
+    covering the one streaming behavior users most often get wrong: what
+    happens to data that arrives AFTER the watermark has passed it.
+
+    Delivery rig: events are staged into three parquet files delivered
+    oldest-mtime-first under ``maxFilesPerTrigger=1`` —
+    batch 0 = on-time rows before Jan 20, batch 1 = on-time rows from
+    Jan 20 on, batch 2 = the "late" subset (a deterministic 1-in-7
+    sample of pre-Jan-15 rows) arriving ~15 days after its event time.
+    Three files, not two, because Spark keeps TWO watermarks per batch
+    (SPARK-42376): the LATE-EVENT filter uses the previous batch's
+    watermark while state EVICTION uses the current one — a late file in
+    batch 1 would still see the epoch filter watermark and be admitted
+    (measured: 0 dropped with 2 files, all dropped with 3).
+
+    With a 1-hour watermark delay the batch-2 rows are ~15 days late,
+    so every one is dropped; append mode then emits exactly the windows
+    whose end <= final watermark (max event time - 1h) — the last,
+    still-open day stays in state and is never emitted. The oracle
+    states both rules in SQL: exclude the late sample, keep windows
+    closed by ``max(ts) - INTERVAL 1 HOUR``.
+
+    Scale note: the coalesce(1) staging writes are the delivery-order
+    test rig, not the operator; on a cluster the source is Kafka and the
+    same withWatermark + window + append pipeline runs unchanged. State
+    is bounded at |open windows x event_types| BECAUSE of the watermark
+    — the whole point of declaring it.
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from data_pipeline_etl_spark.streaming.jobs import run_to_memory_sink
+
+    e = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    split = F.lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    late_pred = (F.col("ts") < cut) & (F.col("event_id") % 7 == 0)
+    parts = [
+        ("early", e.filter(~late_pred & (F.col("ts") < split))),
+        ("recent", e.filter(~late_pred & (F.col("ts") >= split))),
+        ("late", e.filter(late_pred)),
+    ]
+    tmp = tempfile.mkdtemp(prefix="q_stream_late_live_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        for idx, (tag, df) in enumerate(parts):
+            stage = os.path.join(tmp, tag)
+            # watermarks require TIMESTAMP (LTZ); the NTZ->LTZ cast and the
+            # NTZ cast-back below use the same session zone, so wall-clock
+            # day boundaries round-trip for any driver timezone
+            df.withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(in_dir, f"{idx}_{tag}.parquet")
+            shutil.move(part, dst)
+            # distinct mtimes pin the file->micro-batch order
+            os.utime(dst, (1_700_000_000 + idx * 100, 1_700_000_000 + idx * 100))
+        schema = (
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .withWatermark("ts", "1 hour")
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("day_start"),
+                "event_type",
+                "n",
+                "total",
+            )
+        )
+        qname = f"mem_late_live_{next(_MEM_SINK_SEQ)}"
+        run_to_memory_sink(agg, qname, output_mode="append")
+        # the memory sink is fully materialized; the staged files can go
+        return spark.table(qname)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "q_stream_session_live",
     oracle="""
     WITH deltas AS (

@@ -306,3 +306,45 @@ def test_apply_in_pandas_with_state(spark, tmp_path):
     for r in rows:  # last emission per user wins (update mode)
         final[r["user_id"]] = max(final.get(r["user_id"], 0), r["n_events"])
     assert final == {1: 3, 2: 1, 3: 1}  # state carried across batches
+
+
+def test_late_live_query_drops_late_subset(spark):
+    """The declared q_stream_late_live must exclude every row of its
+    late-delivered subset (pre-Jan-15, event_id % 7 == 0) and emit only
+    watermark-closed windows — asserted against the batch equivalents."""
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    res = {
+        (str(r["day_start"]), r["event_type"]): (r["n"], r["total"])
+        for r in QUERIES["q_stream_late_live"](spark, SF_DIR).collect()
+    }
+
+    e = table(spark, SF_DIR, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    late_pred = (F.col("ts") < cut) & (F.col("event_id") % 7 == 0)
+
+    def daily(df):
+        return {
+            (str(r["day_start"]), r["event_type"]): (r["n"], r["total"])
+            for r in df.groupBy(
+                F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day_start"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+            .collect()
+        }
+
+    with_late = daily(e)
+    without_late = daily(e.filter(~late_pred))
+
+    # the live result's windows carry the no-late counts, never the full ones
+    assert res
+    for k, v in res.items():
+        assert v == without_late[k], k
+    # at least one emitted window actually differs (i.e. late rows existed
+    # there and were dropped, not merely absent from the fixture)
+    assert any(with_late[k] != res[k] for k in res)
+    # only watermark-closed windows emit: the final (still-open) day is absent
+    last_day = max(k[0] for k in with_late)
+    assert all(k[0] != last_day for k in res)
