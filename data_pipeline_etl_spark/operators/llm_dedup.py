@@ -379,8 +379,17 @@ def q_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # || tok); the signature component is the lexicographic min over the doc's
 # distinct tokens. Engine-neutral (md5 hex is identical in Spark and DuckDB),
 # so unlike ml.MinHashLSH (q_dedup_minhash, rows-only) this is hash-checkable.
-_MINHASH_K = 8
-_MINHASH_BAND = 4  # 2 bands of 4 rows — the LSH bucketing key
+_MINHASH_K = 12
+_MINHASH_BAND = 3  # 4 bands of 3 rows — the LSH bucketing key
+# Band shape is a recall/precision dial: P(candidate | jaccard s) =
+# 1-(1-s^r)^b for b bands of r rows. The original 2x4 config gave 0.65 at
+# the s=0.8 decision threshold (measured 0.865/0.853 recall at
+# sf0.01/sf0.1 because most true pairs sit above 0.8); 4 bands of 3 gives
+# 0.943 at s=0.8 (measured below in tests/test_properties.py and
+# SCALE.md) while r=3 keeps the random-collision rate for unrelated pairs
+# near s^3 per band — the knee of the curve for a recall-first dedup
+# pipeline, where a missed near-dup is training-data contamination but a
+# false candidate only costs one exact-jaccard verification.
 
 
 def _minhash_sig(d: DataFrame, with_block: bool = False) -> DataFrame:

@@ -70,6 +70,8 @@ _FORCE_FRONT: list[str] = [
     # (b) round-5 touches:
     "q_math_funcs",     # output-affecting: bounded to 1-in-10 orderkey stripe
     "q_embed_whiten",   # nullif(sd,0) degenerate-dimension guard (both engines)
+    "q_dedup_minhash_sig",     # k=8->12, 2x4->4x3 bands (recall-first LSH)
+    "q_dedup_lsh_candidates",  # same band reconfiguration
 ]
 
 

@@ -18,6 +18,8 @@ from hypothesis import strategies as st
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_DIR
+
 SETTINGS = settings(
     max_examples=6,
     deadline=None,
@@ -248,3 +250,29 @@ def test_hyperplane_lsh_exact_duplicates_collide_everywhere(spark, vecs):
     for i in range(len(vecs)):
         assert sigs[2 * i] == sigs[2 * i + 1]
         assert len(sigs[2 * i]) == _LSH_BANDS
+
+
+def test_minhash_lsh_candidate_recall(spark):
+    """The banded-MinHash candidate set (q_dedup_lsh_candidates) must
+    recover >= 90% of the exact Jaccard >= 0.8 pairs (q_sim_jaccard).
+
+    Theory: P(candidate | jaccard s) = 1-(1-s^r)^b; the 4-band x 3-row
+    config gives 0.943 at the s=0.8 decision threshold and more above
+    it — measured 0.985 at sf0.01 / 0.977 at sf0.1 (SCALE.md). A config
+    regression that silently under-recalls (the old 2x4 bands measured
+    0.865) fails here.
+    """
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["q_sim_jaccard"](spark, SF_DIR).collect()
+    }
+    cand_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["q_dedup_lsh_candidates"](spark, SF_DIR).collect()
+    }
+    assert true_pairs, "truth set unexpectedly empty — fixture changed?"
+    recall = len(true_pairs & cand_pairs) / len(true_pairs)
+    assert recall >= 0.9, f"LSH candidate recall {recall:.3f} < 0.9"
