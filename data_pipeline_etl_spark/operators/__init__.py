@@ -13,6 +13,7 @@ import data_pipeline_etl_spark.operators.llm_similarity  # noqa: F401
 import data_pipeline_etl_spark.operators.llm_text  # noqa: F401
 import data_pipeline_etl_spark.operators.llm_multimodal  # noqa: F401
 import data_pipeline_etl_spark.operators.llm_pipeline  # noqa: F401
+import data_pipeline_etl_spark.operators.llm_corpus  # noqa: F401
 import data_pipeline_etl_spark.operators.udfs  # noqa: F401
 import data_pipeline_etl_spark.operators.quality  # noqa: F401
 import data_pipeline_etl_spark.operators.warehouse  # noqa: F401

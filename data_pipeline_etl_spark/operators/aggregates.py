@@ -399,3 +399,78 @@ def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") + 1).cast("long").alias("rnk"),
         )
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH cnt AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment, c_nationkey AS modal_nation, n FROM (
+      SELECT c_mktsegment, c_nationkey, n,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, c_nationkey) AS rn
+      FROM cnt
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic modal value: the most frequent nation per market
+    segment, ties broken by the smaller key.
+
+    Both engines ship a native mode() aggregate, but both document
+    arbitrary tie-breaking — useless for a hash-checked contract (and
+    for any reproducible pipeline). The count + row_number formulation
+    pins the tie and costs one extra |groups|-scale window after the
+    corpus-scale aggregate; the window partitions on the segment key,
+    so nothing row-scale moves through it.
+    """
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    cnt = c.groupBy("c_mktsegment", "c_nationkey").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("n"), F.asc("c_nationkey"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("c_nationkey").alias("modal_nation"), "n")
+    )
+
+
+@query(
+    "q_corr_regr",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(corr(l_extendedprice, l_quantity), 6)          AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 4)    AS price_qty_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 6)    AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)       AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: correlation, sample covariance,
+    and the OLS regression line of price on quantity.
+
+    corr/covar/regr_* are all single-pass mergeable moment aggregates
+    (partial per partition, merged at the exchange) — the same
+    two-phase HashAggregate shape as sum/avg, no second scan, no
+    collect. The moment sums fold doubles in partition order, so
+    outputs are rounded (6 dp for unit-free stats, 4 dp for the
+    price-scaled covariance/intercept) identically on both engines.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr(y, x), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp(y, x), 4).alias("price_qty_covar"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

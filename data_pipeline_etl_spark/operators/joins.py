@@ -427,3 +427,109 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@query(
+    "q_join_pointrange",
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             min(ts) - INTERVAL 15 MINUTE AS lo,
+             max(ts) + INTERVAL 15 MINUTE AS hi
+      FROM (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+        FROM deltas
+      )
+      GROUP BY user_id, sid
+    ),
+    err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    )
+    SELECT e.event_id, count(*) AS n_sessions
+    FROM err e JOIN sess s
+      ON s.user_id <> e.user_id AND e.ts >= s.lo AND e.ts <= s.hi
+    GROUP BY e.event_id
+    """,
+)
+def q_join_pointrange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join at scale: every error event matched to the
+    padded activity sessions of OTHER users that contain its timestamp
+    (concurrency attribution: "who else was active when this failed").
+
+    The scale problem: a point-in-range predicate has no equi key, so a
+    naive formulation is a nested-loop product — quadratic at 100 TB.
+    The bucketed-range-join technique manufactures one: each session
+    interval explodes into the hour buckets it covers (intervals are
+    minutes-long, so 1-3 buckets each, not a blowup), each point maps to
+    exactly one bucket, and the join becomes bucket-equi + residual
+    range filter. Every (session, point) pair meets in exactly one
+    bucket — the point's own — so no post-join dedup is needed. The
+    plan gate pins the hash join; CartesianProduct here is a perf bug.
+
+    Sessions: 30-minute-gap sessionization (lag + running sum, the
+    gaps-islands idiom mirrored exactly in the oracle), padded +-15
+    minutes so single-event sessions still span an interval. Padding <
+    half the gap keeps same-user sessions non-overlapping.
+    """
+    e = table(spark, sf_dir, "events")
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.lag("ts").over(w).isNull() | (um - F.lag(um).over(w) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        e.select("user_id", "ts", "event_id", brk.alias("brk"))
+        .withColumn("sid", F.sum("brk").over(run))
+        .groupBy("user_id", "sid")
+        .agg(
+            (F.min("ts") - F.expr("INTERVAL 15 MINUTES")).alias("lo"),
+            (F.max("ts") + F.expr("INTERVAL 15 MINUTES")).alias("hi"),
+        )
+    )
+    buckets = sess.select(
+        F.col("user_id").alias("s_user"),
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("lo")),
+                F.date_trunc("hour", F.col("hi")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    err = e.where(F.col("event_type") == "error").select(
+        "event_id",
+        F.col("user_id").alias("e_user"),
+        "ts",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    )
+    return (
+        err.join(
+            buckets,
+            (err.bucket == buckets.bucket)
+            & (F.col("s_user") != F.col("e_user"))
+            & (F.col("ts") >= F.col("lo"))
+            & (F.col("ts") <= F.col("hi")),
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )

@@ -1,0 +1,198 @@
+"""Group J+ — corpus-level statistics for training-data curation.
+
+Three operators a 100 TB text pipeline runs before training: distribution
+drift between corpus slices (KL divergence), Zipf-law fit per slice (a
+cheap corpus-health check — synthetic/looped text shows a degenerate
+slope), and benchmark contamination (what fraction of an eval set's
+n-grams already occur in the training corpus).
+
+All three reduce to token-frequency aggregates: one explode over the
+corpus, partial+final HashAggregate on (slice, token), then joins between
+the resulting frequency tables — which are |vocabulary|-sized, orders of
+magnitude smaller than the corpus itself. The corpus is scanned once per
+operator; everything after the first aggregate is vocabulary-scale.
+
+Float-fold discipline (see llm_similarity.py): per-term KL contributions
+are doubles summed in partition order, so results are rounded to 6 dp on
+both engines; each per-term ratio is computed from exact int64 counts
+(n*G and nl*g stay far below 2^63 at any realistic vocabulary size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import query
+from data_pipeline_etl_spark.sources.tables import table
+
+
+def _lang_tok_counts(d: DataFrame) -> DataFrame:
+    """(lang, tok) -> n: the one corpus-scan aggregate both stats reuse."""
+    return (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_text_kl",
+    oracle="""
+    WITH lang_tok AS (
+      SELECT lang, tok, count(*) AS n
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY lang, tok
+    ),
+    glob_tok AS (
+      SELECT tok, CAST(sum(n) AS BIGINT) AS g FROM lang_tok GROUP BY tok
+    ),
+    lang_tot AS (
+      SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM lang_tok GROUP BY lang
+    ),
+    glob_tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS gt FROM lang_tok
+    )
+    SELECT lt.lang,
+           count(*) AS n_terms,
+           round(sum((lt.n / CAST(t.nl AS DOUBLE))
+                     * ln((lt.n * g2.gt) / CAST(t.nl * gl.g AS DOUBLE))), 6) AS kl
+    FROM lang_tok lt
+    JOIN glob_tok gl ON lt.tok = gl.tok
+    JOIN lang_tot t  ON lt.lang = t.lang
+    CROSS JOIN glob_tot g2
+    GROUP BY lt.lang
+    """,
+)
+def q_text_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each language slice's unigram distribution from
+    the whole-corpus distribution: KL(P_lang || Q) = sum p*ln(p/q).
+
+    Drift detection between corpus slices (a new crawl snapshot vs the
+    incumbent mix). Every slice token occurs in the global table by
+    construction, so q > 0 and the log is always defined. The global
+    counts derive from the (lang, tok) partial — the corpus text is
+    exploded exactly once; the three totals joins are vocabulary-scale
+    (lang_tot is 5 rows, broadcast; the global total is a broadcast
+    one-row cross join, the scalar pattern from windows.py).
+    """
+    d = table(spark, sf_dir, "documents")
+    lang_tok = _lang_tok_counts(d)
+    glob_tok = lang_tok.groupBy("tok").agg(F.sum("n").alias("g"))
+    lang_tot = lang_tok.groupBy("lang").agg(F.sum("n").alias("nl"))
+    glob_tot = lang_tok.agg(F.sum("n").alias("gt"))
+    p = F.col("n") / F.col("nl")
+    # exact-int64 numerator/denominator, single double division per term
+    ratio = (F.col("n") * F.col("gt")) / (F.col("nl") * F.col("g")).cast("double")
+    return (
+        lang_tok.join(glob_tok, "tok")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(glob_tot))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum(p * F.log(ratio)), 6).alias("kl"),
+        )
+    )
+
+
+@query(
+    "q_text_zipf",
+    oracle="""
+    WITH lang_tok AS (
+      SELECT lang, tok, count(*) AS n
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY lang, tok
+    ),
+    ranked AS (
+      SELECT lang, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rnk
+      FROM lang_tok
+    )
+    SELECT lang,
+           count(*) AS n_vocab,
+           round(regr_slope(ln(n), ln(rnk)), 6) AS zipf_slope
+    FROM ranked
+    GROUP BY lang
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: OLS slope of ln(freq) on ln(rank).
+
+    Natural corpora fit slope ~ -1; templated or looped text (a common
+    crawl pathology) flattens or steepens the curve, so the slope is a
+    one-number corpus-health probe. Ranking is deterministic (freq desc,
+    token asc tiebreak); regr_slope aggregates doubles, rounded 6 dp.
+    The window partitions on lang — 5 partitions of vocabulary size,
+    nothing corpus-scale moves after the frequency aggregate.
+    """
+    d = table(spark, sf_dir, "documents")
+    lang_tok = _lang_tok_counts(d)
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    ranked = lang_tok.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("lang").agg(
+        F.count("*").alias("n_vocab"),
+        F.round(F.regr_slope(F.log("n"), F.log("rnk")), 6).alias("zipf_slope"),
+    )
+
+
+@query(
+    "q_contamination",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+             ))) AS bigram
+      FROM documents
+    ),
+    bench AS (
+      SELECT doc_id, bigram FROM grams WHERE source = 'src0'
+    ),
+    corpus AS (
+      SELECT DISTINCT bigram FROM grams WHERE source <> 'src0'
+    )
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           CAST(count(c.bigram) AS BIGINT) AS n_contam,
+           round(count(c.bigram) / CAST(count(*) AS DOUBLE), 6) AS contam_frac
+    FROM bench b LEFT JOIN corpus c ON b.bigram = c.bigram
+    GROUP BY b.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: for each held-out document (source
+    'src0' plays the eval set), the fraction of its distinct bigrams
+    that occur anywhere in the rest of the corpus.
+
+    The decontamination primitive every training pipeline runs before a
+    data release. Shape: distinct bigrams per benchmark doc (small side)
+    equi-joined to the corpus's distinct-bigram table on the bigram
+    string — an inverted-index join, never doc x doc. At 100 TB the
+    corpus side is the big one: the distinct-aggregate shrinks it to
+    |vocabulary^2-ish| before the join, and both sides shuffle once on
+    the bigram key (no broadcast assumption — a web-scale corpus's
+    bigram set does not fit in one executor).
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", "source", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+        .distinct()
+    )
+    bench = grams.where(F.col("source") == "src0").select("doc_id", "bigram")
+    corpus = (
+        grams.where(F.col("source") != "src0")
+        .select("bigram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return bench.join(corpus, "bigram", "left").groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.count("hit").alias("n_contam"),
+        F.round(F.count("hit") / F.count("*").cast("double"), 6).alias("contam_frac"),
+    )

@@ -507,3 +507,127 @@ def q_stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"mem_session_live_{next(_MEM_SINK_SEQ)}"
     run_to_memory_sink(agg, qname, output_mode="complete")
     return spark.table(qname)
+
+
+@query(
+    "q_time_ffill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    days AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    spine AS (SELECT user_id, day FROM users CROSS JOIN days),
+    daily AS (
+      SELECT user_id, day, value AS day_close FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    )
+    SELECT s.user_id, s.day,
+           last_value(d.day_close IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM spine s
+    LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def q_time_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill over a dense per-user calendar: each user's last
+    purchase value of the day, carried forward across days with no
+    purchase (last observation carried forward — the other half of
+    time-series densification next to q_date_spine's zero-fill).
+
+    Determinism: "last value of the day" is pinned by (ts desc,
+    event_id desc) row_number on both engines — never a bare last()
+    over an unordered group. Days before a user's first purchase stay
+    NULL identically on both sides. Scale shape: the spine is
+    |users| x |days| built from a broadcast day list (30 rows); the
+    fill window partitions per user and orders by day — state is one
+    value per user, and no corpus-scale data moves through the window
+    (daily is pre-aggregated to one row per user-day).
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", day.alias("day"), "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("day_close"))
+    )
+    bounds = e.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    spine = e.select("user_id").distinct().crossJoin(F.broadcast(days))
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("filled_value", F.last("day_close", ignorenulls=True).over(wf))
+        .select("user_id", "day", "filled_value")
+    )
+
+
+@query(
+    "q_stream_sliding_live",
+    oracle="""
+    WITH base AS (
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS s0,
+             event_type
+      FROM events
+    ),
+    expanded AS (
+      SELECT s0 AS win_start, event_type FROM base
+      UNION ALL
+      SELECT s0 - INTERVAL 30 MINUTE AS win_start, event_type FROM base
+    )
+    SELECT win_start, event_type, count(*) AS n
+    FROM expanded
+    GROUP BY win_start, event_type
+    """,
+)
+def q_stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-hour/30-minute sliding window executed as a REAL Structured
+    Streaming job (file source → overlapping-window state → complete-mode
+    memory sink, availableNow drain) — the fifth live contract, covering
+    MULTI-ASSIGNMENT state: every event updates two window rows, so the
+    state store carries |windows x event_types| entries with each event
+    folded into overlapping keys. Hash-checked against the same
+    window-expansion SQL oracle as batch q_stream_sliding; in production
+    a watermark bounds how long a window row stays in state, and the
+    file source swaps for Kafka with the pipeline unchanged.
+    """
+    from data_pipeline_etl_spark.streaming.jobs import run_to_memory_sink
+
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    qname = f"mem_sliding_live_{next(_MEM_SINK_SEQ)}"
+    run_to_memory_sink(agg, qname, output_mode="complete")
+    return spark.table(qname)

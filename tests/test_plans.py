@@ -179,3 +179,32 @@ def test_fanout_guard_is_noop_when_parallel(spark):
     assert fanout(wide) is wide  # already parallel: identity, no new node
     narrow = d.coalesce(1)
     assert fanout(narrow).rdd.getNumPartitions() == cpus
+
+
+def test_pointrange_join_is_bucket_equi(spark):
+    """The point-in-interval join must meet on the hour-bucket equi key
+    (hash join with the range predicate as residual) — a nested-loop
+    product here is quadratic at scale."""
+    plan = _plan(QUERIES["q_join_pointrange"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[bucket", plan), plan
+
+
+def test_contamination_inverted_index_join(spark):
+    """Benchmark-vs-corpus contamination joins on the bigram key after
+    distinct aggregation — never doc x doc."""
+    plan = _plan(QUERIES["q_contamination"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kl_single_corpus_explode(spark):
+    """The KL pipeline derives global counts from the (lang, tok)
+    partial — the corpus text must be exploded exactly once per scan
+    subtree, not once per totals table (4 scans of the same parquet is
+    the accepted re-read; a 4x explode would be the regression)."""
+    plan = _plan(QUERIES["q_text_kl"](spark, SF_DIR))
+    # one explode per parquet scan of documents: generator count == scan count
+    import re as _re
+    n_gen = len(_re.findall(r"Generate explode", plan))
+    n_scan = len(_re.findall(r"FileScan parquet.*documents", plan))
+    assert n_gen <= n_scan, plan
