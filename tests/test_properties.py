@@ -276,3 +276,59 @@ def test_minhash_lsh_candidate_recall(spark):
     assert true_pairs, "truth set unexpectedly empty — fixture changed?"
     recall = len(true_pairs & cand_pairs) / len(true_pairs)
     assert recall >= 0.9, f"LSH candidate recall {recall:.3f} < 0.9"
+
+
+def test_kl_nonnegative_and_zero_for_whole_corpus(spark):
+    """Gibbs' inequality: KL(P_lang || Q_corpus) >= 0 for every slice,
+    with equality only when the slice distribution equals the corpus's.
+    Runs on the real fixture — the invariant must hold for ANY corpus."""
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    rows = QUERIES["q_text_kl"](spark, SF_DIR).collect()
+    assert rows, "KL query returned no slices"
+    for r in rows:
+        assert r["kl"] >= 0.0, (r["lang"], r["kl"])
+
+
+def test_zipf_slope_negative(spark):
+    """Frequency is non-increasing in rank by construction, so the OLS
+    log-log slope must be <= 0 for any corpus with >= 2 vocab items."""
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    rows = QUERIES["q_text_zipf"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["n_vocab"] >= 2:
+            assert r["zipf_slope"] <= 0.0, (r["lang"], r["zipf_slope"])
+
+
+def test_contamination_bounds_and_planted_dup(spark):
+    """contam_frac in [0,1] on the fixture; a benchmark text planted
+    verbatim in the corpus must score exactly 1.0 (its every bigram
+    occurs elsewhere) — the guarantee decontamination relies on."""
+    from data_pipeline_etl_spark.operators.llm_corpus import q_contamination
+    from data_pipeline_etl_spark.registry import load_all_operators
+
+    load_all_operators()
+    for r in q_contamination(spark, SF_DIR).collect():
+        assert 0.0 <= r["contam_frac"] <= 1.0
+
+    import tempfile, os
+    from pyspark.sql import functions as _F
+
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    planted_text = base.where(_F.col("source") == "src0").orderBy("doc_id").first()["text"]
+    extra = spark.createDataFrame(
+        [(999_999, planted_text, "en", "src5", len(planted_text))],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        aug = os.path.join(tmp, "aug")
+        base.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+            extra
+        ).write.parquet(os.path.join(aug, "documents.parquet"))
+        planted_id = base.where(_F.col("source") == "src0").orderBy("doc_id").first()["doc_id"]
+        scores = {r["doc_id"]: r["contam_frac"] for r in q_contamination(spark, aug).collect()}
+        assert scores[planted_id] == 1.0, scores.get(planted_id)
