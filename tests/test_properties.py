@@ -332,3 +332,31 @@ def test_contamination_bounds_and_planted_dup(spark):
         planted_id = base.where(_F.col("source") == "src0").orderBy("doc_id").first()["doc_id"]
         scores = {r["doc_id"]: r["contam_frac"] for r in q_contamination(spark, aug).collect()}
         assert scores[planted_id] == 1.0, scores.get(planted_id)
+
+
+def test_hyperplane_bits_pandas_bitexact(spark):
+    """The vectorized (numpy/Arrow) hyperplane-bit path must produce
+    bit-identical signs to the interpreted SQL fold for every fixture
+    vector — the guarantee that lets a cluster run swap it in without
+    re-validating parity. Accumulation order is dimension-sequential on
+    both paths, so every float64 partial sum matches, not just signs."""
+    from data_pipeline_etl_spark.operators.llm_similarity import (
+        _LSH_PLANES,
+        _PLANE_SQL,
+        hyperplane_bits_pandas,
+    )
+    from data_pipeline_etl_spark.sources.tables import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    sql_bits = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(0, {_LSH_PLANES - 1}), j -> "
+            f"CASE WHEN aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), "
+            f"(acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE) * {_PLANE_SQL}"
+            f") >= 0 THEN 1 ELSE 0 END)"
+        ).alias("bits"),
+    )
+    a = {r["vec_id"]: list(r["bits"]) for r in sql_bits.collect()}
+    b = {r["vec_id"]: list(r["bits"]) for r in hyperplane_bits_pandas(emb).collect()}
+    assert a == b
