@@ -70,17 +70,35 @@ def q_text_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Drift detection between corpus slices (a new crawl snapshot vs the
     incumbent mix). Every slice token occurs in the global table by
-    construction, so q > 0 and the log is always defined. The global
-    counts derive from the (lang, tok) partial — the corpus text is
-    exploded exactly once; the three totals joins are vocabulary-scale
-    (lang_tot is 5 rows, broadcast; the global total is a broadcast
-    one-row cross join, the scalar pattern from windows.py).
+    construction, so q > 0 and the log is always defined.
+
+    One-pass shape: the four frequency tables the formula needs —
+    (lang, tok), (lang), (tok), and the grand total — come from a
+    SINGLE cube aggregate over one corpus explode, split by
+    grouping_id, with the vocabulary-scale cube output materialized
+    once via localCheckpoint (the sanctioned barrier from
+    q_dedup_cluster). Both halves matter: separate groupBys planned as
+    FOUR corpus scans + explodes, and even the shared cube is NOT
+    deduplicated by ReuseExchange alone — column pruning specializes
+    each branch's aggregate (the lang-total branch drops `tok`), so the
+    four exchanges stop being identical and Catalyst re-reads the
+    corpus per branch (measured: 4 FileScans without the barrier, 1
+    with — pinned by tests/test_plans.py). The 4× Expand multiplies
+    rows before the partial agg, where map-side combine immediately
+    collapses them to ≤ 4·|lang × vocab| per partition; the
+    checkpointed table is |lang × vocab|, trivially re-scannable.
     """
     d = table(spark, sf_dir, "documents")
-    lang_tok = _lang_tok_counts(d)
-    glob_tok = lang_tok.groupBy("tok").agg(F.sum("n").alias("g"))
-    lang_tot = lang_tok.groupBy("lang").agg(F.sum("n").alias("nl"))
-    glob_tot = lang_tok.agg(F.sum("n").alias("gt"))
+    ex = d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    cube = (
+        ex.cube("lang", "tok")
+        .agg(F.count("*").alias("n"), F.grouping_id().alias("gid"))
+        .localCheckpoint()
+    )
+    lang_tok = cube.where(F.col("gid") == 0).select("lang", "tok", "n")
+    lang_tot = cube.where(F.col("gid") == 1).select("lang", F.col("n").alias("nl"))
+    glob_tok = cube.where(F.col("gid") == 2).select("tok", F.col("n").alias("g"))
+    glob_tot = cube.where(F.col("gid") == 3).select(F.col("n").alias("gt"))
     p = F.col("n") / F.col("nl")
     # exact-int64 numerator/denominator, single double division per term
     ratio = (F.col("n") * F.col("gt")) / (F.col("nl") * F.col("g")).cast("double")

@@ -198,13 +198,15 @@ def test_contamination_inverted_index_join(spark):
 
 
 def test_kl_single_corpus_explode(spark):
-    """The KL pipeline derives global counts from the (lang, tok)
-    partial — the corpus text must be exploded exactly once per scan
-    subtree, not once per totals table (4 scans of the same parquet is
-    the accepted re-read; a 4x explode would be the regression)."""
+    """The KL pipeline must read + explode the corpus exactly ONCE: the
+    cube aggregate computes all four frequency tables in one pass and
+    the localCheckpoint barrier stops column pruning from specializing
+    (and thus quadruplicating) the corpus subtree per branch. Without
+    the barrier this planned as 4 FileScans + 4 explodes."""
     plan = _plan(QUERIES["q_text_kl"](spark, SF_DIR))
-    # one explode per parquet scan of documents: generator count == scan count
     import re as _re
     n_gen = len(_re.findall(r"Generate explode", plan))
     n_scan = len(_re.findall(r"FileScan parquet.*documents", plan))
-    assert n_gen <= n_scan, plan
+    assert n_gen == 0 and n_scan == 0, plan  # barrier upstream of this plan
+    # the checkpointed cube feeds all four branches
+    assert "Scan ExistingRDD" in plan, plan
