@@ -631,3 +631,66 @@ def q_stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"mem_sliding_live_{next(_MEM_SINK_SEQ)}"
     run_to_memory_sink(agg, qname, output_mode="complete")
     return spark.table(qname)
+
+
+@query(
+    "q_stream_join_live",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    """,
+)
+def q_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed as a REAL Structured
+    Streaming job — the sixth live contract, covering TWO-SIDED state:
+    each purchase joins every click by the same user in the preceding
+    30 minutes, with both sides arriving as streams (two file sources
+    over the same backlog, watermarked, append-mode memory sink,
+    availableNow drain). Hash-checked against the plain SQL interval
+    join.
+
+    This is the streaming semantics batch users hit first when they
+    move a funnel join to a stream: BOTH sides buffer in the state
+    store until the watermark passes the time-range bound, because a
+    match can arrive on either side first. The equality key (user_id)
+    plus the time-range condition is exactly what Spark requires to
+    bound that state — remove either and the state store must hold a
+    side forever. The fixture backlog drains in one micro-batch per
+    side, so no row is evicted before its matches arrive and the
+    result equals the batch join exactly; on a cluster the same
+    pipeline runs against two Kafka topics with the watermark actually
+    evicting, and the join emits matches incrementally.
+
+    Output is integer-only (ids + whole-second gap), so the hash check
+    is immune to timestamp canonicalization differences.
+    """
+    from data_pipeline_etl_spark.streaming.jobs import run_to_memory_sink
+
+    def side(alias_id: str, etype: str, ts_name: str):
+        s = _events_stream(spark, sf_dir).where(F.col("event_type") == etype)
+        return s.select(
+            F.col("event_id").alias(alias_id),
+            F.col("user_id").alias(f"{ts_name}_user"),
+            F.col("ts").cast("timestamp").alias(ts_name),
+        ).withWatermark(ts_name, "40 days")
+
+    p = side("purchase_id", "purchase", "p_ts")
+    c = side("click_id", "click", "c_ts")
+    joined = p.join(
+        c,
+        (F.col("p_ts_user") == F.col("c_ts_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias("gap_sec"),
+    )
+    qname = f"mem_join_live_{next(_MEM_SINK_SEQ)}"
+    run_to_memory_sink(joined, qname, output_mode="append")
+    return spark.table(qname)
