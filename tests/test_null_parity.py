@@ -139,3 +139,55 @@ def test_null_safe_queries_still_green(spark, duck):
 
     for name in ("q_agg_stringagg", "q_win_share", "q_mix_weighted"):
         test_oracle_parity(name, spark, duck)
+
+
+def test_corr_regr_skip_null_pairs(spark, duck):
+    """corr/covar/regr_* must skip a pair when EITHER side is NULL, on
+    both engines (SQL-standard pairwise deletion) — the branch
+    q_corr_regr would hit if the fixtures ever gained NULL measures."""
+    rows = [("a", 1.0, 2.0), ("a", 2.0, None), ("a", None, 9.0),
+            ("a", 3.0, 6.0), ("a", 4.0, 8.0)]
+    sdf = spark.createDataFrame(rows, "g STRING, x DOUBLE, y DOUBLE")
+    got = (
+        sdf.groupBy("g")
+        .agg(
+            F.round(F.corr("y", "x"), 6).alias("c"),
+            F.round(F.regr_slope("y", "x"), 6).alias("s"),
+            F.regr_count("y", "x").alias("n"),
+        )
+        .collect()[0]
+    )
+    want = duck.sql(
+        """
+        SELECT round(corr(y, x), 6) AS c,
+               round(regr_slope(y, x), 6) AS s,
+               regr_count(y, x) AS n
+        FROM (VALUES (1.0, 2.0), (2.0, NULL), (NULL, 9.0),
+                     (3.0, 6.0), (4.0, 8.0)) v(x, y)
+        """
+    ).fetchall()[0]
+    assert (got["c"], got["s"], int(got["n"])) == (want[0], want[1], int(want[2]))
+
+
+def test_tokenize_null_text_drops_row_on_both_engines(spark, duck):
+    """explode(split(NULL)) emits nothing in Spark; unnest(string_split(
+    NULL)) emits nothing in DuckDB — so a NULL-text document silently
+    vanishes from every token aggregate (kl/zipf/topterms/contamination)
+    on BOTH engines, keeping parity. An empty string is different: both
+    engines tokenize '' to one empty token [''] — also agreeing."""
+    sdf = spark.createDataFrame(
+        [("n", None), ("e", ""), ("w", "a b")], "id STRING, text STRING"
+    )
+    got = sorted(
+        (r["id"], r["tok"])
+        for r in sdf.select("id", F.explode(F.split("text", " ")).alias("tok")).collect()
+    )
+    want = sorted(
+        duck.sql(
+            """
+            SELECT id, unnest(string_split(text, ' ')) AS tok
+            FROM (VALUES ('n', NULL), ('e', ''), ('w', 'a b')) v(id, text)
+            """
+        ).fetchall()
+    )
+    assert got == [tuple(w) for w in want]

@@ -210,3 +210,27 @@ def test_kl_single_corpus_explode(spark):
     assert n_gen == 0 and n_scan == 0, plan  # barrier upstream of this plan
     # the checkpointed cube feeds all four branches
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_ffill_window_after_preaggregated_join(spark):
+    """Forward-fill must feed the per-user window from the one-row-per
+    user-day pre-aggregate, with the 30-row day spine broadcast — never
+    sorting corpus-scale rows. Pin: exactly one corpus-side parquet scan
+    of events per subtree and no shuffle of the events table AFTER the
+    daily aggregate's exchange (window partitions reuse user_id keys)."""
+    plan = _plan(QUERIES["q_time_ffill"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the spine cross join is the broadcast-small sanctioned shape
+    assert "BroadcastNestedLoopJoin" in plan
+    # windows sort within hash-partitioned user_id, never globally
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_mode_and_corr_partial_aggregation(spark):
+    """Deterministic mode and the moment aggregates must both keep the
+    two-phase partial->final HashAggregate shape (map-side combine
+    bounds shuffle volume by |groups|)."""
+    for name in ("q_agg_mode", "q_corr_regr"):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert plan.count("HashAggregate") >= 2, name
+        assert "Exchange hashpartitioning" in plan, name
