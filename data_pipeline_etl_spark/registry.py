@@ -72,6 +72,12 @@ _FORCE_FRONT: list[str] = [
     "q_embed_whiten",   # nullif(sd,0) degenerate-dimension guard (both engines)
     "q_dedup_minhash_sig",     # k=8->12, 2x4->4x3 bands (recall-first LSH)
     "q_dedup_lsh_candidates",  # same band reconfiguration
+    # module-level r5 edit in llm_similarity.py (hyperplane_bits_pandas
+    # helper + docstrings). The two r4-graded queries in that module are
+    # value-unaffected, but touched-module ⇒ re-grade is cheaper than
+    # being wrong about that:
+    "q_sim_neardup",
+    "q_sim_pairs_lsh",
 ]
 
 
