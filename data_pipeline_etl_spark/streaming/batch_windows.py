@@ -694,3 +694,84 @@ def q_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"mem_join_live_{next(_MEM_SINK_SEQ)}"
     run_to_memory_sink(joined, qname, output_mode="append")
     return spark.table(qname)
+
+
+@query(
+    "q_stream_state_live",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rnt
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, rn - rnt AS grp, count(*) AS run_len
+      FROM ordered GROUP BY user_id, event_type, rn - rnt
+    )
+    SELECT user_id,
+           CAST(sum(run_len) AS BIGINT) AS n_events,
+           CAST(max(run_len) AS BIGINT) AS longest_run
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_stream_state_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator executed LIVE — the seventh
+    live contract, and the one that exercises arbitrary user state:
+    applyInPandasWithState maintains per-user (count, longest
+    same-event-type run, trailing run type/length) in GroupState and
+    folds each micro-batch's rows into it in (ts, event_id) order.
+
+    "Longest consecutive same-type run" is deliberately an aggregate no
+    built-in streaming operator expresses — the case for which
+    applyInPandasWithState exists. The trailing run carries across
+    micro-batches so a streak spanning a batch boundary is counted
+    whole; the fixture backlog is one parquet file → one micro-batch,
+    making the update-mode emission exactly one row per user and the
+    result hash-checkable against the batch gaps-and-islands oracle
+    (run = rn - rn_by_type grouping). Integer-only output.
+
+    Scale: state is O(1) per user (four scalars), partitioned by the
+    group key across the cluster; Python sees Arrow batches per key.
+    This is the declared Python surface by design — the plan gate
+    allowlists it next to the other UDF-surface queries.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from data_pipeline_etl_spark.streaming.jobs import run_to_memory_sink
+
+    def longest_run(key, pdfs, state: GroupState):
+        if state.exists:
+            n, longest, run_type, run_len = state.get
+        else:
+            n, longest, run_type, run_len = 0, 0, None, 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for et in pdf["event_type"]:
+                n += 1
+                run_len = run_len + 1 if et == run_type else 1
+                run_type = et
+                if run_len > longest:
+                    longest = run_len
+        state.update((n, longest, run_type if run_type is not None else "", run_len))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "longest_run": [longest]}
+        )
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "event_type"
+    )
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        longest_run,
+        outputStructType="user_id BIGINT, n_events BIGINT, longest_run BIGINT",
+        stateStructType="n BIGINT, longest BIGINT, run_type STRING, run_len BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = f"mem_state_live_{next(_MEM_SINK_SEQ)}"
+    run_to_memory_sink(counted, qname, output_mode="update")
+    return spark.table(qname)
