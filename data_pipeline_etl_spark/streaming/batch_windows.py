@@ -738,40 +738,15 @@ def q_stream_state_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the declared Python surface by design — the plan gate
     allowlists it next to the other UDF-surface queries.
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    from data_pipeline_etl_spark.streaming.jobs import run_to_memory_sink
-
-    def longest_run(key, pdfs, state: GroupState):
-        if state.exists:
-            n, longest, run_type, run_len = state.get
-        else:
-            n, longest, run_type, run_len = 0, 0, None, 0
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        if len(pdf):
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            for et in pdf["event_type"]:
-                n += 1
-                run_len = run_len + 1 if et == run_type else 1
-                run_type = et
-                if run_len > longest:
-                    longest = run_len
-        state.update((n, longest, run_type if run_type is not None else "", run_len))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "longest_run": [longest]}
-        )
+    from data_pipeline_etl_spark.streaming.jobs import (
+        longest_run_per_user,
+        run_to_memory_sink,
+    )
 
     stream = _events_stream(spark, sf_dir).select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "event_type"
     )
-    counted = stream.groupBy("user_id").applyInPandasWithState(
-        longest_run,
-        outputStructType="user_id BIGINT, n_events BIGINT, longest_run BIGINT",
-        stateStructType="n BIGINT, longest BIGINT, run_type STRING, run_len BIGINT",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    counted = longest_run_per_user(stream)
     qname = f"mem_state_live_{next(_MEM_SINK_SEQ)}"
     run_to_memory_sink(counted, qname, output_mode="update")
     return spark.table(qname)

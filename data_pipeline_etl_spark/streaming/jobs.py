@@ -94,3 +94,45 @@ def run_foreach_batch_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def longest_run_state_fn(key, pdfs, state):
+    """GroupState fold for longest_run_per_user: carries (count, longest
+    run, trailing run type, trailing run length) so a streak spanning a
+    micro-batch boundary is counted whole. Rows fold in (ts, event_id)
+    order within each batch; the empty-string sentinel stands in for
+    "no trailing run yet" (never equals a real event type)."""
+    import pandas as pd
+
+    if state.exists:
+        n, longest, run_type, run_len = state.get
+    else:
+        n, longest, run_type, run_len = 0, 0, "", 0
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for et in pdf["event_type"]:
+            n += 1
+            run_len = run_len + 1 if et == run_type else 1
+            run_type = et
+            if run_len > longest:
+                longest = run_len
+    state.update((n, longest, run_type, run_len))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "longest_run": [longest]})
+
+
+def longest_run_per_user(stream_df: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user longest consecutive
+    same-event-type run via applyInPandasWithState (the aggregate no
+    built-in streaming operator expresses). Input needs columns
+    user_id, ts, event_id, event_type. Update-mode output; the last
+    emission per user carries the final totals."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        longest_run_state_fn,
+        outputStructType="user_id BIGINT, n_events BIGINT, longest_run BIGINT",
+        stateStructType="n BIGINT, longest BIGINT, run_type STRING, run_len BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -348,3 +348,41 @@ def test_late_live_query_drops_late_subset(spark):
     # only watermark-closed windows emit: the final (still-open) day is absent
     last_day = max(k[0] for k in with_late)
     assert all(k[0] != last_day for k in res)
+
+
+def test_longest_run_streak_spans_batch_boundary(spark, tmp_path):
+    """The GroupState fold behind q_stream_state_live must count a
+    same-type streak that straddles a micro-batch boundary as ONE run:
+    user 1 sends view,view in batch 0 and view,view,click in batch 1 —
+    longest run is 4, not max(2, 3)."""
+    src = str(tmp_path / "streak_src")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+            (2, _ts("2024-01-01 10:01:00"), 1, "view", 1.0, "{}"),
+            (3, _ts("2024-01-01 10:00:30"), 2, "click", 1.0, "{}"),
+        ],
+    )
+    _write_batch(
+        spark,
+        src,
+        [
+            (4, _ts("2024-01-01 10:02:00"), 1, "view", 1.0, "{}"),
+            (5, _ts("2024-01-01 10:03:00"), 1, "view", 1.0, "{}"),
+            (6, _ts("2024-01-01 10:04:00"), 1, "click", 1.0, "{}"),
+            (7, _ts("2024-01-01 10:05:00"), 2, "click", 1.0, "{}"),
+        ],
+    )
+    stream = jobs.events_file_stream(spark, src).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    jobs.run_to_memory_sink(jobs.longest_run_per_user(stream), "streak_mem", "update")
+    rows = spark.sql("SELECT * FROM streak_mem").collect()
+    final = {}
+    for r in rows:  # update mode: the emission with the max count is final
+        if r["n_events"] >= final.get(r["user_id"], (0, 0))[0]:
+            final[r["user_id"]] = (r["n_events"], r["longest_run"])
+    assert final[1] == (5, 4)  # 4-long view streak across the boundary
+    assert final[2] == (2, 2)  # click streak accumulated across batches
