@@ -78,6 +78,13 @@ _FORCE_FRONT: list[str] = [
     # being wrong about that:
     "q_sim_neardup",
     "q_sim_pairs_lsh",
+    # (c) round-5 second-segment touches: run_to_memory_sink gained a
+    # state_partitions knob (streaming/jobs.py) — physical state layout
+    # only, values identical, but it is in the execution path of every
+    # live streaming query. The two with an r4 grade re-grade now; the
+    # rest are r0 (never graded) or already forced above.
+    "q_stream_dedup_live",
+    "q_stream_session_live",
 ]
 
 
