@@ -85,6 +85,7 @@ _FORCE_FRONT: list[str] = [
     # rest are r0 (never graded) or already forced above.
     "q_stream_dedup_live",
     "q_stream_session_live",
+    "q_agg_percentile",  # array-form shared quantile buffer (bit-identical, measured)
 ]
 
 
