@@ -247,6 +247,61 @@ _SIG_DUCK = " + ".join(
     for t in range(_LSH_ROWS)
 )
 
+_BITS_SPARK = (
+    f"transform(sequence(0, {_LSH_PLANES - 1}), j -> "
+    f"CASE WHEN aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), "
+    f"(acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE) * {_PLANE_SQL}"
+    f") >= 0 THEN 1 ELSE 0 END)"
+)
+
+_BANDS_SPARK = (
+    f"transform(sequence(0, {_LSH_BANDS - 1}), k -> "
+    f"aggregate(sequence(1, {_LSH_ROWS}), 0, "
+    f"(acc, t) -> acc * 2 + element_at(bits, {_LSH_ROWS} * k + t)))"
+)
+
+
+def _band_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ordered candidate pairs (a < b) from the LSH band buckets.
+
+    Shape: ONE signature pass (32 interpreted folds per vector — the
+    dominant linear cost at corpus scale), ONE shuffle into (band, sig)
+    buckets, then pair expansion *inside* each bucket via collect_list +
+    in-array combination explode. The earlier sigs-self-join formulation
+    evaluated the whole signature subtree twice (once per join side —
+    Catalyst does not reuse the exchange across the differently-aliased
+    branches; verified 4 scans / 9 exchanges in the executed plan) and
+    shuffled both copies. Bucket membership lists are bounded by the band
+    collision probability (see _LSH_BANDS above), so the in-bucket
+    quadratic expansion is bounded the same way the joined pair count
+    always was — identical candidate set, half the signature compute.
+    """
+    from data_pipeline_etl_spark.sources.tables import fanout
+
+    sigs = (
+        fanout(table(spark, sf_dir, "embeddings"))
+        .withColumn("bits", F.expr(_BITS_SPARK))
+        .select("vec_id", F.posexplode(F.expr(_BANDS_SPARK)).alias("band", "sig"))
+    )
+    buckets = (
+        sigs.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+
 
 @query(
     "q_sim_neardup",
@@ -286,8 +341,9 @@ def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Topology: one linear pass computes 32 sign bits per vector (the
     hyperplanes are hashed into existence — no side table, no broadcast),
-    bits pack into 4×8-bit band signatures, candidates come from the
-    (band, sig) self-equi-join, and only candidate pairs pay the exact
+    bits pack into 4×8-bit band signatures, candidate pairs expand inside
+    the (band, sig) buckets (_band_candidate_pairs — single signature
+    evaluation, single shuffle), and only candidate pairs pay the exact
     cosine fold. Bucket sizes are bounded by the band collision
     probability (see _LSH_BANDS above), NOT by a fixed low-cardinality
     metadata key — this is the 100 TB-safe blocking the label-cell
@@ -297,32 +353,23 @@ def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_pipeline_etl_spark.sources.tables import fanout
 
-    # 32 interpreted 64-dim folds per vector for the sign bits plus one
-    # fold per candidate pair: parallelize the scan (measured -1.9 s at
-    # sf0.1 vs a single-task single-row-group scan; no-op on clusters)
+    # fanout: parallelize the single-row-group fixture scan for the
+    # 32 interpreted 64-dim folds per vector (no-op on clusters)
     base = fanout(_normed(spark, sf_dir))
-    bits = F.expr(
-        f"transform(sequence(0, {_LSH_PLANES - 1}), j -> "
-        f"CASE WHEN aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), "
-        f"(acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE) * {_PLANE_SQL}"
-        f") >= 0 THEN 1 ELSE 0 END)"
-    )
-    bands = F.expr(
-        f"transform(sequence(0, {_LSH_BANDS - 1}), k -> "
-        f"aggregate(sequence(1, {_LSH_ROWS}), 0, "
-        f"(acc, t) -> acc * 2 + element_at(bits, {_LSH_ROWS} * k + t)))"
-    )
-    sigs = (
-        base.withColumn("bits", bits)
-        .select("vec_id", F.posexplode(bands).alias("band", "sig"))
-    )
-    a = sigs.select(F.col("vec_id").alias("q_id"), "band", "sig")
-    b = sigs.select(F.col("vec_id").alias("c_id"), "band", "sig")
+    # nearest-NEIGHBOR needs both directions of each unordered pair: fan
+    # each row out locally (a union of two projections would evaluate
+    # the whole candidate subtree twice — the waste this query just shed)
     pairs = (
-        a.join(b, ["band", "sig"])
-        .where(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .distinct()
+        _band_candidate_pairs(spark, sf_dir)
+        .select(
+            F.explode(
+                F.expr(
+                    "array(struct(a AS q_id, b AS c_id), "
+                    "struct(b AS q_id, a AS c_id))"
+                )
+            ).alias("p")
+        )
+        .select("p.q_id", "p.c_id")
     )
     qa = base.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
@@ -382,33 +429,15 @@ def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band collision probability), never |corpus|² — and the τ filter is
     applied AFTER exact rescoring, so band false positives cost one fold
     each and false-negative rates are the documented LSH recall curve,
-    tunable via bits-per-band.
+    tunable via bits-per-band. Candidates come from _band_candidate_pairs
+    (one signature pass, one shuffle, in-bucket pair expansion), already
+    in the ordered a < b pair space this query emits.
     """
     from data_pipeline_etl_spark.sources.tables import fanout
 
     base = fanout(_normed(spark, sf_dir))
-    bits = F.expr(
-        f"transform(sequence(0, {_LSH_PLANES - 1}), j -> "
-        f"CASE WHEN aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), "
-        f"(acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE) * {_PLANE_SQL}"
-        f") >= 0 THEN 1 ELSE 0 END)"
-    )
-    bands = F.expr(
-        f"transform(sequence(0, {_LSH_BANDS - 1}), k -> "
-        f"aggregate(sequence(1, {_LSH_ROWS}), 0, "
-        f"(acc, t) -> acc * 2 + element_at(bits, {_LSH_ROWS} * k + t)))"
-    )
-    sigs = (
-        base.withColumn("bits", bits)
-        .select("vec_id", F.posexplode(bands).alias("band", "sig"))
-    )
-    a = sigs.select(F.col("vec_id").alias("q_id"), "band", "sig")
-    b = sigs.select(F.col("vec_id").alias("c_id"), "band", "sig")
-    pairs = (
-        a.join(b, ["band", "sig"])
-        .where(F.col("q_id") < F.col("c_id"))
-        .select("q_id", "c_id")
-        .distinct()
+    pairs = _band_candidate_pairs(spark, sf_dir).select(
+        F.col("a").alias("q_id"), F.col("b").alias("c_id")
     )
     qa = base.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
