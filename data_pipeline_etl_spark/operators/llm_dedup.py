@@ -510,13 +510,20 @@ def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The full hash-checked LSH pipeline: signatures (linear groupBy) →
     band keys → candidates = docs sharing a band within a (lang, source)
-    block — a groupBy on the band key, never an all-pairs join — then
-    Jaccard estimated as the fraction of agreeing signature components
-    (two |docs|-sized joins onto the |pairs|-sized candidate frame).
-    Blocking by metadata bounds the fixture's degenerate band-collision
-    rate (31-token vocabulary, memory: fixture-traps); on a real corpus
-    the band collision probability (~jaccard^band_size) is what prunes
-    the pair space and the block key can drop away entirely.
+    block — pair expansion INSIDE the band buckets (collect_list +
+    combination explode), never an all-pairs join. Each doc's signature
+    rides along into its buckets, so the tokenize + k-min signature
+    subtree evaluates exactly ONCE; the earlier band self-join plus two
+    signature re-joins evaluated it four times (Catalyst does not reuse
+    the exchange across differently-aliased branches). The per-pair
+    Jaccard estimate (fraction of agreeing components) is computed
+    in-place from the carried signatures — 12 string compares per
+    colliding band, trivially cheaper than re-deriving signatures.
+    Bucket membership stays bounded: blocking by metadata bounds the
+    fixture's degenerate band-collision rate (31-token vocabulary,
+    memory: fixture-traps); on a real corpus the band collision
+    probability (~jaccard^band_size) is what prunes the pair space and
+    the block key can drop away entirely.
     """
     d = table(spark, sf_dir, "documents")
     sig = _minhash_sig(d, with_block=True)
@@ -525,37 +532,41 @@ def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "source",
+        F.array(*[F.col(f"mh{i}") for i in range(_MINHASH_K)]).alias("mh"),
         F.posexplode(F.array(*[_band_key(b) for b in range(n_bands)])).alias(
             "band_idx", "band_key"
         ),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        bands.groupBy("lang", "source", "band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "mh"))).alias("members"))
+        .where(F.size("members") >= 2)
+    )
+    pair_rows = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members) - i - 1), "
+                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                    "x.mh AS mha, y.mh AS mhb))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_shared_bands"))
-    )
-    sa = sig.select("doc_id", *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(_MINHASH_K)])
-    sb = sig.select("doc_id", *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(_MINHASH_K)])
-    agree = sum(
-        (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")).cast("int") for i in range(_MINHASH_K)
-    )
-    return (
-        cand.join(sa.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(sb.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .select(
-            "doc_a",
-            "doc_b",
-            "n_shared_bands",
-            F.round(agree / float(_MINHASH_K), 6).alias("jaccard_est"),
+            "p.doc_a",
+            "p.doc_b",
+            F.size(
+                F.filter(
+                    F.zip_with("p.mha", "p.mhb", lambda x, y: x == y), lambda v: v
+                )
+            ).alias("agree"),
         )
+    )
+    return pair_rows.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_shared_bands"),
+        # every colliding band carries the same two signatures; max = the value
+        F.round(F.max("agree") / float(_MINHASH_K), 6).alias("jaccard_est"),
     )
 
 
