@@ -234,3 +234,44 @@ def test_mode_and_corr_partial_aggregation(spark):
         plan = _plan(QUERIES[name](spark, SF_DIR))
         assert plan.count("HashAggregate") >= 2, name
         assert "Exchange hashpartitioning" in plan, name
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """AQE runtime filtering: a selective dim-side predicate compiles
+    into a bloom filter evaluated on the FACT side before the shuffle
+    join — at 100 TB this is what turns "join then discard 99% of fact
+    rows" into "discard at the scan". Pin: with broadcast disabled (on a
+    cluster the dim side can exceed the broadcast threshold) the
+    executed plan carries bloom_filter_agg/might_contain, and the result
+    is identical with the filter disabled."""
+    saved = {}
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k)
+        spark.conf.set(k, v)
+    try:
+        from data_pipeline_etl_spark.sources.tables import table
+
+        def join():
+            l = table(spark, SF_DIR, "lineitem")
+            o = table(spark, SF_DIR, "orders").where("o_orderpriority = '1-URGENT'")
+            return (
+                l.join(o, l.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n"))
+            )
+
+        plan = _plan(join())
+        assert "bloom_filter_agg" in plan or "might_contain" in plan, plan
+        with_bloom = {tuple(r) for r in join().collect()}
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        without_bloom = {tuple(r) for r in join().collect()}
+        assert with_bloom == without_bloom
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        for k, v in saved.items():
+            spark.conf.set(k, v)

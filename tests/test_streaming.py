@@ -386,3 +386,48 @@ def test_longest_run_streak_spans_batch_boundary(spark, tmp_path):
             final[r["user_id"]] = (r["n_events"], r["longest_run"])
     assert final[1] == (5, 4)  # 4-long view streak across the boundary
     assert final[2] == (2, 2)  # click streak accumulated across batches
+
+
+def test_rocksdb_state_store_equals_batch(spark, events_stream_dir, tmp_path):
+    """The RocksDB state store provider — the 100 TB streaming answer
+    (state lives in per-partition on-disk RocksDB instances instead of
+    executor heap, so keyed state can exceed memory) — must produce the
+    exact batch result through the same tumbling aggregation, and its
+    SST files in the checkpoint prove the provider actually backed the
+    state rather than silently falling back to the default."""
+    import os
+
+    ckpt = str(tmp_path / "rocksdb_ckpt")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            jobs.tumbling_counts(jobs.events_file_stream(spark, events_stream_dir))
+            .writeStream.format("memory")
+            .queryName("rocksdb_mem")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.unset(key)
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM rocksdb_mem").collect()}
+    batch = {
+        tuple(r)
+        for r in jobs.tumbling_counts(
+            table(spark, SF_DIR, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+        ).collect()
+    }
+    assert streamed == batch
+    ssts = [
+        f
+        for root, _dirs, files in os.walk(os.path.join(ckpt, "state"))
+        for f in files
+        if f.endswith(".sst") or f.endswith(".zip")
+    ]
+    assert ssts, "no RocksDB SST/snapshot files in the state checkpoint"
