@@ -261,8 +261,11 @@ _BANDS_SPARK = (
 )
 
 
-def _band_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct ordered candidate pairs (a < b) from the LSH band buckets.
+def band_candidate_pairs_for(vectors: DataFrame) -> DataFrame:
+    """Distinct ordered candidate pairs (a < b) from the LSH band buckets,
+    for any frame carrying (vec_id, embedding) — the planted-pair recall
+    property test feeds synthetic corpora through exactly the declared
+    machinery (tests/test_properties.py).
 
     Shape: ONE signature pass (32 interpreted folds per vector — the
     dominant linear cost at corpus scale), ONE shuffle into (band, sig)
@@ -276,11 +279,8 @@ def _band_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic expansion is bounded the same way the joined pair count
     always was — identical candidate set, half the signature compute.
     """
-    from data_pipeline_etl_spark.sources.tables import fanout
-
     sigs = (
-        fanout(table(spark, sf_dir, "embeddings"))
-        .withColumn("bits", F.expr(_BITS_SPARK))
+        vectors.withColumn("bits", F.expr(_BITS_SPARK))
         .select("vec_id", F.posexplode(F.expr(_BANDS_SPARK)).alias("band", "sig"))
     )
     buckets = (
@@ -301,6 +301,15 @@ def _band_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.a", "p.b")
         .distinct()
     )
+
+
+def _band_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs over the fixture embeddings table (fanout: the
+    single-row-group fixture scan parallelizes for the signature folds;
+    no-op on clusters)."""
+    from data_pipeline_etl_spark.sources.tables import fanout
+
+    return band_candidate_pairs_for(fanout(table(spark, sf_dir, "embeddings")))
 
 
 @query(

@@ -360,3 +360,50 @@ def test_hyperplane_bits_pandas_bitexact(spark):
     a = {r["vec_id"]: list(r["bits"]) for r in sql_bits.collect()}
     b = {r["vec_id"]: list(r["bits"]) for r in hyperplane_bits_pandas(emb).collect()}
     assert a == b
+
+
+def test_hyperplane_lsh_planted_neardup_recall(spark):
+    """Planted-pair recall for the random-hyperplane bands: the fixture's
+    embeddings contain NO true near-duplicates (max pairwise cosine
+    0.512 at sf0.01), so q_sim_neardup's recall claim cannot be measured
+    against fixture truth — it is carried by this planted-pair property
+    instead. Each fixture vector gets a perturbed copy at cosine ~0.98
+    (theta ~ 0.2 rad); theory for 4 bands x 8 bits gives
+    P(candidate) = 1-(1-(1-theta/pi)^8)^4 ~ 0.97 per pair, so the banded
+    candidates must recover >= 90% of the 500 planted pairs. A band
+    reconfiguration that silently under-recalls near-dups fails here.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_etl_spark.operators.llm_similarity import (
+        band_candidate_pairs_for,
+    )
+    from data_pipeline_etl_spark.sources.tables import table
+
+    pdf = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding").toPandas()
+    rng = np.random.default_rng(7)  # deterministic planting
+    planted_rows = []
+    offset = 1_000_000
+    for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
+        v = np.asarray(emb, dtype=np.float64)
+        nv = np.linalg.norm(v)
+        noise = rng.standard_normal(v.shape)
+        noise -= (noise @ v) / (nv * nv) * v  # orthogonal component only
+        noise *= (nv * np.tan(0.2)) / np.linalg.norm(noise)  # theta = 0.2 rad
+        planted_rows.append(
+            (int(vec_id) + offset, [float(x) for x in (v + noise)])
+        )
+    both = pd.concat(
+        [
+            pdf.assign(embedding=[[float(x) for x in e] for e in pdf["embedding"]]),
+            pd.DataFrame(planted_rows, columns=["vec_id", "embedding"]),
+        ]
+    )
+    df = spark.createDataFrame(both, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    cand = {
+        (r["a"], r["b"]) for r in band_candidate_pairs_for(df.repartition(8)).collect()
+    }
+    planted = {(int(v), int(v) + offset) for v in pdf["vec_id"]}
+    recall = len(planted & cand) / len(planted)
+    assert recall >= 0.9, f"planted near-dup recall {recall:.3f} < 0.9"
