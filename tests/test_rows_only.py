@@ -1,0 +1,100 @@
+"""Accuracy / determinism pins for the four rows-only queries.
+
+The driver's hash gate can't check these (sketches and sampling are
+engine-specific by design — SURVEY.md §2), so the correctness burden
+moves here: every rows-only query gets the strongest local check its
+semantics admit — sketch error bounds against the exact answer, and
+bit-identical determinism across re-execution (the property that makes
+retries safe at 100 TB: a recomputed partition must reproduce the same
+sample/sketch or downstream joins see phantom rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+from data_pipeline_etl_spark.sources.tables import table
+from tests.conftest import SF_DIR
+
+load_all_operators()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_approx_distinct_within_hll_error(spark):
+    """approx_count_distinct defaults to rsd=0.05; the estimate must sit
+    within 3x that relative error of the exact distinct count (3 sigma —
+    deterministic for a fixed input, so this never flakes), and repeated
+    execution must be bit-identical."""
+    got = QUERIES["q_agg_approx_distinct"](spark, SF_DIR).collect()[0]
+    l = table(spark, SF_DIR, "lineitem")
+    exact = l.agg(
+        F.countDistinct("l_orderkey").alias("o"), F.countDistinct("l_partkey").alias("p")
+    ).collect()[0]
+    assert abs(got["approx_orders"] - exact["o"]) <= 0.15 * exact["o"]
+    assert abs(got["approx_parts"] - exact["p"]) <= 0.15 * exact["p"]
+    again = QUERIES["q_agg_approx_distinct"](spark, SF_DIR).collect()[0]
+    assert tuple(got) == tuple(again)
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """percentile_approx(accuracy=1000) guarantees rank error <= 1/1000;
+    check the looser value-level contract: each estimate lies between the
+    exact p-0.01 and p+0.01 quantiles of its group. Deterministic for a
+    fixed input; also pinned bit-identical across re-execution."""
+    got = {
+        r["l_returnflag"]: r
+        for r in QUERIES["q_agg_approx_percentile"](spark, SF_DIR).collect()
+    }
+    l = table(spark, SF_DIR, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.49, 0.51, 0.98, 1.0))"
+            ).alias("q")
+        )
+        .collect()
+    }
+    for flag, r in got.items():
+        lo_m, hi_m, lo_99, hi_99 = exact[flag]["q"]
+        assert lo_m <= r["approx_median"] <= hi_m, (flag, r["approx_median"])
+        assert lo_99 <= r["approx_p99"] <= hi_99, (flag, r["approx_p99"])
+    again = {
+        r["l_returnflag"]: tuple(r)
+        for r in QUERIES["q_agg_approx_percentile"](spark, SF_DIR).collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == again
+
+
+def test_seeded_sample_deterministic_and_calibrated(spark):
+    """A seeded Bernoulli sample must (a) reproduce bit-identically on
+    re-execution over the same input split — the retry-safety property —
+    and (b) keep each group's sampled count within 3 sigma of
+    fraction * group size (binomial; deterministic for the fixed seed)."""
+    first = _rows(QUERIES["q_sample"](spark, SF_DIR))
+    second = _rows(QUERIES["q_sample"](spark, SF_DIR))
+    assert first == second
+    l = table(spark, SF_DIR, "lineitem")
+    totals = {
+        r["l_returnflag"]: r["n"]
+        for r in l.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    for flag, n_sampled, _qty in first:
+        n = totals[flag]
+        mu, sigma = 0.1 * n, (n * 0.1 * 0.9) ** 0.5
+        assert abs(n_sampled - mu) <= 3 * sigma, (flag, n_sampled, mu)
+
+
+def test_minhash_lsh_demo_deterministic(spark):
+    """The ml.MinHashLSH near-dup demo (engine-specific hash family, so
+    rows-only at the driver) must at least be self-consistent: fixed seed
+    => identical pair set across re-execution."""
+    first = _rows(QUERIES["q_dedup_minhash"](spark, SF_DIR))
+    second = _rows(QUERIES["q_dedup_minhash"](spark, SF_DIR))
+    assert first == second
+    assert first, "demo produced no candidate pairs — fixture changed?"
