@@ -191,3 +191,50 @@ def test_tokenize_null_text_drops_row_on_both_engines(spark, duck):
         ).fetchall()
     )
     assert got == [tuple(w) for w in want]
+
+
+def test_transcendental_ulp_divergence_bounded_by_rounding(spark, duck):
+    """MEASURED cross-engine fact (this pins the repo's numeric
+    discipline): Java Math.log and DuckDB's libm ln are NOT bit-identical
+    — ~6% of md5-uniform inputs differ by exactly 1 ulp (e.g.
+    ln(0.6091783344603621) = -0.4956442225128421 JVM vs
+    ...207 DuckDB). Consequences the declared queries rely on:
+    (1) any EMITTED transcendental value must round (6 dp) — raw ln in
+    an output column is a latent hash flake; (2) ORDERING by a
+    transcendental is only safe when adjacent gaps >> 1 ulp (true for
+    the fixture's entropy/logprob/kl scores, all of which also round).
+    This test re-measures on 10k uniforms: divergence exists (if both
+    engines ever become bit-identical, the comment above is stale) but
+    NEVER survives the 6 dp round."""
+    from pyspark.sql import functions as F
+
+    sdf = (
+        spark.range(1, 10_001)
+        .select(F.col("id").cast("string").alias("k"))
+        .withColumn(
+            "u",
+            (F.conv(F.substring(F.md5("k"), 1, 13), 16, 10).cast("double") + 1.0)
+            / float(2**52),
+        )
+        .select("k", F.log("u").alias("lnu"), F.round(F.log("u"), 6).alias("lnu6"))
+    )
+    got = {r["k"]: (r["lnu"], r["lnu6"]) for r in sdf.collect()}
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duck.sql(
+            """
+            SELECT k, ln(u) AS lnu, round(ln(u), 6) AS lnu6 FROM (
+              SELECT CAST(range AS VARCHAR) AS k,
+                     (CAST(('0x' || substr(md5(CAST(range AS VARCHAR)),1,13)) AS UBIGINT)
+                      + CAST(1.0 AS DOUBLE)) / CAST(4503599627370496.0 AS DOUBLE) AS u
+              FROM range(1, 10001)
+            )
+            """
+        ).fetchall()
+    }
+    raw_diff = sum(1 for k in got if got[k][0] != want[k][0])
+    rounded_diff = sum(1 for k in got if got[k][1] != want[k][1])
+    assert rounded_diff == 0, f"{rounded_diff} values differ even after 6 dp round"
+    # the raw divergence is the measured reality the discipline exists for;
+    # 0 would mean the engines converged (update the docstring, keep the gate)
+    assert raw_diff < len(got) * 0.2, f"divergence rate {raw_diff/len(got)} looks wrong"
