@@ -113,6 +113,74 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Integer ticket counts for exact-size weighted sampling (upsample rare
+# languages). Small integers by design: the ticket trick below explodes
+# sum(w) rows — for large/continuous weights use the float E-S key
+# u^(1/w) instead (see docstring).
+_ES_TICKETS = {"en": 1, "de": 2, "es": 2, "fr": 3, "zh": 3}
+
+
+def _es_tickets_case_sql() -> str:
+    return (
+        "CASE lang "
+        + " ".join(f"WHEN '{l}' THEN {n}" for l, n in _ES_TICKETS.items())
+        + " ELSE 1 END"
+    )
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, max(md5(doc_id || ':' || t)) AS skey
+      FROM (SELECT doc_id, lang,
+                   unnest(generate_series(1, {_es_tickets_case_sql()})) AS t
+            FROM documents)
+      GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, skey FROM keyed ORDER BY skey DESC, doc_id LIMIT 100
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size weighted sample (k=100): Efraimidis-Spirakis A-ES in
+    integer-exact ticket form — the training-mix primitive stratified
+    Bernoulli can't provide (a FIXED output size with inclusion
+    probability monotone in weight, upsampling rare languages).
+
+    Each doc gets w integer tickets; each ticket hashes to a uniform
+    (md5); the doc's sampling key is its MAX ticket hash —
+    P(max of w uniforms <= x) = x^w, exactly the E-S key distribution
+    u^(1/w) for integer w, with NO floating point anywhere: fixed-width
+    lowercase hex compares lexicographically as the 128-bit integer, so
+    both engines order identically by construction (ln/exp are measured
+    1-ulp divergent across engines — tests/test_null_parity.py — which
+    rules the float form out of hash-checked outputs). Top-k is
+    sort+limit over a total order with doc_id tiebreak: per-partition
+    heaps of k (TakeOrderedAndProject), never a global sort, never a
+    keyless window. Cost: sum(w) exploded rows in one map-side pass +
+    one |docs| groupBy; at 100 TB with continuous weights, swap the
+    ticket max for pow(u, 1/w) and keep the identical topology — the
+    engine-internal ordering is then still safe (adjacent key gaps >>
+    1 ulp), only cross-engine hash-checking needs the integer form.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = F.coalesce(
+        *[F.when(F.col("lang") == lang, F.lit(n)) for lang, n in _ES_TICKETS.items()],
+        F.lit(1),
+    )
+    keyed = (
+        d.select("doc_id", "lang", F.explode(F.sequence(F.lit(1), w)).alias("t"))
+        .select(
+            "doc_id",
+            "lang",
+            F.md5(F.concat_ws(":", "doc_id", "t")).alias("th"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.max("th").alias("skey"))
+    )
+    return keyed.orderBy(F.desc("skey"), F.asc("doc_id")).limit(100)
+
+
 @query(
     "q_shard_assign",
     oracle="""
