@@ -44,3 +44,47 @@ def test_salted_join_on_synthetic_hot_key(spark):
         .count()
     )
     assert spread == 8  # the straggler task is now 8 tasks
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join: the hot key's oversized shuffle partition must be
+    SPLIT at runtime (SortMergeJoin(skew=true) + 'AQEShuffleRead ...
+    skewed' in the final adaptive plan) — the zero-code-change
+    counterpart to salted_join for when skew is discovered at runtime
+    rather than known up front. Thresholds are scaled down to fixture
+    size; on a cluster the defaults (256MB / factor 5) play the same
+    role. Results are unaffected: the split partitions re-join the same
+    rows (count pinned)."""
+    saved = {}
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(200_000).select(
+            F.col("id").alias("dk"), (F.col("id") * 2).alias("dv")
+        )
+        j = hot.join(dim, hot.k == dim.dk)
+        # materialize WITHOUT a downstream shuffle: skew splitting is
+        # skipped when it would break a later stage's partitioning
+        j.foreach(lambda r: None)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+        assert j.count() == 200_000
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
