@@ -407,3 +407,32 @@ def test_hyperplane_lsh_planted_neardup_recall(spark):
     planted = {(int(v), int(v) + offset) for v in pdf["vec_id"]}
     recall = len(planted & cand) / len(planted)
     assert recall >= 0.9, f"planted near-dup recall {recall:.3f} < 0.9"
+
+
+def test_results_invariant_under_shuffle_partitioning(spark):
+    """Declared results must not depend on the physical partition count
+    (the knob every cluster sizes differently): representative queries
+    from the agg/window/dedup/top-k families produce identical multisets
+    at spark.sql.shuffle.partitions = 32 (session default) and 7.
+    q_sample is the documented exception (Bernoulli sampling is
+    split-dependent by design — tests/test_rows_only.py pins its
+    same-split determinism instead)."""
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    names = ["q_agg_groupby", "q_dedup_exact", "q_win_gaps_islands", "q_sample_weighted"]
+
+    def run_all():
+        return {
+            n: sorted(tuple(str(v) for v in r) for r in QUERIES[n](spark, SF_DIR).collect())
+            for n in names
+        }
+
+    default = run_all()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        alt = run_all()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert default == alt

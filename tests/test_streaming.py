@@ -431,3 +431,59 @@ def test_rocksdb_state_store_equals_batch(spark, events_stream_dir, tmp_path):
         if f.endswith(".sst") or f.endswith(".zip")
     ]
     assert ssts, "no RocksDB SST/snapshot files in the state checkpoint"
+
+
+def test_checkpoint_restart_resumes_state(spark, tmp_path):
+    """Exactly-once across restarts: drain part of the backlog, STOP,
+    deliver more files, restart from the SAME checkpoint — the windowed
+    aggregation must resume its state (not recount batch-0 rows, not
+    miss them) and finish equal to the batch result over everything.
+    This is the durability contract a 100 TB streaming job leans on
+    every time an executor or driver dies mid-backlog."""
+    import os
+
+    src = str(tmp_path / "restart_src")
+    ckpt = str(tmp_path / "restart_ckpt")
+    os.makedirs(src)
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, _ts("2024-01-01 01:00:00"), 1, "view", 1.0, "{}"),
+            (2, _ts("2024-01-01 02:00:00"), 1, "click", 2.0, "{}"),
+            (3, _ts("2024-01-02 01:00:00"), 2, "view", 3.0, "{}"),
+        ],
+    )
+
+    def drain():
+        q = (
+            jobs.tumbling_counts(jobs.events_file_stream(spark, src))
+            .writeStream.format("memory")
+            .queryName("restart_mem")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # run 1: only the first file exists
+    first = {tuple(r) for r in spark.sql("SELECT * FROM restart_mem").collect()}
+    assert sum(r[2] for r in first) == 3  # 3 rows aggregated so far
+    _write_batch(
+        spark,
+        src,
+        [
+            (4, _ts("2024-01-01 03:00:00"), 1, "view", 4.0, "{}"),
+            (5, _ts("2024-01-02 02:00:00"), 2, "click", 5.0, "{}"),
+        ],
+    )
+    drain()  # run 2: same checkpoint, resumes where run 1 stopped
+    resumed = {tuple(r) for r in spark.sql("SELECT * FROM restart_mem").collect()}
+    batch = {
+        tuple(r)
+        for r in jobs.tumbling_counts(
+            spark.read.schema(EVENT_COLS).parquet(src)
+        ).collect()
+    }
+    assert resumed == batch
