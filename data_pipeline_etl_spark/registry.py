@@ -51,42 +51,42 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # instead of re-treading green rows. ``_FORCE_FRONT`` is a manual escape hatch
 # for queries modified since their last grade, which must be re-graded even
 # though the record shows them green (empty when nothing was touched).
-_FORCE_FRONT: list[str] = [
-    # Discipline (tightened round 5 per VERDICT r4 item 2): ANY query
-    # touched since its last driver grade re-grades next round, whether
-    # or not the change is believed value-preserving. Local parity at
-    # sf0.01 + sf0.1 covers them, but the driver record is the ledger.
-    #
+# Discipline (tightened round 5 per VERDICT r4 item 2): ANY query touched
+# since its last driver grade re-grades next round, whether or not the
+# change is believed value-preserving. Local parity at sf0.01 + sf0.1
+# covers them, but the driver record is the ledger.
+#
+# name -> round in which it was last touched. An entry is FORCED only
+# while its newest grade is older than its touch round, so a forced query
+# drops out of the front automatically once the post-touch grade lands —
+# a stale static list would otherwise re-burn ~30 budget slots every
+# subsequent round. Entries whose grades have caught up are harmless and
+# may be pruned on any later edit.
+_FORCE_FRONT: dict[str, int] = {
     # (a) round-4 touches excluded from the r4 force-front on
-    # "value-preserving" grounds — re-grade them now:
+    # "value-preserving" grounds — graded r2/r3 pre-touch:
     # (q_agg_stringagg, also touched r4, was graded green IN r4 —
     # CORRECTNESS_r04.json — so its record is already post-touch.)
-    "q_mix_weighted",        # exact-integer total restructure (r4)
-    "q_str_regexp2",         # NULL/empty-semantics touch (r4)
-    "q_array_funcs2",        # NULL/empty-semantics touch (r4)
-    "q_text_chunk",          # NULL/empty-semantics touch (r4)
-    "q_dedup_chunkdup",      # touched r4
-    "q_stream_tumbling_live",  # touched r4
-    # (b) round-5 touches:
-    "q_math_funcs",     # output-affecting: bounded to 1-in-10 orderkey stripe
-    "q_embed_whiten",   # nullif(sd,0) degenerate-dimension guard (both engines)
-    "q_dedup_minhash_sig",     # k=8->12, 2x4->4x3 bands (recall-first LSH)
-    "q_dedup_lsh_candidates",  # same band reconfiguration
-    # module-level r5 edit in llm_similarity.py (hyperplane_bits_pandas
-    # helper + docstrings). The two r4-graded queries in that module are
-    # value-unaffected, but touched-module ⇒ re-grade is cheaper than
-    # being wrong about that:
-    "q_sim_neardup",
-    "q_sim_pairs_lsh",
-    # (c) round-5 second-segment touches: run_to_memory_sink gained a
-    # state_partitions knob (streaming/jobs.py) — physical state layout
-    # only, values identical, but it is in the execution path of every
-    # live streaming query. The two with an r4 grade re-grade now; the
-    # rest are r0 (never graded) or already forced above.
-    "q_stream_dedup_live",
-    "q_stream_session_live",
-    "q_agg_percentile",  # array-form shared quantile buffer (bit-identical, measured)
-]
+    "q_mix_weighted": 4,        # exact-integer total restructure
+    "q_str_regexp2": 4,         # NULL/empty-semantics touch
+    "q_array_funcs2": 4,        # NULL/empty-semantics touch
+    "q_text_chunk": 4,          # NULL/empty-semantics touch
+    "q_dedup_chunkdup": 4,
+    "q_stream_tumbling_live": 4,
+    # (b) round-5 touches (both segments):
+    "q_math_funcs": 5,     # output-affecting: bounded to 1-in-10 orderkey stripe
+    "q_embed_whiten": 5,   # nullif(sd,0) degenerate-dimension guard (both engines)
+    "q_dedup_minhash_sig": 5,     # k=8->12, 2x4->4x3 bands (recall-first LSH)
+    "q_dedup_lsh_candidates": 5,  # band reconfig + in-bucket pair expansion
+    "q_sim_neardup": 5,           # single-pass banded candidates
+    "q_sim_pairs_lsh": 5,         # single-pass banded candidates
+    # run_to_memory_sink state_partitions knob (streaming/jobs.py) is in
+    # the execution path of every live streaming query; the two with an
+    # r4 grade re-grade, the rest are r0 or forced above:
+    "q_stream_dedup_live": 5,
+    "q_stream_session_live": 5,
+    "q_agg_percentile": 5,  # array-form shared quantile buffer (bit-identical)
+}
 
 
 def _last_graded_round() -> dict[str, int]:
@@ -124,7 +124,8 @@ def ordered_names() -> list[str]:
     names = list(QUERIES)  # insertion order
 
     def rank(name: str) -> tuple[int, int, int]:
-        forced = 0 if name in _FORCE_FRONT else 1
+        # forced only while the newest grade predates the touch round
+        forced = 0 if _FORCE_FRONT.get(name, 0) > last.get(name, 0) else 1
         # never graded -> round 0 -> sorts before every graded query
         return (forced, last.get(name, 0), names.index(name))
 
