@@ -146,3 +146,24 @@ def test_session_window_gap_boundary(spark):
         .collect()
     )
     assert sorted(r["n"] for r in sessions) == [1, 2]
+
+
+def test_cli_list_and_oracle():
+    """The CLI's Spark-free paths: list filters by substring, oracle
+    prints the registered SQL, unknown names exit non-zero."""
+    import contextlib
+    import io
+
+    from data_pipeline_etl_spark.__main__ import main
+
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert main(["list", "q_agg_groupby"]) == 0
+    assert "q_agg_groupby" in out.getvalue()
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert main(["oracle", "q_agg_groupby"]) == 0
+    assert "l_returnflag" in out.getvalue()
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        assert main(["run", "no_such_query"]) == 2
