@@ -312,6 +312,72 @@ def _band_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return band_candidate_pairs_for(fanout(table(spark, sf_dir, "embeddings")))
 
 
+_IVF_K = 8  # seed centroids = vectors with vec_id < _IVF_K (deterministic)
+
+_D2_SQL = (
+    "list_sum(list_transform(generate_series(1, len(e)), "
+    "i -> (CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) "
+    "* (CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE))))"
+)
+
+
+@query(
+    "q_sim_ivf_assign",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS cell, embedding AS c FROM embeddings WHERE vec_id < {_IVF_K}
+    ),
+    dists AS (
+      SELECT v.vec_id, s.cell, {_D2_SQL} AS d2
+      FROM (SELECT vec_id, embedding AS e FROM embeddings) v CROSS JOIN seeds s
+    )
+    SELECT vec_id, cell, round(d2, 6) AS dist2 FROM (
+      SELECT vec_id, cell, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      FROM dists
+    ) WHERE rn = 1
+    """,
+)
+def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BUILD step: assign every vector to its nearest of
+    k=8 coarse centroids (here: the deterministic seed vectors
+    vec_id < 8 — on a real corpus, k-means centroids from a sampled
+    training pass; the assignment topology is identical).
+
+    This is the pass that turns brute-force search (q_sim_cosine_topk)
+    into cell-pruned search (q_sim_ivf_topk): one broadcast of the k
+    centroids, one linear scan with k squared-L2 folds per vector, one
+    argmin — at 100 TB the output cell id becomes a partition column
+    and every subsequent query prunes to ~1/k of the corpus. Distances
+    are the same sequential float64 folds as every similarity here
+    (bit-identical across engines), so the argmin and the 6 dp-rounded
+    distance hash-check exactly; the (d2, cell) ordering makes any
+    exact tie deterministic.
+    """
+    from data_pipeline_etl_spark.sources.tables import fanout
+
+    base = fanout(table(spark, sf_dir, "embeddings"))
+    seeds = base.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(e, c, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    dists = (
+        base.select("vec_id", F.col("embedding").alias("e"))
+        .crossJoin(F.broadcast(seeds))
+        .select("vec_id", "cell", d2.alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell", F.round("d2", 6).alias("dist2"))
+    )
+
+
 @query(
     "q_sim_neardup",
     oracle=f"""
