@@ -378,6 +378,62 @@ def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_lloyd(vectors: DataFrame, k: int, iters: int):
+    """Lloyd's k-means over an embedding frame, pure DataFrame ops — the
+    training pass that produces REAL IVF centroids (q_sim_ivf_assign
+    uses fixed seeds; on a corpus you run this on a sample first).
+
+    Per iteration: broadcast the k centroids, assign each vector to its
+    argmin squared-L2 (same fold as q_sim_ivf_assign), recompute each
+    centroid as the per-dimension mean of its members (posexplode +
+    groupBy(cell, pos) avg, re-assembled into arrays — one shuffle
+    keyed by (cell, pos), never a per-centroid collect), and
+    localCheckpoint the (k x dim)-sized model so the plan stays O(1)
+    per round. Returns (centroids DataFrame, [wcss per iteration]);
+    Lloyd guarantees the within-cluster sum of squares is
+    non-increasing (property-tested). At 100 TB: centroids are a
+    broadcast-sized model, assignment is one linear pass, and the
+    centroid update shuffles |corpus x dim| once per iteration — run
+    on a hash-sample (q_sample_hash) and assign the full corpus once.
+    """
+    cents = (
+        vectors.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(e, c, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    wcss_hist: list[float] = []
+    for _ in range(iters):
+        dists = (
+            vectors.select("vec_id", F.col("embedding").alias("e"))
+            .crossJoin(F.broadcast(cents))
+            .select("vec_id", "e", "cell", d2.alias("d2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+        assigned = (
+            dists.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        ).localCheckpoint(eager=True)
+        wcss_hist.append(assigned.agg(F.sum("d2")).collect()[0][0])
+        cents = (
+            assigned.select("cell", F.posexplode("e").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, mu))), s -> CAST(s.mu AS FLOAT))"
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents, wcss_hist
+
+
 @query(
     "q_sim_neardup",
     oracle=f"""

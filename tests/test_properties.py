@@ -436,3 +436,24 @@ def test_results_invariant_under_shuffle_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert default == alt
+
+
+def test_kmeans_lloyd_wcss_monotone(spark):
+    """Lloyd's algorithm guarantees the within-cluster sum of squares
+    never increases across iterations — the invariant that makes the
+    IVF centroid training pass (kmeans_lloyd) trustworthy on any
+    corpus. Centroid means are float32-rounded per iteration (matching
+    the embedding dtype), so allow a 1e-6 relative slack."""
+    from data_pipeline_etl_spark.operators.llm_similarity import kmeans_lloyd
+    from data_pipeline_etl_spark.sources.tables import table
+
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents, wcss = kmeans_lloyd(emb, k=8, iters=4)
+    assert len(wcss) == 4 and all(v > 0 for v in wcss)
+    for a, b in zip(wcss, wcss[1:]):
+        assert b <= a * (1 + 1e-6), wcss
+    # strictly improved over the seed assignment (real movement, not a no-op)
+    assert wcss[-1] < wcss[0]
+    rows = cents.collect()
+    assert len(rows) == 8
+    assert all(len(r["c"]) == 64 for r in rows)
