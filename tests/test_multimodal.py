@@ -79,3 +79,51 @@ def test_resize_features_pools_blocks(spark):
     expect = [sum(a0[i * 2 : i * 2 + 2]) / 2 for i in range(4)]
     got = list(rows[0].feat_small)
     assert all(abs(g - e) < 1e-12 for g, e in zip(got, expect))
+
+
+def test_wav_bmp_codec_roundtrip():
+    """The REAL codec kernels (pure struct+numpy, no media libs):
+    WAV PCM16 and BMP 24bpp encode->decode are exact roundtrips."""
+    import numpy as np
+
+    samples = (10000 * np.sin(np.arange(2000) / 7.0)).astype(np.int16)
+    rate, back = multimodal.decode_wav(multimodal.encode_wav(samples, 22050))
+    assert rate == 22050
+    assert np.array_equal(back, samples)
+
+    yy, xx = np.mgrid[0:9, 0:13]
+    px = np.stack([xx * 19 % 256, yy * 23 % 256, (xx + yy) % 256], axis=-1).astype(
+        np.uint8
+    )
+    assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(px)), px)
+
+
+def test_real_decode_through_arrow_batches(spark):
+    """decode_real through mapInPandas over synthesized WAV/BMP assets:
+    every feature row matches the locally-computed truth, proving the
+    Arrow byte path delivers payloads unmangled and the kernel is the
+    same function on both sides. Video-typed assets would fall back to
+    decode_stub (same 8-float contract)."""
+    import numpy as np
+
+    assets = multimodal.make_media_assets(spark)
+    feats = {
+        r["asset_id"]: (r["media_type"], r["feat"])
+        for r in multimodal.extract_features(
+            assets, decoder=multimodal.decode_real
+        ).collect()
+    }
+    local = {
+        r["asset_id"]: (
+            r["media_type"],
+            multimodal.decode_real(bytes(r["payload"]), r["media_type"]).tolist(),
+        )
+        for r in assets.collect()
+    }
+    assert feats == local
+    # audio features are physically sensible: duration > 0, rms in (0, 1)
+    for aid, (mtype, f) in feats.items():
+        if mtype == "audio":
+            assert f[0] > 0 and 0 < f[1] < 1, (aid, f)
+        else:
+            assert f[3] >= 12 and f[4] >= 8, (aid, f)  # width/height decoded
