@@ -2,9 +2,11 @@
 
 ``documents ⋈ embeddings`` on doc_id=vec_id is the fixture's multimodal
 key (FIXTURES.md). Binary payload plumbing (decode/resize/frame-sample as
-Arrow-batched Pandas UDFs) lives in streaming/multimodal.py — the codec
-libraries are not in this container, so the decode kernel is stubbed while
-the Spark-side schema/batching is real and tested.
+Arrow-batched Pandas UDFs) lives in streaming/multimodal.py, with REAL
+pure-numpy codec kernels for WAV/BMP/DIB-AVI (pytest-pinned); the
+fixture-driven queries here run the same Arrow path with the
+deterministic stub kernel, since the fixture payloads are text bytes,
+not media.
 """
 
 from __future__ import annotations

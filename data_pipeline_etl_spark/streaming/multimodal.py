@@ -2,9 +2,12 @@
 
 Images/audio/video are opaque ``binary`` columns + typed metadata structs.
 The Spark-side machinery — schema, Arrow batching via mapInPandas,
-partition sizing — is real and tested; the codec kernels are STUBBED
-(``decode_stub``) because no image/audio library ships in this container.
-Swapping ``decode_stub`` for a real decoder (PIL/torchaudio/ffmpeg) is a
+partition sizing — is real and tested. Codec kernels come in two tiers:
+``decode_stub`` (deterministic metadata-only fake, the default for the
+fixture-driven oracle queries whose payloads are not real media) and
+``decode_real`` — REAL pure-struct+numpy decoders for WAV PCM16, BMP
+24bpp, and uncompressed-DIB AVI video, pytest-pinned end to end through
+the Arrow path. Swapping in a compressed-codec library (PIL/ffmpeg) is a
 one-function change: the batch shape and schema contract stay identical.
 
 Scale notes: mapInPandas streams Arrow record batches, so peak memory is
@@ -67,10 +70,12 @@ def decode_stub(payload: bytes, media_type: str) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# REAL codec kernels for the two self-describing formats that need no
-# external library: RIFF/WAVE PCM16 (audio) and BMP 24bpp (image), both
-# pure struct + numpy. Video stays honestly stubbed (no container parser
-# ships here); its decode_stub swap point is unchanged.
+# REAL codec kernels for three self-describing formats that need no
+# external library, all pure struct + numpy: RIFF/WAVE PCM16 (audio),
+# BMP 24bpp (image), and uncompressed-DIB AVI (video — raw 24bpp frames
+# in a standard RIFF/AVI container with an idx1 index). Compressed
+# codecs (JPEG/H.264/AAC) would still need a real media library; the
+# decode_real swap point is where one plugs in.
 # ---------------------------------------------------------------------------
 
 import struct
@@ -88,27 +93,46 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return hdr + data
 
 
+def _riff_chunks(payload: bytes, start: int) -> Iterator[tuple[bytes, int, int]]:
+    """Walk RIFF subchunks from ``start``: yields (fourcc, body_off, size).
+    Chunk bodies are word-aligned (odd sizes carry a pad byte)."""
+    pos = start
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """(sample_rate, int16 samples) from mono PCM16 WAV bytes."""
+    """(sample_rate, int16 samples) from mono PCM16 WAV bytes.
+
+    Walks the RIFF chunk list rather than assuming fmt/data at fixed
+    offsets, so WAVs carrying extra chunks (LIST/fact/cue) decode
+    correctly instead of silently yielding garbage samples."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    (fmt_size, audio_fmt, n_ch, rate) = struct.unpack("<IHHI", payload[16:28])
-    if audio_fmt != 1 or n_ch != 1 or fmt_size != 16:
-        raise ValueError("only mono PCM16 supported")
-    data_size = struct.unpack("<I", payload[40:44])[0]
-    samples = np.frombuffer(payload[44 : 44 + data_size], dtype="<i2")
-    return rate, samples
+    rate, data = None, None
+    for fourcc, off, size in _riff_chunks(payload, 12):
+        if off + size > len(payload):
+            raise ValueError(f"truncated {fourcc!r} chunk")
+        if fourcc == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            audio_fmt, n_ch, rate = struct.unpack("<HHI", payload[off : off + 8])
+            if audio_fmt != 1 or n_ch != 1:
+                raise ValueError("only mono PCM16 supported")
+        elif fourcc == b"data":
+            data = payload[off : off + size]
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
     """24bpp bottom-up BMP bytes from an (H, W, 3) uint8 RGB array."""
     h, w, _ = pixels.shape
-    row = w * 3
-    pad = (4 - row % 4) % 4
-    body = b"".join(
-        pixels[y, :, ::-1].astype(np.uint8).tobytes() + b"\x00" * pad
-        for y in range(h - 1, -1, -1)  # BGR, bottom-up
-    )
+    body = _dib_rows(pixels)
     hdr = struct.pack(
         "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
     ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
@@ -123,23 +147,124 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     w, h, _planes, bpp = struct.unpack("<iiHH", payload[18:30])
     if bpp != 24 or h <= 0:
         raise ValueError("only 24bpp bottom-up BMP supported")
+    return _dib_decode(payload[off:], w, h)
+
+
+def _dib_rows(pixels: np.ndarray) -> bytes:
+    """Bottom-up BGR rows padded to 4-byte boundaries (shared by BMP
+    bodies and AVI '00db' frame chunks — the same DIB wire format)."""
+    h, w, _ = pixels.shape
+    pad = (4 - (w * 3) % 4) % 4
+    return b"".join(
+        pixels[y, :, ::-1].astype(np.uint8).tobytes() + b"\x00" * pad
+        for y in range(h - 1, -1, -1)
+    )
+
+
+def _dib_decode(body: bytes, w: int, h: int) -> np.ndarray:
+    """(H, W, 3) uint8 RGB from bottom-up padded BGR rows."""
     row = w * 3
     pad = (4 - row % 4) % 4
     out = np.empty((h, w, 3), dtype=np.uint8)
     for y in range(h):
-        start = off + y * (row + pad)
-        out[h - 1 - y] = np.frombuffer(payload[start : start + row], dtype=np.uint8).reshape(
+        start = y * (row + pad)
+        out[h - 1 - y] = np.frombuffer(body[start : start + row], dtype=np.uint8).reshape(
             w, 3
         )[:, ::-1]
     return out
 
 
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Uncompressed-DIB AVI bytes from an (N, H, W, 3) uint8 RGB array.
+
+    Standard RIFF/AVI layout: LIST('hdrl') with avih + one 'vids' stream
+    (handler 'DIB ', i.e. raw 24bpp bottom-up frames), LIST('movi') of
+    '00db' chunks, and a trailing idx1 index whose offsets are relative
+    to the 'movi' fourcc — the index a real player seeks with."""
+    n, h, w, _ = frames.shape
+    bodies = [_dib_rows(frames[i]) for i in range(n)]
+    frame_size = len(bodies[0]) if bodies else 0
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack("<4sI", fourcc, len(body)) + body + b"\x00" * (len(body) & 1)
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1), frame_size * fps, 0, 0x10, n, 0, 1,
+        frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0xFFFFFFFF, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00db", b) for b in bodies)
+    movi = lst(b"movi", movi_body)
+    # idx1 offsets point at each chunk header, relative to the 'movi' fourcc
+    idx_entries, off = [], 4
+    for b in bodies:
+        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(b)))
+        off += 8 + len(b) + (len(b) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return struct.pack("<4sI", b"RIFF", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
+    """(fps, (N, H, W, 3) uint8 RGB frames) from uncompressed-DIB AVI.
+
+    Frame access goes through the idx1 index (seek to chunk header,
+    read exactly size bytes) — the same random-access pattern a frame
+    sampler uses to pull every k-th frame of a large file without
+    scanning the movi list."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = fps = None
+    movi_pos = idx1 = None
+    for fourcc, off, size in _riff_chunks(payload, 12):
+        if off + size > len(payload):
+            raise ValueError(f"truncated {fourcc!r} chunk")
+        if fourcc == b"LIST":
+            list_type = payload[off : off + 4]
+            if list_type == b"hdrl":
+                for fc2, off2, size2 in _riff_chunks(payload[off + 4 : off + size], 0):
+                    if fc2 == b"avih":
+                        if size2 < 40:
+                            raise ValueError("avih chunk too short")
+                        vals = struct.unpack("<10I", payload[off + 4 + off2 : off + 4 + off2 + 40])
+                        us_per_frame, w, h = vals[0], vals[8], vals[9]
+                        fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
+            elif list_type == b"movi":
+                movi_pos = off  # position of the 'movi' fourcc
+        elif fourcc == b"idx1":
+            idx1 = payload[off : off + size]
+    if w is None or movi_pos is None or idx1 is None:
+        raise ValueError("missing hdrl, movi, or idx1")
+    frames = []
+    for i in range(0, len(idx1) - 15, 16):
+        fourcc, _flags, rel, size = struct.unpack("<4sIII", idx1[i : i + 16])
+        if fourcc != b"00db":
+            continue
+        start = movi_pos + rel + 8  # skip the chunk header the offset points at
+        if start + size > len(payload):
+            raise ValueError("idx1 entry past end of payload")
+        frames.append(_dib_decode(payload[start : start + size], w, h))
+    return fps, np.stack(frames) if frames else np.empty((0, h, w, 3), dtype=np.uint8)
+
+
 def decode_real(payload: bytes, media_type: str) -> np.ndarray:
     """REAL decode for audio (WAV PCM16: duration/rms/peak/zero-crossing
-    + 4 band-energy proxies) and image (BMP 24bpp: per-channel means,
-    width, height, luma mean/std, aspect); video falls back to
-    decode_stub. Same 8-float contract as decode_stub, so the Arrow
-    batch flow, schema, and downstream pooling are untouched."""
+    + 4 band-energy proxies), image (BMP 24bpp: per-channel means,
+    width, height, luma mean/std, aspect), and video (DIB-in-AVI:
+    n_frames/width/height/fps, luma mean/std across frames, mean
+    temporal luma delta, aspect). Same 8-float contract as decode_stub,
+    so the Arrow batch flow, schema, and downstream pooling are
+    untouched. Any other media_type falls back to decode_stub."""
     if media_type == "audio":
         rate, s = decode_wav(payload)
         x = s.astype(np.float64) / 32768.0
@@ -172,6 +297,25 @@ def decode_real(payload: bytes, media_type: str) -> np.ndarray:
                 w / h,
             ]
         )
+    if media_type == "video":
+        fps, frames = decode_avi(payload)
+        n, h, w, _ = frames.shape
+        luma = frames.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        motion = (
+            float(np.mean(np.abs(np.diff(luma, axis=0)))) / 255.0 if n > 1 else 0.0
+        )
+        return np.array(
+            [
+                float(n),
+                float(w),
+                float(h),
+                float(fps),
+                luma.mean() / 255.0 if n else 0.0,
+                luma.std() / 255.0 if n else 0.0,
+                motion,
+                w / h,
+            ]
+        )
     return decode_stub(payload, media_type)
 
 
@@ -179,8 +323,8 @@ def extract_features(assets: DataFrame, decoder=decode_stub) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``decoder`` is the codec kernel: ``decode_stub`` (default — the
-    metadata-only fake) or ``decode_real`` (WAV/BMP via pure numpy;
-    video still stubbed). The batch flow is identical either way."""
+    metadata-only fake) or ``decode_real`` (WAV/BMP/DIB-AVI via pure
+    numpy). The batch flow is identical either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -203,18 +347,19 @@ def extract_features(assets: DataFrame, decoder=decode_stub) -> DataFrame:
 
 
 def make_media_assets(spark) -> DataFrame:
-    """A small REAL media asset table: deterministic WAV tones and BMP
-    gradients synthesized per asset id (pure numpy — no media libs), for
-    exercising decode_real end to end through the Arrow batch path."""
+    """A small REAL media asset table: deterministic WAV tones, BMP
+    gradients, and DIB-AVI clips synthesized per asset id (pure numpy —
+    no media libs), for exercising decode_real end to end through the
+    Arrow batch path."""
     rows = []
     for i in range(12):
-        if i % 2 == 0:
+        if i % 3 == 0:
             t = np.arange(1600 + 160 * i)
             freq = 220.0 * (1 + i / 4)
             samples = (10000 * np.sin(2 * np.pi * freq * t / 16000)).astype(np.int16)
             payload, mtype = encode_wav(samples, 16000), "audio"
             meta = (0, 0, 16000)
-        else:
+        elif i % 3 == 1:
             h, w = 8 + i, 12 + i
             yy, xx = np.mgrid[0:h, 0:w]
             px = np.stack(
@@ -227,6 +372,19 @@ def make_media_assets(spark) -> DataFrame:
             ).astype(np.uint8)
             payload, mtype = encode_bmp(px), "image"
             meta = (w, h, 0)
+        else:
+            n, h, w = 4 + i // 3, 6 + i, 8 + i
+            ff, yy, xx = np.mgrid[0:n, 0:h, 0:w]
+            frames = np.stack(
+                [
+                    (xx * 255 // max(w - 1, 1) + ff * 11) % 256,
+                    (yy * 255 // max(h - 1, 1)) % 256,
+                    (ff * 37 + i * 5) % 256,  # frame index drives motion
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            payload, mtype = encode_avi(frames, fps=10), "video"
+            meta = (w, h, 10)
         rows.append((i, i, mtype, bytearray(payload), meta))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 

@@ -98,12 +98,61 @@ def test_wav_bmp_codec_roundtrip():
     assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(px)), px)
 
 
+def test_wav_decode_walks_riff_chunks():
+    """A WAV carrying an extra LIST chunk between fmt and data decodes
+    identically (the chunk walk finds data wherever it sits); truncated
+    payloads raise ValueError, never garbage samples."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    samples = (np.arange(1000) % 97 - 48).astype(np.int16)
+    data = samples.tobytes()
+    listbody = b"INFOISFT\x0c\x00\x00\x00fake-encoder"
+    chunks = (
+        struct.pack("<4sI", b"fmt ", 16)
+        + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        + struct.pack("<4sI", b"LIST", len(listbody))
+        + listbody
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+    wav = struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+    rate, back = multimodal.decode_wav(wav)
+    assert rate == 16000
+    assert np.array_equal(back, samples)
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(wav[:20])  # truncated mid-fmt
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(wav[:60])  # data chunk cut short
+
+
+def test_avi_codec_roundtrip():
+    """The REAL video kernel: uncompressed-DIB AVI encode->decode is an
+    exact roundtrip (frames, fps) through the idx1 index walk."""
+    import numpy as np
+    import pytest
+
+    ff, yy, xx = np.mgrid[0:5, 0:7, 0:9]
+    frames = np.stack(
+        [(xx * 29 + ff * 7) % 256, (yy * 31) % 256, (ff * 53) % 256], axis=-1
+    ).astype(np.uint8)
+    payload = multimodal.encode_avi(frames, fps=12)
+    fps, back = multimodal.decode_avi(payload)
+    assert fps == 12
+    assert np.array_equal(back, frames)
+    with pytest.raises(ValueError):
+        multimodal.decode_avi(payload[:100])  # idx1 missing
+    with pytest.raises(ValueError):
+        multimodal.decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+
+
 def test_real_decode_through_arrow_batches(spark):
-    """decode_real through mapInPandas over synthesized WAV/BMP assets:
-    every feature row matches the locally-computed truth, proving the
-    Arrow byte path delivers payloads unmangled and the kernel is the
-    same function on both sides. Video-typed assets would fall back to
-    decode_stub (same 8-float contract)."""
+    """decode_real through mapInPandas over synthesized WAV/BMP/AVI
+    assets: every feature row matches the locally-computed truth, proving
+    the Arrow byte path delivers payloads unmangled and the kernel is the
+    same function on both sides — all three media types decode for real."""
     import numpy as np
 
     assets = multimodal.make_media_assets(spark)
@@ -121,9 +170,13 @@ def test_real_decode_through_arrow_batches(spark):
         for r in assets.collect()
     }
     assert feats == local
-    # audio features are physically sensible: duration > 0, rms in (0, 1)
+    assert {m for m, _ in feats.values()} == {"audio", "image", "video"}
+    # features are physically sensible per media type
     for aid, (mtype, f) in feats.items():
         if mtype == "audio":
-            assert f[0] > 0 and 0 < f[1] < 1, (aid, f)
-        else:
+            assert f[0] > 0 and 0 < f[1] < 1, (aid, f)  # duration, rms
+        elif mtype == "image":
             assert f[3] >= 12 and f[4] >= 8, (aid, f)  # width/height decoded
+        else:
+            # n_frames, fps decoded; frame-index channel drift => motion > 0
+            assert f[0] >= 4 and f[3] == 10 and f[6] > 0, (aid, f)
