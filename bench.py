@@ -112,6 +112,12 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "timing": "median of 3 full passes",
+                # Identical-code totals on this host span +/-19% across a
+                # day (BASELINE.md, controlled double run): a `regressions`
+                # entry is a TRIAGE HINT, not a finding — per the repo's
+                # discipline it must reproduce warm x5 before being treated
+                # as real (the r5 q_text_chunk flag did not).
+                "noise_floor_pct": 19,
                 "regressions": regressions,
                 "queries": timings,
             },

@@ -56,8 +56,13 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("cli")
     df = QUERIES[args.query](spark, args.sf)
-    df.show(args.limit, truncate=False)
-    print(f"({df.count()} rows total)")
+    # persist so show() + count() execute the query once, not twice
+    df.persist()
+    try:
+        df.show(args.limit, truncate=False)
+        print(f"({df.count()} rows total)")
+    finally:
+        df.unpersist()
     return 0
 
 

