@@ -128,6 +128,42 @@ def test_udtf_posexplode_equivalence(spark):
     assert via_udtf == via_builtin == [(0, "a"), (1, "b"), (2, "c")]
 
 
+def test_udtf_registered_for_sql_lateral(spark):
+    """Native Python UDTF registered via spark.udtf.register and invoked
+    from SQL — both as a bare table function and in a LATERAL join
+    against a real table expression (per-row fan-out, the SQL-surface
+    form of the tokenize stage in a document pipeline)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, tok STRING")
+    class TokenizeUdtf:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split(" ")):
+                if t:
+                    yield i, t
+
+    spark.udtf.register("tokenize_udtf", TokenizeUdtf)
+    try:
+        bare = spark.sql("SELECT pos, tok FROM tokenize_udtf('x y z')").collect()
+        assert [(r["pos"], r["tok"]) for r in bare] == [(0, "x"), (1, "y"), (2, "z")]
+
+        lateral = spark.sql(
+            """
+            SELECT v.id, t.pos, t.tok
+            FROM VALUES (1, 'a b'), (2, 'c'), (3, '') AS v(id, s),
+                 LATERAL tokenize_udtf(v.s) AS t
+            ORDER BY v.id, t.pos
+            """
+        ).collect()
+        assert [(r["id"], r["pos"], r["tok"]) for r in lateral] == [
+            (1, 0, "a"),
+            (1, 1, "b"),
+            (2, 0, "c"),
+        ]
+    finally:
+        spark.sql("DROP TEMPORARY FUNCTION IF EXISTS tokenize_udtf")
+
+
 def test_session_window_gap_boundary(spark):
     """An event exactly gap after the previous MERGES into the session
     (break is delta > gap, strictly), while gap+1s starts a new one —

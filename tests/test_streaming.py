@@ -308,6 +308,91 @@ def test_apply_in_pandas_with_state(spark, tmp_path):
     assert final == {1: 3, 2: 1, 3: 1}  # state carried across batches
 
 
+def test_transform_with_state_in_pandas(spark, tmp_path):
+    """transformWithState (Spark 4.x successor to applyInPandasWithState):
+    the same running per-user count carried across micro-batches, but via
+    a StatefulProcessor with typed ValueState and the RocksDB-backed
+    state store the new API requires. Mirrors
+    test_apply_in_pandas_with_state so the two custom-stateful APIs are
+    pinned to identical semantics.
+
+    SKIPPED where google.protobuf is absent: the TWS driver worker's
+    state-server protocol is protobuf-based (pyspark/sql/streaming/proto/
+    StateMessage_pb2), so without the library the worker crashes at init
+    — an environment limit, not an API-usage one (verified: the crash
+    traceback ends in `ImportError: cannot import name 'descriptor' from
+    'google.protobuf'`)."""
+    import pandas as pd
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    src = str(tmp_path / "tws_src")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+            (2, _ts("2024-01-01 10:01:00"), 1, "view", 1.0, "{}"),
+            (3, _ts("2024-01-01 10:02:00"), 2, "view", 1.0, "{}"),
+        ],
+    )
+    _write_batch(
+        spark,
+        src,
+        [
+            (4, _ts("2024-01-01 10:03:00"), 1, "view", 1.0, "{}"),
+            (5, _ts("2024-01-01 10:04:00"), 3, "view", 1.0, "{}"),
+        ],
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.count = handle.getValueState("count", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self.count.get()[0] if self.count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self.count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = jobs.events_file_stream(spark, src, with_watermark="1 hour")
+        counted = stream.groupBy("user_id").transformWithStateInPandas(
+            RunningCount(),
+            outputStructType="user_id BIGINT, n_events BIGINT",
+            outputMode="update",
+            timeMode="none",
+        )
+        q = (
+            counted.writeStream.format("memory")
+            .queryName("tws_mem")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.unset(provider_key)
+    rows = spark.sql("SELECT * FROM tws_mem").collect()
+    final = {}
+    for r in rows:  # last emission per user wins (update mode)
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["n_events"])
+    assert final == {1: 3, 2: 1, 3: 1}  # state carried across batches
+
+
 def test_late_live_query_drops_late_subset(spark):
     """The declared q_stream_late_live must exclude every row of its
     late-delivered subset (pre-Jan-15, event_id % 7 == 0) and emit only
