@@ -493,3 +493,64 @@ def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpe).cast("long").alias("n_bpe_tokens"),
         F.round(F.size(bpe) / F.size(ws).cast("double"), 4).alias("bpe_per_ws"),
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH bi AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1]) AS bgs
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 2
+    ),
+    cnt AS (
+      SELECT doc_id, bg, count(*) AS c
+      FROM (SELECT doc_id, unnest(bgs) AS bg FROM bi)
+      GROUP BY doc_id, bg
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_bigram_frac,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filter (the Gopher/MassiveText family): per-doc
+    duplicate-bigram fraction and most-frequent-bigram mass. High values
+    flag boilerplate-heavy or degenerate (looping) documents that survive
+    length/stopword filters — the standard pre-training screen next to
+    type_token_ratio (q_text_quality, which is unigram-level).
+
+    Shape: per-row bigram expansion via a higher-order transform (no
+    Python), one shuffle into (doc_id, bigram) with map-side partial
+    counts, one shuffle back to doc_id. Both aggregations key on doc_id
+    so cardinality tracks the corpus, never vocabulary²; a doc with <2
+    tokens has no bigrams and drops out on both engines (sequence() in
+    Spark would otherwise count DOWN from 1 to 0 — the >= 2 guard is
+    semantic on one engine and a correctness requirement on the other).
+    """
+    d = table(spark, sf_dir, "documents")
+    bi = (
+        d.where(F.size(F.split("text", " ")) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> concat(element_at(split(text, ' '), i), ' ', "
+                    "element_at(split(text, ' '), i + 1)))"
+                )
+            ).alias("bg"),
+        )
+    )
+    cnt = bi.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.round(F.lit(1.0) - F.count("*") / F.sum("c").cast("double"), 6).alias(
+            "dup_bigram_frac"
+        ),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_bigram_frac"),
+    )
