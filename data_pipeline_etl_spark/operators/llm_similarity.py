@@ -221,21 +221,55 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Random-hyperplane LSH parameters (q_sim_neardup). Plane components are a
-# deterministic integer hash — ((j*8191 + i) * 2654435761) % 1021, Knuth
-# multiplicative, max intermediate ~6.7e14 (no int64 overflow) — mapped to
-# [-1, 1), so BOTH engines materialize bit-identical hyperplanes with zero
-# side tables. Sign bits pack into _LSH_BANDS bands of _LSH_ROWS bits: a
-# candidate pair must agree on all 8 bits of some band. P(band collision) =
-# (1 - θ/π)^8 — near-duplicates (θ→0) collide with probability →1, random
-# pairs (θ≈π/2) at ~0.4% per band, so bucket sizes track the number of
-# actual near-dup pairs, not a fixed fraction of the corpus, and the
-# blocked join stays sub-quadratic at any scale (tighten by raising
-# _LSH_ROWS if a corpus is pathologically self-similar).
+# deterministic integer hash mapped to [-1, 1), so BOTH engines
+# materialize bit-identical hyperplanes with zero side tables. Sign bits
+# pack into _LSH_BANDS bands of _LSH_ROWS bits: a candidate pair must
+# agree on all 8 bits of some band. P(band collision) = (1 - θ/π)^8 —
+# near-duplicates (θ→0) collide with probability →1, random pairs
+# (θ≈π/2) at ~0.4% per band, so bucket sizes track the number of actual
+# near-dup pairs, not a fixed fraction of the corpus, and the blocked
+# join stays sub-quadratic at any scale (tighten by raising _LSH_ROWS as
+# the corpus grows — occupancy, not bucket count, is the invariant; see
+# BASELINE.md scaling probe).
+#
+# Hash structure matters (r6 fix): the original v = ((j*8191 + i) * K)
+# % 1021 is AFFINE in (j, i) — plane j is the single base vector
+# (i*K % 1021) shifted by the scalar (j*8191*K % 1021) in mod space, so
+# the 32 "planes" were strongly correlated and random-pair collisions ran
+# ~9x the independent-plane rate (measured 271k candidate pairs at 2k
+# vectors vs the 31k ideal), inflating the rescore join everywhere.
+# Squaring v breaks the separability (the 2·a_j·b_i cross term makes
+# plane differences i-dependent): measured 37k pairs at 2k vectors and
+# planted-pair recall 0.954 -> 0.98. v <= 1020, so v*v + v + j stays
+# ~1e6 — no overflow anywhere near int64.
 _LSH_BANDS = 4
 _LSH_ROWS = 8
 _LSH_PLANES = _LSH_BANDS * _LSH_ROWS
 
-_PLANE_SQL = "(CAST(((j * 8191 + i) * 2654435761) % 1021 AS DOUBLE) / 510.5 - 1.0)"
+_V_SQL = "(((j * 8191 + i) * 2654435761) % 1021)"
+_PLANE_SQL = (
+    f"(CAST(({_V_SQL} * {_V_SQL} + {_V_SQL} + j) % 1021 AS DOUBLE) / 510.5 - 1.0)"
+)
+
+
+def _bits_spark(planes: int) -> str:
+    """Spark expr: ``planes`` hyperplane sign bits per embedding row."""
+    return (
+        f"transform(sequence(0, {planes - 1}), j -> "
+        f"CASE WHEN aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), "
+        f"(acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE) * {_PLANE_SQL}"
+        f") >= 0 THEN 1 ELSE 0 END)"
+    )
+
+
+def _bands_spark(bands: int, rows: int) -> str:
+    """Spark expr: pack ``bits`` into ``bands`` signatures of ``rows`` bits."""
+    return (
+        f"transform(sequence(0, {bands - 1}), k -> "
+        f"aggregate(sequence(1, {rows}), 0, "
+        f"(acc, t) -> acc * 2 + element_at(bits, {rows} * k + t)))"
+    )
+
 
 _BITS_DUCK = f"""list_transform(generate_series(0, {_LSH_PLANES - 1}), j ->
            CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
@@ -247,21 +281,9 @@ _SIG_DUCK = " + ".join(
     for t in range(_LSH_ROWS)
 )
 
-_BITS_SPARK = (
-    f"transform(sequence(0, {_LSH_PLANES - 1}), j -> "
-    f"CASE WHEN aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), "
-    f"(acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE) * {_PLANE_SQL}"
-    f") >= 0 THEN 1 ELSE 0 END)"
-)
-
-_BANDS_SPARK = (
-    f"transform(sequence(0, {_LSH_BANDS - 1}), k -> "
-    f"aggregate(sequence(1, {_LSH_ROWS}), 0, "
-    f"(acc, t) -> acc * 2 + element_at(bits, {_LSH_ROWS} * k + t)))"
-)
-
-
-def band_candidate_pairs_for(vectors: DataFrame) -> DataFrame:
+def band_candidate_pairs_for(
+    vectors: DataFrame, bands: int = _LSH_BANDS, rows: int = _LSH_ROWS
+) -> DataFrame:
     """Distinct ordered candidate pairs (a < b) from the LSH band buckets,
     for any frame carrying (vec_id, embedding) — the planted-pair recall
     property test feeds synthetic corpora through exactly the declared
@@ -278,10 +300,21 @@ def band_candidate_pairs_for(vectors: DataFrame) -> DataFrame:
     collision probability (see _LSH_BANDS above), so the in-bucket
     quadratic expansion is bounded the same way the joined pair count
     always was — identical candidate set, half the signature compute.
+
+    ``bands``/``rows`` default to the declared-query configuration; the
+    scaling probe passes wider rows because bits-per-band must grow with
+    log2(corpus) to hold bucket OCCUPANCY (not count) constant — with
+    rows fixed, random-pair collisions scale as n²·2^-rows and the
+    candidate set itself goes quadratic (measured, BASELINE.md 10×/30×
+    probe). Growing the corpus 2^b× costs b extra bits per band to keep
+    the expansion linear.
     """
     sigs = (
-        vectors.withColumn("bits", F.expr(_BITS_SPARK))
-        .select("vec_id", F.posexplode(F.expr(_BANDS_SPARK)).alias("band", "sig"))
+        vectors.withColumn("bits", F.expr(_bits_spark(bands * rows)))
+        .select(
+            "vec_id",
+            F.posexplode(F.expr(_bands_spark(bands, rows))).alias("band", "sig"),
+        )
     )
     buckets = (
         sigs.groupBy("band", "sig")
@@ -836,7 +869,8 @@ def hyperplane_bits_pandas(df: DataFrame) -> DataFrame:
             dim = emb.shape[1]
             j = np.arange(_LSH_PLANES, dtype=np.int64)[:, None]
             i = np.arange(1, dim + 1, dtype=np.int64)[None, :]
-            w = (((j * 8191 + i) * 2654435761) % 1021) / 510.5 - 1.0
+            v = ((j * 8191 + i) * 2654435761) % 1021
+            w = ((v * v + v + j) % 1021) / 510.5 - 1.0
             acc = np.zeros((emb.shape[0], _LSH_PLANES), dtype=np.float64)
             # dimension-by-dimension accumulation == the SQL fold's
             # left-to-right order; rows/planes vectorized per step

@@ -75,6 +75,10 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 _FORCE_FRONT: dict[str, int] = {
     # round-6 touches:
     "q_udaf_grouped": 6,  # gap_us computed JVM-side; half the Arrow payload
+    # band_candidate_pairs_for parameterized (bands/rows args for the
+    # scaling probe); defaults reproduce the declared plan verbatim:
+    "q_sim_neardup": 6,
+    "q_sim_pairs_lsh": 6,
 }
 
 

@@ -1,17 +1,27 @@
 #!/usr/bin/env python
-"""10x scaling probe: replicate sf0.1's lineitem/orders 10x (with key
-remapping so join fan-out stays realistic) and measure headline query
-wall time at 1x vs 10x. The point is the SLOPE: a scale-correct plan
-costs ~10x (ideally less, because fixed overhead amortizes) — a
-quadratic or skew-bound plan blows past it. Results are recorded in
-BASELINE.md; run on a quiet host.
+"""N-x scaling probe: replicate sf0.1's lineitem/orders (and embeddings)
+N-x with key remapping so join fan-out stays realistic, and measure
+headline query wall time at 1x vs each requested factor. The point is
+the SLOPE: a scale-correct plan costs ~Nx (ideally less, because fixed
+overhead amortizes) — a quadratic or skew-bound plan blows past it.
+Results are recorded in SCALE.md / BASELINE.md; run on a quiet host.
 
-    python scripts/scaling_probe.py [factor]
+    python scripts/scaling_probe.py [factor ...]     # default: 10
+
+Replicated embeddings are CIRCULARLY SHIFTED per replica (shift = rep %%
+dim), not copied verbatim: verbatim copies would plant N-1 exact dups per
+vector and inflate LSH bucket occupancy quadratically by construction —
+the honest scale model is a corpus growing with new content, which
+shifted vectors approximate (dimensions are i.i.d.-ish, so a shifted
+copy signatures like an unrelated vector). The LSH case is capped at
+LSH_MAX_FACTOR (signature folds cost ~2.5 ms/vector interpreted; beyond
+~60k vectors the probe measures patience, not plan shape).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import statistics
 import sys
 import tempfile
@@ -20,30 +30,59 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+LSH_MAX_FACTOR = 30
+
 
 def main() -> int:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    factors = [int(a) for a in sys.argv[1:]] or [10]
     from pyspark.sql import functions as F
 
+    from data_pipeline_etl_spark.operators.llm_similarity import (
+        band_candidate_pairs_for,
+    )
     from data_pipeline_etl_spark.session import get_spark
 
     spark = get_spark("scaling-probe")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     sf = "/root/testdata/sf0.1"
-    tmp = tempfile.mkdtemp(prefix="scaling_probe_")
 
     l = spark.read.parquet(f"{sf}/lineitem.parquet")
     o = spark.read.parquet(f"{sf}/orders.parquet")
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
     max_ok = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
-    reps = spark.range(factor).select(F.col("id").alias("rep"))
-    big_l = l.crossJoin(reps).withColumn(
-        "l_orderkey", F.col("l_orderkey") + F.col("rep") * max_ok
-    ).drop("rep")
-    big_o = o.crossJoin(reps).withColumn(
-        "o_orderkey", F.col("o_orderkey") + F.col("rep") * max_ok
-    ).drop("rep")
-    big_l.write.parquet(os.path.join(tmp, "lineitem"))
-    big_o.write.parquet(os.path.join(tmp, "orders"))
+    max_vid = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    dim = len(e.select("embedding").first()[0])
+
+    def replicate(tmp: str, factor: int) -> dict[str, str]:
+        reps = spark.range(factor).select(F.col("id").alias("rep"))
+        paths = {}
+        for name, df, key, mx in (
+            ("lineitem", l, "l_orderkey", max_ok),
+            ("orders", o, "o_orderkey", max_ok),
+        ):
+            paths[name] = os.path.join(tmp, name)
+            df.crossJoin(reps).withColumn(key, F.col(key) + F.col("rep") * mx).drop(
+                "rep"
+            ).write.parquet(paths[name])
+        paths["embeddings"] = os.path.join(tmp, "embeddings")
+        shift = (F.col("rep") % dim).cast("int")
+        (
+            e.crossJoin(reps)
+            .select(
+                (F.col("vec_id") + F.col("rep") * max_vid).alias("vec_id"),
+                F.when(shift == 0, F.col("embedding"))
+                .otherwise(
+                    F.concat(
+                        F.expr(f"slice(embedding, cast(rep % {dim} as int) + 1, "
+                               f"{dim} - cast(rep % {dim} as int))"),
+                        F.expr(f"slice(embedding, 1, cast(rep % {dim} as int))"),
+                    )
+                )
+                .alias("embedding"),
+            )
+            .write.parquet(paths["embeddings"])
+        )
+        return paths
 
     def q1(ldf):
         return ldf.groupBy("l_returnflag", "l_linestatus").agg(
@@ -78,37 +117,91 @@ def main() -> int:
         )
         return ldf.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10)
 
+    def lsh(edf, rows):
+        # candidate generation is the scale-critical stage; summarize the
+        # pair count so Arrow transfer stays out of the measurement
+        return band_candidate_pairs_for(edf, rows=rows).agg(
+            F.count("*").alias("n_pairs")
+        )
+
     cases = {
-        "q1_groupby": lambda L, O: q1(L),
-        "join_agg": join_agg,
-        "dedup_exact": lambda L, O: dedup(L),
-        "win_topn": lambda L, O: wtopn(L),
+        "q1_groupby": lambda L, O, E: q1(L),
+        "join_agg": lambda L, O, E: join_agg(L, O),
+        "dedup_exact": lambda L, O, E: dedup(L),
+        "win_topn": lambda L, O, E: wtopn(L),
     }
 
-    results = {}
-    for tag, (lp, op) in {
-        "1x": (f"{sf}/lineitem.parquet", f"{sf}/orders.parquet"),
-        f"{factor}x": (os.path.join(tmp, "lineitem"), os.path.join(tmp, "orders")),
-    }.items():
-        L = spark.read.parquet(lp)
-        O = spark.read.parquet(op)
-        n = L.count()
-        for name, fn in cases.items():
-            fn(L, O).toPandas()  # warm
+    def measure(tag, factor, lp, op, ep):
+        L, O = spark.read.parquet(lp), spark.read.parquet(op)
+        # spread the signature folds (the declared query does this via
+        # fanout(); the small fixture parquet is otherwise one partition)
+        E = spark.read.parquet(ep).repartition(
+            spark.sparkContext.defaultParallelism, "vec_id"
+        )
+        todo = dict(cases)
+        if factor <= LSH_MAX_FACTOR:
+            # fixed-width bands (the declared-query config) vs occupancy-
+            # scaled bands: rows must grow with log2(corpus) to keep the
+            # in-bucket expansion linear — both are measured so the knee
+            # AND its documented mitigation are on record
+            scaled = 8 + max(0, (factor - 1).bit_length())
+            todo["lsh_fixed8"] = lambda L, O, E: lsh(E, 8)
+            if scaled > 8:
+                todo[f"lsh_scaled{scaled}"] = lambda L, O, E: lsh(E, scaled)
+        out = {}
+        for name, fn in todo.items():
+            warm = fn(L, O, E).toPandas()  # warm
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                fn(L, O).toPandas()
+                fn(L, O, E).toPandas()
                 ts.append(time.perf_counter() - t0)
-            results[(tag, name)] = statistics.median(ts)
-        print(f"{tag}: rows={n}")
-    print(f"\n{'query':14s} {'1x':>8s} {factor:>6d}x  slope (ideal <= {factor})")
-    for name in cases:
-        a, b = results[("1x", name)], results[(f"{factor}x", name)]
-        print(f"{name:14s} {a:8.3f} {b:7.3f}  {b / a:5.1f}x")
-    import shutil
+            out[name] = statistics.median(ts)
+            note = ""
+            if name.startswith("lsh") and "n_pairs" in warm.columns:
+                note = f"  (n_pairs={int(warm['n_pairs'].iloc[0])})"
+            print(f"  {tag} {name}: {out[name]:.3f}s{note}", flush=True)
+        return out
 
-    shutil.rmtree(tmp, ignore_errors=True)
+    base = measure(
+        "1x",
+        1,
+        f"{sf}/lineitem.parquet",
+        f"{sf}/orders.parquet",
+        f"{sf}/embeddings.parquet",
+    )
+    results = {"1x": base}
+    for factor in factors:
+        tmp = tempfile.mkdtemp(prefix=f"scaling_probe_{factor}x_")
+        try:
+            paths = replicate(tmp, factor)
+            results[f"{factor}x"] = measure(
+                f"{factor}x",
+                factor,
+                paths["lineitem"],
+                paths["orders"],
+                paths["embeddings"],
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    names = list(dict.fromkeys(n for vals in results.values() for n in vals))
+    print(f"\n{'query':16s}", end="")
+    for tag in results:
+        print(f" {tag:>9s}", end="")
+    print("   slopes vs 1x (ideal <= factor)")
+    for name in names:
+        ref = base.get(name, base.get("lsh_fixed8"))
+        print(f"{name:16s}", end="")
+        for tag, vals in results.items():
+            v = vals.get(name)
+            print(f" {v:9.3f}" if v is not None else f" {'-':>9s}", end="")
+        slopes = [
+            f"{tag}:{vals[name] / ref:.1f}x"
+            for tag, vals in results.items()
+            if tag != "1x" and name in vals and ref
+        ]
+        print("   " + " ".join(slopes))
     spark.stop()
     return 0
 
