@@ -533,15 +533,17 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic on one engine and a correctness requirement on the other).
     """
     d = table(spark, sf_dir, "documents")
+    # materialize the token array once per row — inlining split(text) into
+    # the lambda re-evaluates it per element_at (O(tokens²) per doc)
     bi = (
-        d.where(F.size(F.split("text", " ")) >= 2)
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 2)
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1), "
-                    "i -> concat(element_at(split(text, ' '), i), ' ', "
-                    "element_at(split(text, ' '), i + 1)))"
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
                 )
             ).alias("bg"),
         )
