@@ -257,6 +257,45 @@ def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
     return fps, np.stack(frames) if frames else np.empty((0, h, w, 3), dtype=np.uint8)
 
 
+def sample_avi_frames(payload: bytes, every_k: int = 2) -> tuple[int, np.ndarray]:
+    """(fps, every k-th frame) decoded via the idx1 index WITHOUT touching
+    the skipped frames' bytes — decode cost is proportional to the frames
+    SAMPLED, not the file size. This is the access pattern a video
+    frame-sampling stage runs at scale: seek offsets come from the index,
+    each read is exactly one frame chunk."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = fps = None
+    movi_pos = idx1 = None
+    for fourcc, off, size in _riff_chunks(payload, 12):
+        if off + size > len(payload):
+            raise ValueError(f"truncated {fourcc!r} chunk")
+        if fourcc == b"LIST":
+            list_type = payload[off : off + 4]
+            if list_type == b"hdrl":
+                for fc2, off2, size2 in _riff_chunks(payload[off + 4 : off + size], 0):
+                    if fc2 == b"avih":
+                        vals = struct.unpack("<10I", payload[off + 4 + off2 : off + 4 + off2 + 40])
+                        us_per_frame, w, h = vals[0], vals[8], vals[9]
+                        fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
+            elif list_type == b"movi":
+                movi_pos = off
+        elif fourcc == b"idx1":
+            idx1 = payload[off : off + size]
+    if w is None or movi_pos is None or idx1 is None:
+        raise ValueError("missing hdrl, movi, or idx1")
+    frames, frame_no = [], 0
+    for i in range(0, len(idx1) - 15, 16):
+        fourcc, _flags, rel, size = struct.unpack("<4sIII", idx1[i : i + 16])
+        if fourcc != b"00db":
+            continue
+        if frame_no % every_k == 0:
+            start = movi_pos + rel + 8
+            frames.append(_dib_decode(payload[start : start + size], w, h))
+        frame_no += 1
+    return fps, np.stack(frames) if frames else np.empty((0, h, w, 3), dtype=np.uint8)
+
+
 def decode_real(payload: bytes, media_type: str) -> np.ndarray:
     """REAL decode for audio (WAV PCM16: duration/rms/peak/zero-crossing
     + 4 band-energy proxies), image (BMP 24bpp: per-channel means,

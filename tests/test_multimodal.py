@@ -148,6 +148,23 @@ def test_avi_codec_roundtrip():
         multimodal.decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
 
 
+def test_avi_frame_sampling_via_index():
+    """sample_avi_frames pulls every k-th frame through the idx1 index:
+    sampled frames equal the full decode's [::k] slice, for several k."""
+    import numpy as np
+
+    ff, yy, xx = np.mgrid[0:9, 0:6, 0:8]
+    frames = np.stack(
+        [(xx * 13 + ff * 3) % 256, (yy * 17) % 256, (ff * 41) % 256], axis=-1
+    ).astype(np.uint8)
+    payload = multimodal.encode_avi(frames, fps=8)
+    _, full = multimodal.decode_avi(payload)
+    for k in (1, 2, 3, 4):
+        fps, sampled = multimodal.sample_avi_frames(payload, every_k=k)
+        assert fps == 8
+        assert np.array_equal(sampled, full[::k]), k
+
+
 def test_real_decode_through_arrow_batches(spark):
     """decode_real through mapInPandas over synthesized WAV/BMP/AVI
     assets: every feature row matches the locally-computed truth, proving
