@@ -570,6 +570,74 @@ def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_MAX_ROUNDS = 20  # with pointer doubling this covers diameter ~2**20
+
+
+def _connected_components(edges: DataFrame, max_rounds: int = _CC_MAX_ROUNDS) -> DataFrame:
+    """Min-label connected components over a bidirectional ``(src, dst)``
+    edge frame; returns ``(doc_id, cluster_id)`` for every endpoint.
+
+    Each round is hop + jump:
+    - *hop*: pull labels across one edge and take the min with the own
+      label (one equi-join + groupBy-min). The incumbent label rides
+      along as ``old`` so convergence is a filter-count on the already
+      materialized frame — no extra join job per round.
+    - *jump* (pointer doubling): replace each label by its label's label
+      via a self-join. Labels only ever hold endpoint doc_ids (the seed
+      is the endpoint set and min never invents values), so the inner
+      self-join keys always resolve.
+
+    Both steps are monotone non-increasing and bounded by the component
+    min, and the jump doubles propagation reach, so rounds needed are
+    O(log diameter) instead of O(diameter) — ``max_rounds`` = 20 covers
+    diameters up to ~2**20. If the cap is ever hit before the fixpoint,
+    this *raises* instead of silently returning partial clusters (the
+    at-scale failure mode is wrong dedup survivors, not slowness). Label
+    lineage is truncated every round with a lazy localCheckpoint that the
+    convergence count materializes — one Spark job per round.
+    """
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    for _ in range(max_rounds):
+        neighbor = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .select(F.col("src").alias("doc_id"), "cluster_id", F.lit(None).cast("long").alias("old"))
+        )
+        hopped = (
+            labels.select("doc_id", "cluster_id", F.col("cluster_id").alias("old"))
+            .unionByName(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"), F.min("old").alias("old"))
+        )
+        merged = (
+            hopped.alias("a")
+            .join(
+                hopped.select(
+                    F.col("doc_id").alias("jid"), F.col("cluster_id").alias("jlab")
+                ).alias("b"),
+                F.col("a.cluster_id") == F.col("b.jid"),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.least(F.col("a.cluster_id"), F.col("b.jlab")).alias("cluster_id"),
+                F.col("a.old").alias("old"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = merged.where(F.col("cluster_id") != F.col("old")).count()
+        labels = merged.select("doc_id", "cluster_id")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected components did not converge within {max_rounds} rounds "
+        f"({changed} labels still changing) — component diameter exceeds "
+        f"2**{max_rounds}; raise max_rounds rather than trusting partial clusters"
+    )
+
+
 @query(
     "q_dedup_cluster",
     oracle="""
@@ -598,19 +666,16 @@ def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the Jaccard>=0.8
-    near-dup pair graph, as iterative min-label propagation.
+    near-dup pair graph, as iterative min-label propagation with pointer
+    doubling (see :func:`_connected_components`).
 
     The dedup *completion* step: pairwise candidates become disjoint
-    groups (keep one doc per cluster). Each iteration is one join+min
-    aggregate; label lineage is truncated with localCheckpoint so the
-    plan stays O(1) per round. Converges in O(component diameter)
-    iterations — the Pregel/GraphX pattern without leaving DataFrames.
-    Only docs that appear in some near-dup pair enter the iteration
-    (singletons keep cluster_id = doc_id for free via the final
-    left join), so the iterated frame is |docs-in-pairs|, not |docs| —
-    at 100 TB the pair graph is orders of magnitude smaller than the
-    corpus. The oracle computes the same unique fixpoint via a
-    recursive CTE.
+    groups (keep one doc per cluster). Only docs that appear in some
+    near-dup pair enter the iteration (singletons keep
+    cluster_id = doc_id for free via the final left join), so the
+    iterated frame is |docs-in-pairs|, not |docs| — at 100 TB the pair
+    graph is orders of magnitude smaller than the corpus. The oracle
+    computes the same unique fixpoint via a recursive CTE.
     """
     d = table(spark, sf_dir, "documents")
     pairs = _inverted_index_jaccard(_unigram_elements(d), 0.8).select("doc_a", "doc_b")
@@ -618,34 +683,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.localCheckpoint(eager=True)
-
-    # seed labels from pair endpoints only (edges holds both directions,
-    # so src alone covers every endpoint)
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(20):  # cap >> observed component diameter
-        # tag the incumbent label through the min-aggregate so convergence
-        # is a filter-count on the already-materialized frame — no extra
-        # join job per round
-        neighbor = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .select(F.col("src").alias("doc_id"), "cluster_id", F.lit(None).cast("long").alias("old"))
-        )
-        merged = (
-            labels.select("doc_id", "cluster_id", F.col("cluster_id").alias("old"))
-            .unionByName(neighbor)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"), F.min("old").alias("old"))
-            .localCheckpoint(eager=True)
-        )
-        changed = merged.where(F.col("cluster_id") != F.col("old")).count()
-        labels = merged.select("doc_id", "cluster_id")
-        if changed == 0:
-            break
+    labels = _connected_components(edges)
     return d.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
     )

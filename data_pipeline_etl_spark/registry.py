@@ -73,12 +73,16 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # (All r4/r5 entries pruned at r6 open: CORRECTNESS_r05.json graded every
 # one of them green post-touch, so each had expired by its own rule.)
 _FORCE_FRONT: dict[str, int] = {
-    # round-6 touches:
+    # round-6 touches (expire once CORRECTNESS_r06 lands):
     "q_udaf_grouped": 6,  # gap_us computed JVM-side; half the Arrow payload
     # band_candidate_pairs_for parameterized (bands/rows args for the
     # scaling probe); defaults reproduce the declared plan verbatim:
     "q_sim_neardup": 6,
     "q_sim_pairs_lsh": 6,
+    # round-7 touches:
+    # label propagation rewritten hop+jump (pointer doubling) with a
+    # convergence guard raise (VERDICT r6 item 1):
+    "q_dedup_cluster": 7,
 }
 
 
