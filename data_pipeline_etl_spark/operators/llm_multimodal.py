@@ -156,3 +156,39 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     feats = multimodal.extract_features(multimodal.make_assets(d))
     return feats.select("doc_id", "media_type", "n_bytes", "digest")
+
+
+# rows-only: payloads are REAL WAV/BMP/DIB-AVI media synthesized in
+# executors from fixture text bytes, then decoded by the real codec
+# kernels — a cross-engine SQL oracle cannot decode media containers.
+@query("q_multimodal_decode_real")
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec decode through the driver contract.
+
+    encode→decode roundtrip entirely inside executors: each document's
+    text bytes seed a real BMP image / PCM16 WAV clip / DIB-AVI video
+    (streaming/multimodal.py make_real_assets), which decode_real then
+    parses back — RIFF chunk walk, DIB row unpacking, idx1 frame index —
+    into the 8-float feature contract over the same Arrow mapInPandas
+    path the stub queries use. Deterministic end to end (features are
+    pure functions of the fixture text), so row count, schema, and
+    values are stable across runs; rounded to 6 dp like every declared
+    float surface.
+    """
+    from data_pipeline_etl_spark.streaming import multimodal
+
+    d = table(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(
+        multimodal.make_real_assets(d), decoder=multimodal.decode_real
+    )
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "digest",
+        # stringified (declared outputs must be scalar for the driver's
+        # pandas canonicalizer), rounded to 6 dp like every float surface
+        F.array_join(
+            F.transform("feat", lambda v: F.round(v, 6).cast("string")), ","
+        ).alias("feat_csv"),
+    )

@@ -428,6 +428,44 @@ def make_media_assets(spark) -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+REAL_ASSET_SCHEMA = "asset_id BIGINT, doc_id BIGINT, media_type STRING, payload BINARY"
+
+
+def make_real_assets(documents: DataFrame) -> DataFrame:
+    """REAL media assets synthesized from fixture text bytes, built
+    *inside executors* (mapInPandas — payloads never touch the driver):
+    each doc's UTF-8 bytes seed a 8x8 24bpp BMP (doc_id%3==0), 96
+    PCM16 WAV samples (==1), or a 3-frame 4x4 DIB-AVI clip (==2),
+    encoded with the same encode_wav/encode_bmp/encode_avi kernels the
+    decoders are pytest-pinned against. This is the scale-true shape of
+    a media ingest stage: per-row encode work, Arrow record batches, no
+    driver-side materialization.
+    """
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "doc_id", "media_type", "payload")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8") or b"\x00"
+                b = (b * (192 // len(b) + 1))[:192]
+                u8 = np.frombuffer(b, dtype=np.uint8)
+                m = int(doc_id) % 3
+                if m == 0:
+                    payload, mtype = encode_bmp(u8.reshape(8, 8, 3).copy()), "image"
+                elif m == 1:
+                    samples = (u8[:96].astype(np.int16) - 128) * 256
+                    payload, mtype = encode_wav(samples, 16000), "audio"
+                else:
+                    payload, mtype = encode_avi(u8[:144].reshape(3, 4, 4, 3).copy(), fps=10), "video"
+                out["asset_id"].append(int(doc_id))
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mtype)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(build, REAL_ASSET_SCHEMA)
+
+
 def frame_sample(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' over the opaque payload: one row per sampled
     offset (the video-frame-extraction access pattern, minus the codec).

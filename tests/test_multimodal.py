@@ -197,3 +197,44 @@ def test_real_decode_through_arrow_batches(spark):
         else:
             # n_frames, fps decoded; frame-index channel drift => motion > 0
             assert f[0] >= 4 and f[3] == 10 and f[6] > 0, (aid, f)
+
+
+def test_make_real_assets_roundtrip(spark):
+    """make_real_assets synthesizes real BMP/WAV/AVI payloads from fixture
+    text in executors; decode_real parses them back through the Arrow path.
+    Cross-check one asset of each media type against a locally recomputed
+    encode→decode of the same text bytes."""
+    import numpy as np
+
+    d = table(spark, SF_DIR, "documents")
+    feats = multimodal.extract_features(
+        multimodal.make_real_assets(d), decoder=multimodal.decode_real
+    )
+    rows = {r.doc_id: r for r in feats.collect()}
+    assert len(rows) == d.count()
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+
+    def local_payload(doc_id):
+        b = texts[doc_id].encode("utf-8") or b"\x00"
+        b = (b * (192 // len(b) + 1))[:192]
+        u8 = np.frombuffer(b, dtype=np.uint8)
+        m = doc_id % 3
+        if m == 0:
+            return multimodal.encode_bmp(u8.reshape(8, 8, 3).copy()), "image"
+        if m == 1:
+            return multimodal.encode_wav((u8[:96].astype(np.int16) - 128) * 256, 16000), "audio"
+        return multimodal.encode_avi(u8[:144].reshape(3, 4, 4, 3).copy(), fps=10), "video"
+
+    checked = set()
+    for doc_id in sorted(rows):
+        mtype = rows[doc_id].media_type
+        if mtype in checked:
+            continue
+        checked.add(mtype)
+        payload, expect_type = local_payload(doc_id)
+        assert mtype == expect_type
+        assert rows[doc_id].n_bytes == len(payload)
+        expect_feat = multimodal.decode_real(payload, mtype)
+        got = np.array(rows[doc_id].feat)
+        assert np.allclose(got, expect_feat.round(6), atol=1e-9), (doc_id, mtype)
+    assert checked == {"image", "audio", "video"}

@@ -91,7 +91,12 @@ def test_no_python_udf_in_builtin_queries(spark):
         "MapInPandas",
     )
     # the declared Python-surface queries, where an eval node is the point
-    python_surface = {"q_udaf_grouped", "q_dedup_minhash", "q_multimodal_decode"}
+    python_surface = {
+        "q_udaf_grouped",
+        "q_dedup_minhash",
+        "q_multimodal_decode",
+        "q_multimodal_decode_real",
+    }
     offenders = []
     for name, fn in QUERIES.items():
         if name.startswith("q_udf") or name in python_surface:
