@@ -309,12 +309,21 @@ def band_candidate_pairs_for(
     probe). Growing the corpus 2^b× costs b extra bits per band to keep
     the expansion linear.
     """
-    sigs = (
-        vectors.withColumn("bits", F.expr(_bits_spark(bands * rows)))
-        .select(
-            "vec_id",
-            F.posexplode(F.expr(_bands_spark(bands, rows))).alias("band", "sig"),
-        )
+    return band_pairs_from_bits(
+        vectors.withColumn("bits", F.expr(_bits_spark(bands * rows))), bands, rows
+    )
+
+
+def band_pairs_from_bits(bit_frame: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Band packing + in-bucket pair expansion over a precomputed
+    ``(vec_id, bits)`` frame — the back half of
+    :func:`band_candidate_pairs_for`, split out so the vectorized bit
+    path (:func:`hyperplane_bits_pandas`, used by the scaling probe past
+    the interpreted fold's throughput ceiling) feeds the exact same
+    bucket machinery as the declared SQL fold."""
+    sigs = bit_frame.select(
+        "vec_id",
+        F.posexplode(F.expr(_bands_spark(bands, rows))).alias("band", "sig"),
     )
     buckets = (
         sigs.groupBy("band", "sig")
@@ -835,7 +844,7 @@ def q_embed_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hyperplane_bits_pandas(df: DataFrame) -> DataFrame:
+def hyperplane_bits_pandas(df: DataFrame, planes: int = _LSH_PLANES) -> DataFrame:
     """Vectorized (Arrow/numpy) twin of the interpreted hyperplane-bit
     expression used by q_sim_neardup / q_sim_pairs_lsh — the documented
     escape hatch (SCALE.md §J) for when the 32 interpreted 64-dim folds
@@ -867,11 +876,11 @@ def hyperplane_bits_pandas(df: DataFrame) -> DataFrame:
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
             dim = emb.shape[1]
-            j = np.arange(_LSH_PLANES, dtype=np.int64)[:, None]
+            j = np.arange(planes, dtype=np.int64)[:, None]
             i = np.arange(1, dim + 1, dtype=np.int64)[None, :]
             v = ((j * 8191 + i) * 2654435761) % 1021
             w = ((v * v + v + j) % 1021) / 510.5 - 1.0
-            acc = np.zeros((emb.shape[0], _LSH_PLANES), dtype=np.float64)
+            acc = np.zeros((emb.shape[0], planes), dtype=np.float64)
             # dimension-by-dimension accumulation == the SQL fold's
             # left-to-right order; rows/planes vectorized per step
             for d in range(dim):

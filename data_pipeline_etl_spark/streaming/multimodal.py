@@ -116,14 +116,18 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     for fourcc, off, size in _riff_chunks(payload, 12):
         if off + size > len(payload):
             raise ValueError(f"truncated {fourcc!r} chunk")
-        if fourcc == b"fmt ":
+        # first fmt/data win — a payload carrying duplicates decodes its
+        # leading chunks rather than silently switching to the last pair
+        if fourcc == b"fmt " and rate is None:
             if size < 16:
                 raise ValueError("fmt chunk too short")
             audio_fmt, n_ch, rate = struct.unpack("<HHI", payload[off : off + 8])
             if audio_fmt != 1 or n_ch != 1:
                 raise ValueError("only mono PCM16 supported")
-        elif fourcc == b"data":
+        elif fourcc == b"data" and data is None:
             data = payload[off : off + size]
+        if rate is not None and data is not None:
+            break
     if rate is None or data is None:
         raise ValueError("missing fmt or data chunk")
     return rate, np.frombuffer(data, dtype="<i2")
@@ -215,13 +219,14 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     return struct.pack("<4sI", b"RIFF", len(riff_body)) + riff_body
 
 
-def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
-    """(fps, (N, H, W, 3) uint8 RGB frames) from uncompressed-DIB AVI.
+def _parse_avi(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """(fps, w, h, movi_pos, idx1) from a RIFF/AVI container.
 
-    Frame access goes through the idx1 index (seek to chunk header,
-    read exactly size bytes) — the same random-access pattern a frame
-    sampler uses to pull every k-th frame of a large file without
-    scanning the movi list."""
+    Shared header walk for decode_avi and sample_avi_frames. Tolerates
+    extra chunks (JUNK padding, INFO lists) anywhere in the top-level
+    chunk list — only hdrl/movi/idx1 are interpreted. Nested hdrl chunk
+    bodies are bounds-checked against the enclosing LIST slice, and a
+    short avih raises ValueError instead of struct.error."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     w = h = fps = None
@@ -232,11 +237,14 @@ def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
         if fourcc == b"LIST":
             list_type = payload[off : off + 4]
             if list_type == b"hdrl":
-                for fc2, off2, size2 in _riff_chunks(payload[off + 4 : off + size], 0):
+                body = payload[off + 4 : off + size]
+                for fc2, off2, size2 in _riff_chunks(body, 0):
+                    if off2 + size2 > len(body):
+                        raise ValueError(f"nested {fc2!r} chunk overruns its LIST")
                     if fc2 == b"avih":
                         if size2 < 40:
                             raise ValueError("avih chunk too short")
-                        vals = struct.unpack("<10I", payload[off + 4 + off2 : off + 4 + off2 + 40])
+                        vals = struct.unpack("<10I", body[off2 : off2 + 40])
                         us_per_frame, w, h = vals[0], vals[8], vals[9]
                         fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
             elif list_type == b"movi":
@@ -245,6 +253,17 @@ def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
             idx1 = payload[off : off + size]
     if w is None or movi_pos is None or idx1 is None:
         raise ValueError("missing hdrl, movi, or idx1")
+    return fps, w, h, movi_pos, idx1
+
+
+def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
+    """(fps, (N, H, W, 3) uint8 RGB frames) from uncompressed-DIB AVI.
+
+    Frame access goes through the idx1 index (seek to chunk header,
+    read exactly size bytes) — the same random-access pattern a frame
+    sampler uses to pull every k-th frame of a large file without
+    scanning the movi list."""
+    fps, w, h, movi_pos, idx1 = _parse_avi(payload)
     frames = []
     for i in range(0, len(idx1) - 15, 16):
         fourcc, _flags, rel, size = struct.unpack("<4sIII", idx1[i : i + 16])
@@ -263,27 +282,7 @@ def sample_avi_frames(payload: bytes, every_k: int = 2) -> tuple[int, np.ndarray
     SAMPLED, not the file size. This is the access pattern a video
     frame-sampling stage runs at scale: seek offsets come from the index,
     each read is exactly one frame chunk."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
-        raise ValueError("not a RIFF/AVI payload")
-    w = h = fps = None
-    movi_pos = idx1 = None
-    for fourcc, off, size in _riff_chunks(payload, 12):
-        if off + size > len(payload):
-            raise ValueError(f"truncated {fourcc!r} chunk")
-        if fourcc == b"LIST":
-            list_type = payload[off : off + 4]
-            if list_type == b"hdrl":
-                for fc2, off2, size2 in _riff_chunks(payload[off + 4 : off + size], 0):
-                    if fc2 == b"avih":
-                        vals = struct.unpack("<10I", payload[off + 4 + off2 : off + 4 + off2 + 40])
-                        us_per_frame, w, h = vals[0], vals[8], vals[9]
-                        fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
-            elif list_type == b"movi":
-                movi_pos = off
-        elif fourcc == b"idx1":
-            idx1 = payload[off : off + size]
-    if w is None or movi_pos is None or idx1 is None:
-        raise ValueError("missing hdrl, movi, or idx1")
+    fps, w, h, movi_pos, idx1 = _parse_avi(payload)
     frames, frame_no = [], 0
     for i in range(0, len(idx1) - 15, 16):
         fourcc, _flags, rel, size = struct.unpack("<4sIII", idx1[i : i + 16])

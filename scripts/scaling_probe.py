@@ -6,16 +6,28 @@ the SLOPE: a scale-correct plan costs ~Nx (ideally less, because fixed
 overhead amortizes) — a quadratic or skew-bound plan blows past it.
 Results are recorded in SCALE.md / BASELINE.md; run on a quiet host.
 
-    python scripts/scaling_probe.py [factor ...]     # default: 10
+    python scripts/scaling_probe.py [factor ...] [--only SUBSTR]   # default: 10
+
+``--only SUBSTR`` keeps just the cases whose name contains SUBSTR (e.g.
+``--only lsh`` re-measures the LSH family without replaying the lineitem
+suite).
 
 Replicated embeddings are CIRCULARLY SHIFTED per replica (shift = rep %%
 dim), not copied verbatim: verbatim copies would plant N-1 exact dups per
 vector and inflate LSH bucket occupancy quadratically by construction —
 the honest scale model is a corpus growing with new content, which
 shifted vectors approximate (dimensions are i.i.d.-ish, so a shifted
-copy signatures like an unrelated vector). The LSH case is capped at
-LSH_MAX_FACTOR (signature folds cost ~2.5 ms/vector interpreted; beyond
-~60k vectors the probe measures patience, not plan shape).
+copy signatures like an unrelated vector).
+
+LSH runs in two flavors: ``lsh_*`` (the declared query's interpreted SQL
+fold; capped at LSH_MAX_FACTOR — ~2.5 ms/vector means beyond ~60k
+vectors it measures patience, not plan shape) and ``lshv_*`` (the
+vectorized hyperplane_bits_pandas bit path feeding the SAME band-bucket
+machinery via band_pairs_from_bits; bit-exact, runs at every factor —
+this is the row that fills the 100x cell). Scaled-band cases
+(``*_scaledN``) are ALSO measured at 1x so their slope is computed
+against their own per-vector cost, not fixed8's (a 4xN-plane fold costs
+more per vector than 4x8 regardless of corpus size).
 """
 
 from __future__ import annotations
@@ -34,11 +46,20 @@ LSH_MAX_FACTOR = 30
 
 
 def main() -> int:
-    factors = [int(a) for a in sys.argv[1:]] or [10]
+    args = list(sys.argv[1:])
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1]
+        del args[i : i + 2]
+    factors = [int(a) for a in args] or [10]
     from pyspark.sql import functions as F
 
     from data_pipeline_etl_spark.operators.llm_similarity import (
+        _LSH_BANDS,
         band_candidate_pairs_for,
+        band_pairs_from_bits,
+        hyperplane_bits_pandas,
     )
     from data_pipeline_etl_spark.session import get_spark
 
@@ -124,12 +145,27 @@ def main() -> int:
             F.count("*").alias("n_pairs")
         )
 
+    def lshv(edf, rows):
+        # vectorized bit path, same band-bucket machinery (bit-exact)
+        return band_pairs_from_bits(
+            hyperplane_bits_pandas(edf, planes=_LSH_BANDS * rows), _LSH_BANDS, rows
+        ).agg(F.count("*").alias("n_pairs"))
+
     cases = {
         "q1_groupby": lambda L, O, E: q1(L),
         "join_agg": lambda L, O, E: join_agg(L, O),
         "dedup_exact": lambda L, O, E: dedup(L),
         "win_topn": lambda L, O, E: wtopn(L),
     }
+
+    def scaled_rows(factor):
+        # bits-per-band must grow with log2(corpus) to hold bucket
+        # OCCUPANCY (not count) constant; 8 = the declared-query config
+        return 8 + max(0, (factor - 1).bit_length())
+
+    # every band width any requested factor will use — measured at 1x too,
+    # so each *_scaledN row has its own per-vector-cost reference
+    all_ns = sorted({8} | {scaled_rows(f) for f in factors})
 
     def measure(tag, factor, lp, op, ep):
         L, O = spark.read.parquet(lp), spark.read.parquet(op)
@@ -139,15 +175,17 @@ def main() -> int:
             spark.sparkContext.defaultParallelism, "vec_id"
         )
         todo = dict(cases)
-        if factor <= LSH_MAX_FACTOR:
-            # fixed-width bands (the declared-query config) vs occupancy-
-            # scaled bands: rows must grow with log2(corpus) to keep the
-            # in-bucket expansion linear — both are measured so the knee
-            # AND its documented mitigation are on record
-            scaled = 8 + max(0, (factor - 1).bit_length())
-            todo["lsh_fixed8"] = lambda L, O, E: lsh(E, 8)
-            if scaled > 8:
-                todo[f"lsh_scaled{scaled}"] = lambda L, O, E: lsh(E, scaled)
+        # fixed-width bands (the declared-query config) vs occupancy-
+        # scaled bands: both are measured so the quadratic knee AND its
+        # documented mitigation are on record
+        ns = all_ns if factor == 1 else sorted({8, scaled_rows(factor)})
+        for n in ns:
+            label = "fixed8" if n == 8 else f"scaled{n}"
+            if factor <= LSH_MAX_FACTOR:
+                todo[f"lsh_{label}"] = (lambda nn: lambda L, O, E: lsh(E, nn))(n)
+            todo[f"lshv_{label}"] = (lambda nn: lambda L, O, E: lshv(E, nn))(n)
+        if only:
+            todo = {k: v for k, v in todo.items() if only in k}
         out = {}
         for name, fn in todo.items():
             warm = fn(L, O, E).toPandas()  # warm
@@ -189,15 +227,21 @@ def main() -> int:
     print(f"\n{'query':16s}", end="")
     for tag in results:
         print(f" {tag:>9s}", end="")
-    print("   slopes vs 1x (ideal <= factor)")
+    print("   slopes vs same-case 1x (ideal <= factor; * = vs fixed8@1x,")
+    print(" " * 16 + " " * 10 * len(results)
+          + "   i.e. the extra per-vector fold cost is counted in the slope)")
     for name in names:
-        ref = base.get(name, base.get("lsh_fixed8"))
+        ref = base.get(name)
+        mark = ""
+        if ref is None:
+            fam = "lshv_fixed8" if name.startswith("lshv") else "lsh_fixed8"
+            ref, mark = base.get(fam), "*"
         print(f"{name:16s}", end="")
         for tag, vals in results.items():
             v = vals.get(name)
             print(f" {v:9.3f}" if v is not None else f" {'-':>9s}", end="")
         slopes = [
-            f"{tag}:{vals[name] / ref:.1f}x"
+            f"{tag}:{vals[name] / ref:.1f}x{mark}"
             for tag, vals in results.items()
             if tag != "1x" and name in vals and ref
         ]

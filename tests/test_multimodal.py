@@ -238,3 +238,64 @@ def test_make_real_assets_roundtrip(spark):
         got = np.array(rows[doc_id].feat)
         assert np.allclose(got, expect_feat.round(6), atol=1e-9), (doc_id, mtype)
     assert checked == {"image", "audio", "video"}
+
+
+def test_avi_tolerates_padding_and_rejects_malformed():
+    """Containers carrying JUNK padding and INFO lists before movi decode
+    identically through both decode_avi and sample_avi_frames (shared
+    _parse_avi walk); a short avih or a nested chunk overrunning its
+    hdrl LIST raises ValueError from BOTH entry points, never
+    struct.error (ADVICE r6: the sampler used to lack the avih guard)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    frames = (np.arange(2 * 4 * 6 * 3).reshape(2, 4, 6, 3) % 256).astype(np.uint8)
+    avi = multimodal.encode_avi(frames, fps=10)
+
+    # splice JUNK + an INFO LIST between hdrl and movi
+    movi_at = avi.index(b"movi") - 8  # the LIST header enclosing movi
+    junk = struct.pack("<4sI", b"JUNK", 12) + b"\x00" * 12
+    info = struct.pack("<4sI", b"LIST", 12) + b"INFO" + b"ISFT\x00\x00\x00\x00"
+    padded = avi[:movi_at] + junk + info + avi[movi_at:]
+    padded = padded[:4] + struct.pack("<I", len(padded) - 8) + padded[8:]
+    for fn in (multimodal.decode_avi, lambda p: multimodal.sample_avi_frames(p, 1)):
+        fps, got = fn(padded)
+        assert fps == 10 and np.array_equal(got, frames)
+
+    # short avih: shrink the declared avih size below 40
+    avih_at = avi.index(b"avih")
+    short = avi[: avih_at + 4] + struct.pack("<I", 16) + avi[avih_at + 8 :]
+    for fn in (multimodal.decode_avi, lambda p: multimodal.sample_avi_frames(p, 1)):
+        with pytest.raises(ValueError, match="avih|overruns|missing"):
+            fn(short)
+
+    # nested chunk claiming a size past its enclosing hdrl LIST
+    overrun = avi[: avih_at + 4] + struct.pack("<I", 1 << 24) + avi[avih_at + 8 :]
+    for fn in (multimodal.decode_avi, lambda p: multimodal.sample_avi_frames(p, 1)):
+        with pytest.raises(ValueError, match="overruns|missing"):
+            fn(overrun)
+
+
+def test_wav_first_fmt_data_win():
+    """A WAV with duplicate fmt/data chunks decodes the FIRST pair (the
+    walk stops once both are found) instead of silently preferring
+    trailing duplicates."""
+    import struct
+
+    import numpy as np
+
+    first = (np.arange(100) % 7).astype(np.int16)
+    second = (np.arange(50) % 5 + 60).astype(np.int16)
+
+    def chunk(cc, body):
+        return struct.pack("<4sI", cc, len(body)) + body
+
+    fmt16k = chunk(b"fmt ", struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16))
+    fmt8k = chunk(b"fmt ", struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16))
+    body = fmt16k + chunk(b"data", first.tobytes()) + fmt8k + chunk(b"data", second.tobytes())
+    wav = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    rate, back = multimodal.decode_wav(wav)
+    assert rate == 16000
+    assert np.array_equal(back, first)
