@@ -859,11 +859,18 @@ def hyperplane_bits_pandas(df: DataFrame, planes: int = _LSH_PLANES) -> DataFram
     real fixture; the declared queries keep the pure-SQL path (oracle
     parity needs zero Python).
 
-    Measured (local[32], 200 k × 64-dim vectors, 32 planes): the SQL
-    fold wins 3× (0.15 s vs 0.5 s) — Arrow transfer dominates this
-    path at these shapes. Swap it in only when compute-per-byte grows
-    (hundreds of planes / very wide embeddings) AND a profile shows the
-    fold dominating; see SCALE.md §J.
+    Measured bits-only (local[32], 200 k × 64-dim vectors, 32 planes):
+    the SQL fold wins 3× (0.15 s vs 0.5 s) — Arrow transfer dominates
+    when the bits are the OUTPUT. But measured end-to-end through the
+    band-bucket pipeline (scaling probe ``lshv_*`` rows, r7), where the
+    bits collapse to band signatures before any shuffle, the vectorized
+    path wins and keeps a ~linear slope through 100× while the
+    interpreted fold's ~2.5 ms/vector ceiling caps the probe at 30×.
+    Which path wins is a compute-vs-transfer question — profile, don't
+    assume; see SCALE.md §J and BASELINE.md's probe table.
+
+    ``planes`` defaults to the declared-query configuration; the probe
+    passes wider counts for occupancy-scaled bands.
     """
     import numpy as np
     import pandas as pd
