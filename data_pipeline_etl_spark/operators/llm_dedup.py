@@ -764,3 +764,133 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("source", "len_bucket", "doc_a", "doc_b", "dist")
     )
+
+
+_SPAN_K = 8  # token k-gram width for duplicated-span detection
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, n_toks, g.pos AS pos,
+             md5(array_to_string(
+               list_slice(t, g.pos + 1, g.pos + {_SPAN_K}), ' ')) AS g
+      FROM toks, unnest(generate_series(0, n_toks - {_SPAN_K})) AS g(pos)
+      WHERE n_toks >= {_SPAN_K}
+    ),
+    dup AS (
+      SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1
+    ),
+    hits AS (
+      SELECT gr.doc_id, gr.n_toks, gr.pos FROM grams gr JOIN dup USING (g)
+    ),
+    isl AS (
+      SELECT doc_id, n_toks, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_SPAN_K - 1}
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, n_toks, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, n_toks, island,
+             max(pos) - min(pos) + {_SPAN_K} AS span_len
+      FROM isl2 GROUP BY doc_id, n_toks, island
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(max(span_len) AS BIGINT) AS max_span,
+           round(sum(span_len) / CAST(n_toks AS DOUBLE), 6) AS dup_frac
+    FROM spans GROUP BY doc_id, n_toks
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring detection: maximal cross-document duplicated
+    token *spans* per document (exact-substring dedup signal, the
+    "dedup training data at the substring level" mechanism).
+
+    Differs from q_dedup_chunkdup (fixed non-overlapping chunks) in that
+    spans are alignment-free: every sliding 8-token gram is
+    fingerprinted, grams occurring in >1 distinct document are marked,
+    and per-document runs of marked positions whose coverage windows
+    touch (gap <= k-1) merge into maximal spans via gaps-and-islands.
+    Output: per flagged doc, span count, longest span, covered-token
+    fraction.
+
+    Scale shape: gram explode is linear in corpus tokens (one row per
+    token, ~1x amplification at stride 1); the dup set is one hash
+    aggregate on 16-byte digests; membership is a digest equi-join; the
+    island merge is a per-doc window (shuffle key doc_id — uniform). No
+    pairwise doc joins anywhere, so the plan is oblivious to how many
+    documents share a span. At 100 TB the only global state is the
+    duplicated-digest set; everything else partitions by doc_id.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    toks = d.select("doc_id", t.alias("t"), F.size(t).alias("n_toks"))
+    grams = (
+        toks.where(F.col("n_toks") >= _SPAN_K)
+        .select(
+            "doc_id",
+            "n_toks",
+            "t",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("n_toks") - _SPAN_K).cast("int"))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "pos",
+            F.md5(
+                F.array_join(F.slice("t", F.col("pos") + 1, F.lit(_SPAN_K)), " ")
+            ).alias("g"),
+        )
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("doc_id", "n_toks", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= F.lit(_SPAN_K - 1), F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = hits.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", "n_toks", "island").agg(
+        (F.max("pos") - F.min("pos") + _SPAN_K).alias("span_len")
+    )
+    return (
+        spans.groupBy("doc_id", "n_toks")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.max("span_len").cast("long").alias("max_span"),
+            F.sum("span_len").alias("covered"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "max_span",
+            F.round(F.col("covered") / F.col("n_toks").cast("double"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )

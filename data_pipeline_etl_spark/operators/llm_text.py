@@ -556,3 +556,105 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_bigram_frac"),
     )
+
+
+# PII scrub patterns — engine-neutral regex subset (identical semantics
+# in Java regex and RE2): plain char classes, bounded repetition, no
+# lookaround, trailing '-' literal inside classes.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"555-[0-9]{4}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+@query(
+    "q_text_pii",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             substring(text, 1, 40)
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@' || source || '.example'
+                     ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 <> 0
+                     THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                     ELSE '' END AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(raw, '{_PII_IP}')) AS BIGINT) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g') AS clean
+    FROM seeded
+    """,
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and scrub emails / phone numbers /
+    IPv4 addresses with engine-neutral regexes.
+
+    The fixture text carries no PII, so each row deterministically seeds
+    synthetic PII from its own keys (doc_id mod-classes vary which kinds
+    appear, exercising the zero-match path too), then the scrub runs
+    over the combined string — the mechanism under test is the regex
+    detect/redact pipeline itself, exactly as it would run over a real
+    crawl.
+
+    Scale shape: pure per-row projection (regexp_extract_all +
+    regexp_replace are codegen'd JVM expressions) — no shuffle, no UDF,
+    trivially linear; redaction cost is independent of corpus size and
+    the plan is a single WholeStageCodegen scan at any SF.
+    """
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example"),
+    )
+    phone = F.concat(
+        F.lit(" tel 555-"), F.lpad((did % 10000).cast("string"), 4, "0")
+    )
+    ip = F.concat(
+        F.lit(" host 10."),
+        (did % 256).cast("string"),
+        F.lit(".0."),
+        ((did * 7) % 256).cast("string"),
+    )
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.when(did % 3 == 0, email).otherwise(F.lit("")),
+        F.when(did % 2 == 0, phone).otherwise(F.lit("")),
+        F.when(did % 5 != 0, ip).otherwise(F.lit("")),
+    )
+    seeded = d.select("doc_id", raw.alias("raw"))
+    def _count(pat):
+        return F.size(
+            F.regexp_extract_all(F.col("raw"), F.lit(pat), F.lit(0))
+        ).cast("long")
+
+    return seeded.select(
+        "doc_id",
+        _count(_PII_EMAIL).alias("n_emails"),
+        _count(_PII_PHONE).alias("n_phones"),
+        _count(_PII_IP).alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("raw"), _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE,
+                "<PHONE>",
+            ),
+            _PII_IP,
+            "<IP>",
+        ).alias("clean"),
+    )
