@@ -577,11 +577,15 @@ def _connected_components(edges: DataFrame, max_rounds: int = _CC_MAX_ROUNDS) ->
     """Min-label connected components over a bidirectional ``(src, dst)``
     edge frame; returns ``(doc_id, cluster_id)`` for every endpoint.
 
-    Each round is hop + jump:
+    Labels are seeded with min(self ∪ neighbors) in a single aggregation
+    (a free first hop: at round 0 a node's label is its id, so no
+    label-join is needed). Each subsequent round is hop + jump:
     - *hop*: pull labels across one edge and take the min with the own
       label (one equi-join + groupBy-min). The incumbent label rides
       along as ``old`` so convergence is a filter-count on the already
-      materialized frame — no extra join job per round.
+      materialized frame — no extra join job per round, and a hop
+      fixpoint implies labels are constant per component, so the confirm
+      round exits before its jump.
     - *jump* (pointer doubling): replace each label by its label's label
       via a self-join. Labels only ever hold endpoint doc_ids (the seed
       is the endpoint set and min never invents values), so the inner
@@ -596,10 +600,18 @@ def _connected_components(edges: DataFrame, max_rounds: int = _CC_MAX_ROUNDS) ->
     lineage is truncated every round with a lazy localCheckpoint that the
     convergence count materializes — one Spark job per round.
     """
+    # Seed with min(self ∪ neighbors): at round 0 every node's label IS
+    # its id, so the usual hop's label-join is the identity — the whole
+    # first hop collapses to one aggregation over the edge list (dst
+    # value == dst's label), saving a full join round.
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        edges.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))
+        .unionByName(
+            edges.select(F.col("src").alias("doc_id"), F.col("src").alias("cluster_id"))
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_rounds):
         neighbor = (
@@ -611,8 +623,22 @@ def _connected_components(edges: DataFrame, max_rounds: int = _CC_MAX_ROUNDS) ->
             .unionByName(neighbor)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"), F.min("old").alias("old"))
+            .localCheckpoint(eager=False)
         )
-        merged = (
+        # Convergence is checked on the HOP, before the jump: a hop
+        # fixpoint means label(u) <= label(v) across every (bidirectional)
+        # edge, i.e. labels are constant per component — which makes the
+        # jump a provable no-op, so the confirm round skips its self-join.
+        # The count is also the action that materializes this round's
+        # lazy localCheckpoint (one Spark job per round).
+        changed = hopped.where(F.col("cluster_id") != F.col("old")).count()
+        if changed == 0:
+            return hopped.select("doc_id", "cluster_id")
+        # jump (pointer doubling): label <- label's label. Labels only
+        # ever hold endpoint doc_ids (the seed draws from the endpoint
+        # set and min never invents values), so the inner self-join keys
+        # always resolve; materialized by the NEXT round's count.
+        labels = (
             hopped.alias("a")
             .join(
                 hopped.select(
@@ -623,14 +649,8 @@ def _connected_components(edges: DataFrame, max_rounds: int = _CC_MAX_ROUNDS) ->
             .select(
                 F.col("a.doc_id").alias("doc_id"),
                 F.least(F.col("a.cluster_id"), F.col("b.jlab")).alias("cluster_id"),
-                F.col("a.old").alias("old"),
             )
-            .localCheckpoint(eager=False)
         )
-        changed = merged.where(F.col("cluster_id") != F.col("old")).count()
-        labels = merged.select("doc_id", "cluster_id")
-        if changed == 0:
-            return labels
     raise RuntimeError(
         f"connected components did not converge within {max_rounds} rounds "
         f"({changed} labels still changing) — component diameter exceeds "
