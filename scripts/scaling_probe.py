@@ -74,13 +74,15 @@ def main() -> int:
     max_vid = e.agg(F.max("vec_id")).collect()[0][0] + 1
     dim = len(e.select("embedding").first()[0])
 
-    def replicate(tmp: str, factor: int) -> dict[str, str]:
+    def replicate(tmp: str, factor: int, need_base: bool = True) -> dict[str, str]:
         reps = spark.range(factor).select(F.col("id").alias("rep"))
-        paths = {}
+        paths = {"lineitem": None, "orders": None}
         for name, df, key, mx in (
             ("lineitem", l, "l_orderkey", max_ok),
             ("orders", o, "o_orderkey", max_ok),
         ):
+            if not need_base:  # --only selected no lineitem/orders case —
+                continue  # skip the dominant replication cost (60M rows at 100x)
             paths[name] = os.path.join(tmp, name)
             df.crossJoin(reps).withColumn(key, F.col(key) + F.col("rep") * mx).drop(
                 "rep"
@@ -168,7 +170,8 @@ def main() -> int:
     all_ns = sorted({8} | {scaled_rows(f) for f in factors})
 
     def measure(tag, factor, lp, op, ep):
-        L, O = spark.read.parquet(lp), spark.read.parquet(op)
+        L = spark.read.parquet(lp) if lp else None
+        O = spark.read.parquet(op) if op else None
         # spread the signature folds (the declared query does this via
         # fanout(); the small fixture parquet is otherwise one partition)
         E = spark.read.parquet(ep).repartition(
@@ -212,7 +215,8 @@ def main() -> int:
     for factor in factors:
         tmp = tempfile.mkdtemp(prefix=f"scaling_probe_{factor}x_")
         try:
-            paths = replicate(tmp, factor)
+            need_base = (only is None) or any(only in n for n in cases)
+            paths = replicate(tmp, factor, need_base=need_base)
             results[f"{factor}x"] = measure(
                 f"{factor}x",
                 factor,
