@@ -457,3 +457,64 @@ def test_kmeans_lloyd_wcss_monotone(spark):
     rows = cents.collect()
     assert len(rows) == 8
     assert all(len(r["c"]) == 64 for r in rows)
+
+
+def _ref_substring_spans(docs, k=8):
+    """Brute-force reference for q_dedup_substring: per doc, merge
+    cross-doc duplicated k-gram positions whose coverage windows touch
+    (gap <= k-1) into maximal spans."""
+    gram_docs: dict = {}
+    toks = {i: t.split(" ") for i, t in docs}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            gram_docs.setdefault(tuple(ts[p : p + k]), set()).add(i)
+    out = {}
+    for i, ts in toks.items():
+        hits = [
+            p
+            for p in range(len(ts) - k + 1)
+            if len(gram_docs[tuple(ts[p : p + k])]) > 1
+        ]
+        if not hits:
+            continue
+        spans = []
+        start = prev = hits[0]
+        for p in hits[1:]:
+            if p - prev <= k - 1:
+                prev = p
+            else:
+                spans.append((start, prev))
+                start = prev = p
+        spans.append((start, prev))
+        lens = [e - s + k for s, e in spans]
+        out[i] = (len(spans), max(lens), round(sum(lens) / len(ts), 6))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b"]), min_size=4, max_size=24).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=4,
+    )
+)
+@SETTINGS
+def test_substring_spans_match_bruteforce(spark, tmp_path_factory, docs):
+    """q_dedup_substring output equals a brute-force Python reference on
+    random binary-alphabet docs (2^8 = 256 possible 8-grams, so cross-doc
+    collisions occur naturally; docs shorter than k must drop out)."""
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    sf = str(tmp_path_factory.mktemp("spans"))
+    rows = [(int(i), t, "en", "src0", len(t)) for i, t in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["max_span"], r["dup_frac"])
+        for r in QUERIES["q_dedup_substring"](spark, sf).collect()
+    }
+    assert got == _ref_substring_spans(list(enumerate(docs)))
