@@ -590,3 +590,74 @@ def q_dedup_chunkdup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("is_dup") / F.count("*").cast("double"), 6).alias("dup_ratio"),
         )
     )
+
+
+_MIX_TAU = 0.7  # mixture temperature: p_i^tau renormalized (mT5-style)
+
+
+@query(
+    "q_mix_temperature",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    with_p AS (
+      SELECT source, n_docs, n_tokens,
+             n_tokens / CAST((SELECT sum(n_tokens) FROM per_source) AS DOUBLE) AS p_raw
+      FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(p_raw, 6) AS p_raw,
+           round(pow(p_raw, {_MIX_TAU})
+                 / (SELECT sum(pow(p_raw, {_MIX_TAU})) FROM with_p), 6) AS mix_frac,
+           round(pow(p_raw, {_MIX_TAU})
+                 / (SELECT sum(pow(p_raw, {_MIX_TAU})) FROM with_p) / p_raw, 6)
+             AS boost
+    FROM with_p
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights: per-source sampling fractions
+    ∝ p_i^τ (τ = 0.7), the multilingual/multi-source rebalancing rule —
+    low-resource sources get boost > 1, dominant sources < 1.
+
+    Scale shape: one token-count aggregate keyed on source (partial
+    map-side sums; the shuffle carries |sources| rows of longs), then
+    every derived quantity is arithmetic over that tiny frame with its
+    two one-row totals broadcast back — the corpus is scanned exactly
+    once regardless of how many statistics are reported. Float parity:
+    token counts stay BIGINT through the aggregate; p_raw is a single
+    exact division, pow/renormalize are rounded at 6 dp on both engines
+    (sub-ulp libm differences round away; the sums feeding every
+    denominator are integer or |sources|-sized).
+    """
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    tok_total = per_source.agg(F.sum("n_tokens").alias("tok_total"))
+    with_p = per_source.crossJoin(F.broadcast(tok_total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("tok_total").cast("double")).alias("p_raw"),
+    )
+    pow_total = with_p.agg(
+        F.sum(F.pow("p_raw", F.lit(_MIX_TAU))).alias("pow_total")
+    )
+    return with_p.crossJoin(F.broadcast(pow_total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round(F.pow("p_raw", F.lit(_MIX_TAU)) / F.col("pow_total"), 6).alias(
+            "mix_frac"
+        ),
+        F.round(
+            F.pow("p_raw", F.lit(_MIX_TAU)) / F.col("pow_total") / F.col("p_raw"), 6
+        ).alias("boost"),
+    )
