@@ -919,3 +919,111 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BLOOM_M = 1 << 20  # bloom bits; 16384 64-bit words (~128 KB broadcast)
+_BLOOM_SEEDS = (1, 2, 3, 4)
+
+
+def _bloom_pos(s: int) -> str:
+    return f"pmod(xxhash64(d, {s}), {_BLOOM_M})"
+
+
+def _bloom_member_sql() -> str:
+    """AND-of-k bit tests against the broadcast `bloom` map column."""
+    conds = []
+    for s in _BLOOM_SEEDS:
+        word = f"shiftright({_bloom_pos(s)}, 6)"
+        mask = f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({_bloom_pos(s)}, 64) AS INT))"
+        conds.append(
+            f"(coalesce(element_at(bloom, {word}), CAST(0 AS BIGINT)) & {mask}) != 0"
+        )
+    return " AND ".join(conds)
+
+
+@query(
+    "q_dedup_bloom",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               list_slice(string_split(text, ' '),
+                          c.chunk_id * 16 + 1, c.chunk_id * 16 + 16), ' ')) AS cm
+      FROM (SELECT doc_id, source, text,
+                   len(string_split(text, ' ')) AS n FROM documents),
+           unnest(generate_series(0, CAST(floor((n - 1) / 16) AS INT))) AS c(chunk_id)
+    ),
+    a AS (
+      SELECT DISTINCT cm FROM chunks
+      WHERE source IN ({", ".join(f"'src{i}'" for i in range(10))})
+    )
+    SELECT c.doc_id, c.source, count(*) AS n_leaked
+    FROM chunks c JOIN a USING (cm)
+    WHERE c.source NOT IN ({", ".join(f"'src{i}'" for i in range(10))})
+    GROUP BY c.doc_id, c.source
+    """,
+)
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus leakage screen with a Bloom-filter prefilter: which
+    tier-B documents (src10-19) contain a 16-token chunk that also
+    appears anywhere in tier A (src0-9), and how many such chunks each.
+
+    The RESULT is exact (and oracle-checked): the Bloom stage only
+    prunes. The filter itself is built distributed, in pure DataFrame
+    ops — k=4 seeded xxhash64 positions per tier-A chunk digest,
+    explode → groupBy word → bit_or(mask) → one map_from_entries row
+    (≤16384 entries, ~128 KB) — then broadcast, so the tier-B scan
+    tests membership as a codegen'd projection (AND of k bit probes
+    into the map) with NO shuffle of B. Only surviving candidates
+    (true leaks + ~5e-4 false-positive rate at fixture load) enter the
+    exact digest join that confirms them.
+
+    At 100 TB this is the shape that matters: corpus B never shuffles
+    on content, the broadcast state is m/8 bytes regardless of |A|'s
+    row width (size m from |A| to hold the fp rate), and the exact
+    join's input is the leak set, not the corpus.
+    """
+    d = table(spark, sf_dir, "documents")
+    tier_a = [f"src{i}" for i in range(10)]
+    t = F.split("text", " ")
+    chunked = d.select(
+        "doc_id",
+        "source",
+        t.alias("t"),
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.size(t) - 1) / 16).cast("int"))
+        ).alias("chunk_id"),
+    )
+    piece = F.slice("t", F.col("chunk_id") * 16 + 1, 16)
+    chunks = chunked.select(
+        "doc_id", "source", F.xxhash64(F.array_join(piece, " ")).alias("d")
+    )
+    a_dig = chunks.where(F.col("source").isin(*tier_a)).select("d").distinct()
+
+    terms = a_dig.selectExpr(
+        *[
+            f"named_struct('word', shiftright({_bloom_pos(s)}, 6), "
+            f"'mask', shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod({_bloom_pos(s)}, 64) AS INT))) AS t{s}"
+            for s in _BLOOM_SEEDS
+        ]
+    )
+    words = (
+        terms.select(
+            F.explode(F.array(*[f"t{s}" for s in _BLOOM_SEEDS])).alias("t")
+        )
+        .select("t.word", "t.mask")
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom")
+    )
+
+    b_chunks = chunks.where(~F.col("source").isin(*tier_a))
+    cand = b_chunks.crossJoin(F.broadcast(bloom)).where(F.expr(_bloom_member_sql()))
+    return (
+        cand.join(a_dig, "d")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_leaked"))
+    )
