@@ -658,3 +658,98 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<IP>",
         ).alias("clean"),
     )
+
+
+_BP_CHUNK = 16  # token chunk width for boilerplate detection
+_BP_MIN_DOCS = 3  # a chunk in >= this many distinct docs is boilerplate
+
+
+@query(
+    "q_text_boilerplate",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id, c.chunk_id AS chunk_id,
+             array_to_string(
+               list_slice(string_split(text, ' '),
+                          c.chunk_id * {_BP_CHUNK} + 1,
+                          c.chunk_id * {_BP_CHUNK} + {_BP_CHUNK}), ' ') AS chunk
+      FROM (SELECT doc_id, text, len(string_split(text, ' ')) AS n FROM documents),
+           unnest(generate_series(0, CAST(floor((n - 1) / {_BP_CHUNK}) AS INT)))
+             AS c(chunk_id)
+    ),
+    boiler AS (
+      SELECT chunk FROM (
+        SELECT chunk, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk
+      ) WHERE nd >= {_BP_MIN_DOCS}
+    ),
+    kept AS (
+      SELECT * FROM chunks WHERE chunk NOT IN (SELECT chunk FROM boiler)
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
+    SELECT k.doc_id,
+           count(*) AS n_kept,
+           t.n_chunks - count(*) AS n_removed,
+           md5(string_agg(k.chunk, ' ' ORDER BY k.chunk_id)) AS clean_md5
+    FROM kept k JOIN tot t USING (doc_id)
+    GROUP BY k.doc_id, t.n_chunks
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (CCNet-style, chunk granularity): drop every
+    16-token chunk that appears in >= 3 distinct documents, and emit the
+    cleaned document as kept-chunk counts + a digest of the rejoined
+    text (chunks rejoin in chunk order, so a doc with nothing removed
+    digests to its own token stream).
+
+    Scale shape: chunking is a linear explode; the boilerplate set is a
+    two-level aggregate ((chunk, doc) dedup, then per-chunk doc count —
+    never a countDistinct expansion); removal is a left-anti join of
+    chunks against the (frequency-bounded, tiny) boilerplate set; the
+    rebuild is one per-doc aggregate over struct-sorted chunks. Group
+    keys here are raw chunk strings so the oracle semantics are mirrored
+    exactly; at corpus scale the anti-join/grouping key becomes the
+    chunk digest (16-byte, uniform) exactly as in q_dedup_chunkdup.
+    Docs that are 100% boilerplate drop out of the anti-join on both
+    engines — the output IS the surviving corpus.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    chunked = d.select(
+        "doc_id",
+        t.alias("t"),
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.size(t) - 1) / _BP_CHUNK).cast("int"))
+        ).alias("chunk_id"),
+    )
+    piece = F.slice("t", F.col("chunk_id") * _BP_CHUNK + 1, _BP_CHUNK)
+    chunks = chunked.select(
+        "doc_id", "chunk_id", F.array_join(piece, " ").alias("chunk")
+    )
+    boiler = (
+        chunks.select("chunk", "doc_id")
+        .distinct()
+        .groupBy("chunk")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= _BP_MIN_DOCS)
+        .select("chunk")
+    )
+    kept = chunks.join(boiler, "chunk", "left_anti")
+    tot = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    return rebuilt.join(tot, "doc_id").select(
+        "doc_id",
+        "n_kept",
+        (F.col("n_chunks") - F.col("n_kept")).alias("n_removed"),
+        "clean_md5",
+    )
