@@ -856,9 +856,15 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents share a span. At 100 TB the only global state is the
     duplicated-digest set; everything else partitions by doc_id.
     """
+    return substring_spans(table(spark, sf_dir, "documents"))
+
+
+def substring_spans(d: DataFrame) -> DataFrame:
+    """Core of :func:`q_dedup_substring` over any ``(doc_id, text)``
+    frame — separated so the scaling probe can run it on replicated
+    corpora."""
     from pyspark.sql import Window
 
-    d = table(spark, sf_dir, "documents")
     t = F.split("text", " ")
     toks = d.select("doc_id", t.alias("t"), F.size(t).alias("n_toks"))
     grams = (

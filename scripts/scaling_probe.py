@@ -12,6 +12,10 @@ Results are recorded in SCALE.md / BASELINE.md; run on a quiet host.
 ``--only lsh`` re-measures the LSH family without replaying the lineitem
 suite).
 
+Replicated documents get per-replica TOKEN PREFIXES (r<rep>_<token>) so
+within-replica duplicate structure is preserved and nothing else —
+verbatim copies would make every sliding gram a cross-doc duplicate and
+the substr_spans case would measure the degenerate all-dup corpus.
 Replicated embeddings are CIRCULARLY SHIFTED per replica (shift = rep %%
 dim), not copied verbatim: verbatim copies would plant N-1 exact dups per
 vector and inflate LSH bucket occupancy quadratically by construction —
@@ -70,8 +74,10 @@ def main() -> int:
     l = spark.read.parquet(f"{sf}/lineitem.parquet")
     o = spark.read.parquet(f"{sf}/orders.parquet")
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dc = spark.read.parquet(f"{sf}/documents.parquet")
     max_ok = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
     max_vid = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    max_did = dc.agg(F.max("doc_id")).collect()[0][0] + 1
     dim = len(e.select("embedding").first()[0])
 
     def replicate(tmp: str, factor: int, need_base: bool = True) -> dict[str, str]:
@@ -104,6 +110,21 @@ def main() -> int:
                 .alias("embedding"),
             )
             .write.parquet(paths["embeddings"])
+        )
+        # documents: per-replica token prefixing (verbatim copies would
+        # make EVERY gram a cross-doc dup — the honest corpus-growth
+        # model keeps the within-replica dup structure and nothing else)
+        paths["documents"] = os.path.join(tmp, "documents")
+        (
+            dc.crossJoin(reps)
+            .select(
+                (F.col("doc_id") + F.col("rep") * max_did).alias("doc_id"),
+                F.array_join(
+                    F.expr("transform(split(text, ' '), t -> concat('r', rep, '_', t))"),
+                    " ",
+                ).alias("text"),
+            )
+            .write.parquet(paths["documents"])
         )
         return paths
 
@@ -153,11 +174,22 @@ def main() -> int:
             hyperplane_bits_pandas(edf, planes=_LSH_BANDS * rows), _LSH_BANDS, rows
         ).agg(F.count("*").alias("n_pairs"))
 
+    def substr(ddf):
+        # summarize (span counts + covered totals), never per-doc rows
+        from data_pipeline_etl_spark.operators.llm_dedup import substring_spans
+
+        return substring_spans(ddf).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_spans").alias("n_spans"),
+            F.round(F.avg("dup_frac"), 4).alias("avg_dup_frac"),
+        )
+
     cases = {
-        "q1_groupby": lambda L, O, E: q1(L),
-        "join_agg": lambda L, O, E: join_agg(L, O),
-        "dedup_exact": lambda L, O, E: dedup(L),
-        "win_topn": lambda L, O, E: wtopn(L),
+        "q1_groupby": lambda L, O, E, D: q1(L),
+        "join_agg": lambda L, O, E, D: join_agg(L, O),
+        "dedup_exact": lambda L, O, E, D: dedup(L),
+        "win_topn": lambda L, O, E, D: wtopn(L),
+        "substr_spans": lambda L, O, E, D: substr(D),
     }
 
     def scaled_rows(factor):
@@ -169,9 +201,10 @@ def main() -> int:
     # so each *_scaledN row has its own per-vector-cost reference
     all_ns = sorted({8} | {scaled_rows(f) for f in factors})
 
-    def measure(tag, factor, lp, op, ep):
+    def measure(tag, factor, lp, op, ep, dp):
         L = spark.read.parquet(lp) if lp else None
         O = spark.read.parquet(op) if op else None
+        D = spark.read.parquet(dp) if dp else None
         # spread the signature folds (the declared query does this via
         # fanout(); the small fixture parquet is otherwise one partition)
         E = spark.read.parquet(ep).repartition(
@@ -185,17 +218,17 @@ def main() -> int:
         for n in ns:
             label = "fixed8" if n == 8 else f"scaled{n}"
             if factor <= LSH_MAX_FACTOR:
-                todo[f"lsh_{label}"] = (lambda nn: lambda L, O, E: lsh(E, nn))(n)
-            todo[f"lshv_{label}"] = (lambda nn: lambda L, O, E: lshv(E, nn))(n)
+                todo[f"lsh_{label}"] = (lambda nn: lambda L, O, E, D: lsh(E, nn))(n)
+            todo[f"lshv_{label}"] = (lambda nn: lambda L, O, E, D: lshv(E, nn))(n)
         if only:
             todo = {k: v for k, v in todo.items() if only in k}
         out = {}
         for name, fn in todo.items():
-            warm = fn(L, O, E).toPandas()  # warm
+            warm = fn(L, O, E, D).toPandas()  # warm
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                fn(L, O, E).toPandas()
+                fn(L, O, E, D).toPandas()
                 ts.append(time.perf_counter() - t0)
             out[name] = statistics.median(ts)
             note = ""
@@ -210,12 +243,14 @@ def main() -> int:
         f"{sf}/lineitem.parquet",
         f"{sf}/orders.parquet",
         f"{sf}/embeddings.parquet",
+        f"{sf}/documents.parquet",
     )
     results = {"1x": base}
+    base_cases = ("q1_groupby", "join_agg", "dedup_exact", "win_topn")
     for factor in factors:
         tmp = tempfile.mkdtemp(prefix=f"scaling_probe_{factor}x_")
         try:
-            need_base = (only is None) or any(only in n for n in cases)
+            need_base = (only is None) or any(only in n for n in base_cases)
             paths = replicate(tmp, factor, need_base=need_base)
             results[f"{factor}x"] = measure(
                 f"{factor}x",
@@ -223,6 +258,7 @@ def main() -> int:
                 paths["lineitem"],
                 paths["orders"],
                 paths["embeddings"],
+                paths["documents"],
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
