@@ -1033,3 +1033,91 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(F.count("*").alias("n_leaked"))
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle="""
+    WITH sets AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.toks, b.toks))
+               / least(len(a.toks), len(b.toks)) AS c
+      FROM sets a JOIN sets b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    sides AS (
+      SELECT doc_a AS doc_id, c FROM pairs WHERE c >= 0.9
+      UNION ALL
+      SELECT doc_b AS doc_id, c FROM pairs WHERE c >= 0.9
+    )
+    SELECT doc_id,
+           count(*) AS n_containers,
+           round(max(c), 6) AS max_containment
+    FROM sides GROUP BY doc_id
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document set-containment screen: for each doc, how many
+    near-superset/subset partners it has (containment >= 0.9) and the
+    strongest one.
+
+    Containment |A∩B| / min(|A|,|B|) is the asymmetric cousin of Jaccard
+    — it catches a short doc embedded verbatim-ish inside a longer one,
+    which Jaccard under-scores (the union is dominated by the longer
+    doc). Same blocked inverted-index topology as
+    :func:`_inverted_index_jaccard` (equi-join on element inside a
+    (lang, source) block, sizes joined onto the pair frame) but kept as
+    its own pipeline: the pair-level formula and the per-document
+    aggregate differ, and folding a parameter into the shared helper
+    would force a re-grade of the whole graded Jaccard family for a
+    value-preserving refactor (registry.py grading-budget discipline).
+    Output is bounded by |documents|, never |pairs|. At corpus scale the
+    block key swaps for a MinHash band exactly as the Jaccard docstring
+    describes.
+    """
+    d = table(spark, sf_dir, "documents")
+    ex = _unigram_elements(d)
+    counts = ex.groupBy("doc_id").agg(F.count("*").alias("n_elems"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.el") == F.col("b.el"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    pairs = (
+        inter.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_elems").alias("na")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_elems").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / F.least("na", "nb")).alias("c"),
+        )
+        .where(F.col("c") >= 0.9)
+    )
+    sides = pairs.select(F.col("doc_a").alias("doc_id"), "c").unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"), "c")
+    )
+    return sides.groupBy("doc_id").agg(
+        F.count("*").alias("n_containers"),
+        F.round(F.max("c"), 6).alias("max_containment"),
+    )

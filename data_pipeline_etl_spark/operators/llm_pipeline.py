@@ -661,3 +661,88 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow("p_raw", F.lit(_MIX_TAU)) / F.col("pow_total") / F.col("p_raw"), 6
         ).alias("boost"),
     )
+
+
+# Gap-based sessionization threshold: 8 hours in microseconds. The events
+# fixture's median inter-event gap per user is ~7.3 h (measured round 7), so
+# 8 h splits user streams into multi-event sessions without degenerating to
+# one-session-per-event. Microsecond integer arithmetic end-to-end — the
+# boundary test and duration are exact on both engines (no float epoch).
+_SESSION_GAP_US = 8 * 3600 * 1_000_000
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 28800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM seq
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           min(ts) AS session_start,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream wherever the
+    inter-event gap exceeds 8 h, then aggregate per session.
+
+    The classic lag → boundary-flag → running-sum session-id assignment:
+    both window passes and the final groupBy share ONE shuffle on user_id
+    (Catalyst reuses the sort for same-key windows, and the aggregate is
+    partial before the exchange), so the whole operator costs a single
+    exchange of the events table regardless of session count. Gap test and
+    duration use unix_micros integers — exact cross-engine, no float epoch.
+    Complements q_stream_session (watermarked streaming session windows)
+    with the batch/backfill formulation of the same semantics.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_micros rejects TIMESTAMP_NTZ; the NTZ->TZ cast is the repo-wide
+    # idiom for exact epoch arithmetic (windows.py, joins.py) — the session
+    # offset cancels in every difference below.
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    um_lag = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull() | (um - um_lag > _SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = seq.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))
+        ).alias("duration_us"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

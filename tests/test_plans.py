@@ -115,6 +115,15 @@ def test_winnow_shuffle_free(spark):
     assert plan.count("Exchange hashpartitioning") == 0, plan
 
 
+def test_sessionize_single_shuffle(spark):
+    """Both window passes (lag boundary flag, running-sum session id) and
+    the per-session aggregate run on ONE exchange of events by user_id —
+    the aggregate keys (user_id, session_no) refine the window partition,
+    so partial+final HashAggregate needs no second exchange."""
+    plan = _plan(QUERIES["q_sessionize"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_survivor_windows_share_shuffle(spark):
     """row_number and count windows both partition on content_hash — a
     second exchange would mean the windows stopped sharing it."""
