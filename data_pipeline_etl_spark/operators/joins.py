@@ -533,3 +533,112 @@ def q_join_pointrange(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count("*").alias("n_sessions"))
     )
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE)
+               + to_days(CAST(l_quantity AS INT) % 14 + 1) AS r
+      FROM lineitem WHERE l_quantity >= 30
+    ),
+    pairs AS (
+      SELECT a.l_partkey,
+             CAST(date_diff('day', greatest(a.s, b.s), least(a.r, b.r))
+                  AS INT) + 1 AS overlap_days
+      FROM li a JOIN li b
+        ON a.l_partkey = b.l_partkey
+       AND (a.l_orderkey < b.l_orderkey
+            OR (a.l_orderkey = b.l_orderkey
+                AND a.l_linenumber < b.l_linenumber))
+       AND a.s <= b.r AND b.s <= a.r
+    )
+    SELECT l_partkey, count(*) AS n_pairs,
+           max(overlap_days) AS max_overlap_days
+    FROM pairs GROUP BY l_partkey
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap SELF-join: pairs of same-part shipments whose
+    transit windows [shipdate, shipdate + (quantity %% 14 + 1) days]
+    overlap, rolled up per part (pair count + widest overlap). The
+    interval end is derived deterministically because the fixture
+    carries only l_shipdate.
+
+    The interval x interval case the point-in-range bucketization
+    (q_join_pointrange) can't cover: BOTH sides span buckets. Shape:
+    one scan chops each interval into epoch-day/14 buckets — width >=
+    the max span (14 days), so each interval lands in at most TWO
+    buckets — then pair expansion happens INSIDE each (part, bucket)
+    group via sort_array(collect_list) + combination explode with the
+    overlap predicate applied in the lambda, exactly the in-bucket
+    machinery the LSH band path uses (llm_similarity.band_pairs_from_bits):
+    ONE shuffle, no aliased self-join (which would re-scan and
+    re-shuffle both sides — Catalyst does not share the subtree), no
+    CartesianProduct, no theta join. A pair co-bucketed twice (both
+    endpoints in both buckets) is collapsed by the pre-aggregate
+    distinct; group sizes are bounded by shipments-per-part-per-
+    fortnight, which is flat in corpus growth, so the quadratic
+    in-bucket term never sees |table|. At 100 TB the only global
+    exchange is the (part, bucket) hash — same key family the part
+    dimension already clusters on.
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 30)
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.to_date("l_shipdate").alias("s"),
+            F.date_add(
+                F.to_date("l_shipdate"),
+                F.col("l_quantity").cast("int") % 14 + 1,
+            ).alias("r"),
+        )
+    )
+    bucketed = li.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_date("s") / F.lit(14)),
+                F.floor(F.unix_date("r") / F.lit(14)),
+            )
+        ),
+    )
+    groups = (
+        bucketed.groupBy("l_partkey", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("l_orderkey", "l_linenumber", "s", "r"))
+            ).alias("items")
+        )
+        .where(F.size("items") >= 2)
+    )
+    pairs = (
+        groups.select(
+            "l_partkey",
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform("
+                    "  filter(slice(items, i + 2, size(items) - i - 1), "
+                    "         y -> x.s <= y.r AND y.s <= x.r), "
+                    "  y -> struct("
+                    "    x.l_orderkey AS a_ok, x.l_linenumber AS a_ln, "
+                    "    y.l_orderkey AS b_ok, y.l_linenumber AS b_ln, "
+                    "    CAST(datediff(least(x.r, y.r), greatest(x.s, y.s)) "
+                    "         AS INT) + 1 AS overlap_days))))"
+                )
+            ).alias("p"),
+        )
+        .select("l_partkey", "p.*")
+        .distinct()
+    )
+    return pairs.groupBy("l_partkey").agg(
+        F.count("*").alias("n_pairs"),
+        F.max("overlap_days").alias("max_overlap_days"),
+    )

@@ -289,3 +289,15 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_join_interval_in_bucket_expansion(spark):
+    """Interval x interval overlap join must never plan a cartesian /
+    nested-loop: pair expansion happens inside (part, bucket) groups, so
+    the plan is scan -> explode -> 3 hash exchanges (group, pair-distinct,
+    final rollup) with no join operator at all."""
+    plan = _plan(QUERIES["q_join_interval"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
