@@ -631,6 +631,74 @@ def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH bitted AS (
+      SELECT vec_id, {_BITS_DUCK} AS bits
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id, g.k AS band, {_SIG_DUCK} AS sig
+      FROM bitted, unnest(generate_series(0, {_LSH_BANDS - 1})) AS g(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    tau AS (
+      SELECT p.q_id AS vec_a, p.c_id AS vec_b
+      FROM cand p
+      JOIN (SELECT vec_id, embedding AS qe FROM embeddings) qa ON p.q_id = qa.vec_id
+      JOIN (SELECT vec_id, embedding AS ce FROM embeddings) ca ON p.c_id = ca.vec_id
+      WHERE {_COS_SQL} >= 0.3
+    ),
+    reps AS (
+      SELECT vec_b AS vec_id, min(vec_a) AS rep_id FROM tau GROUP BY vec_b
+    )
+    SELECT e.vec_id,
+           CAST(CASE WHEN r.rep_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept,
+           r.rep_id
+    FROM embeddings e LEFT JOIN reps r ON e.vec_id = r.vec_id
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup survivor screen, SemDeDup-style
+    (Abbas et al. 2023, public): a vector is DROPPED when any lower-id
+    vector sits within cosine >= tau of it among the LSH band-bucket
+    candidates; dropped rows carry the smallest such neighbor as their
+    representative. Output is one row per corpus vector — the screen a
+    training-data pipeline applies after embedding a corpus, where
+    near-identical meaning (not near-identical bytes) is the dup signal.
+
+    Plan: the tau-pair frame IS q_sim_pairs_lsh (called directly — one
+    signature pass, in-bucket candidate expansion, exact cosine
+    rescoring; no new machinery), collapsed to min-representative per
+    victim (pair-bounded aggregate), then a broadcast-size left join
+    back onto the corpus spine. The greedy lower-id rule is
+    deterministic and one-pass — no iterative clustering — so the whole
+    screen is two linear passes + a pair-sized aggregate at any corpus
+    size; recall tracks the LSH band curve exactly as the pair query
+    documents (rows-per-band grows log2 with corpus to hold bucket
+    occupancy). The rep frame is |dropped|-bounded — small on a clean
+    corpus, but a dup-heavy crawl can make it a real fraction of the
+    spine, so the join is NOT force-broadcast: AQE picks broadcast when
+    the runtime size allows and falls back to a co-partitioned shuffle
+    join of two id/id-pair frames when it doesn't.
+    """
+    pairs = q_sim_pairs_lsh(spark, sf_dir)
+    reps = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("rep_id")
+    )
+    spine = table(spark, sf_dir, "embeddings").select("vec_id")
+    return spine.join(reps, "vec_id", "left").select(
+        "vec_id",
+        F.when(F.col("rep_id").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+        "rep_id",
+    )
+
+
+@query(
     "q_embed_whiten",
     oracle="""
     WITH stats AS (
