@@ -287,3 +287,93 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+@query(
+    "q_profile_psi",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+             CAST(least(floor(value / 50), 9) AS INT) AS bucket
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, bucket,
+             CAST(sum(is_a) AS BIGINT) AS n_a,
+             CAST(sum(1 - is_a) AS BIGINT) AS n_b
+      FROM base GROUP BY event_type, bucket
+    ),
+    spine AS (
+      SELECT et.event_type, g.b AS bucket
+      FROM (SELECT DISTINCT event_type FROM base) et,
+           unnest(generate_series(0, 9)) AS g(b)
+    ),
+    filled AS (
+      SELECT s.event_type, s.bucket,
+             coalesce(c.n_a, 0) AS n_a, coalesce(c.n_b, 0) AS n_b
+      FROM spine s LEFT JOIN counts c
+        ON s.event_type = c.event_type AND s.bucket = c.bucket
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n_a) AS BIGINT) AS ta,
+             CAST(sum(n_b) AS BIGINT) AS tb
+      FROM counts GROUP BY event_type
+    )
+    SELECT f.event_type, max(t.ta) AS n_a, max(t.tb) AS n_b,
+           round(sum(((f.n_a + 0.5) / (t.ta + 5.0)
+                      - (f.n_b + 0.5) / (t.tb + 5.0))
+                     * ln(((f.n_a + 0.5) / (t.ta + 5.0))
+                          / ((f.n_b + 0.5) / (t.tb + 5.0)))), 6) AS psi
+    FROM filled f JOIN tot t ON f.event_type = t.event_type
+    GROUP BY f.event_type
+    """,
+)
+def q_profile_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per event_type between two snapshot
+    halves (user_id parity plays the role of yesterday's load vs
+    today's): PSI = sum over bins (pA - pB) * ln(pA / pB) on a FIXED
+    10-bin value spine with Laplace smoothing (+0.5 per bin), so empty
+    bins are defined and both engines see the identical bin set — the
+    drift gate a warehouse runs between loads before trusting a
+    snapshot (PSI > 0.1-ish pages a human).
+
+    Shape: one corpus scan into a (type, bucket) count aggregate (the
+    only data-sized shuffle; counts carry partial sums map-side), then
+    everything downstream is |types| x 10 rows: spine fill via a left
+    join against a generated frame, totals re-aggregated from the
+    count table (never a second corpus scan), per-bin terms as exact
+    int64 counts pushed through one double division chain, summed and
+    rounded at 6 dp per the float-fold discipline (llm_corpus.py).
+    """
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int").alias("bucket"),
+    )
+    counts = e.groupBy("event_type", "bucket").agg(
+        F.sum("is_a").alias("n_a"), F.sum(1 - F.col("is_a")).alias("n_b")
+    )
+    spine = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bucket")))
+    )
+    filled = (
+        spine.join(counts, ["event_type", "bucket"], "left")
+        .fillna(0, ["n_a", "n_b"])
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    pa = (F.col("n_a") + 0.5) / (F.col("ta") + 5.0)
+    pb = (F.col("n_b") + 0.5) / (F.col("tb") + 5.0)
+    return (
+        filled.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("ta").alias("n_a"),
+            F.max("tb").alias("n_b"),
+            F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
+        )
+    )
