@@ -121,3 +121,53 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHERE i.c_nationkey = c.c_nationkey)
         """
     )
+
+
+@query(
+    "q_cdc_compact",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_versions
+      FROM events
+    )
+    SELECT user_id, CAST(n_versions AS BIGINT) AS n_versions,
+           ts AS last_ts, event_type AS last_type, value AS last_value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction (latest-wins merge): collapse the event
+    stream to each key's current state, treating 'error' as the
+    tombstone op — a key whose newest entry is a tombstone is absent
+    from the compacted output. The merge-on-read -> compact step of the
+    Delta/Hudi/Iceberg upsert genre, expressed engine-side.
+
+    Plan: ONE aggregate with max(struct(ts, event_id, payload...)) —
+    (ts, event_id) leads the struct, and event_id is unique, so the
+    lexicographic max IS the deterministic latest row. The aggregate
+    combines map-side: every mapper keeps one candidate struct per key,
+    so the single shuffle carries ~|keys| rows per mapper, NOT the
+    changelog — the window formulation the oracle uses for clarity
+    would instead shuffle and sort every version of every key
+    (row_number has no partial phase). The tombstone filter runs after
+    the aggregate: it must see the final winner, not pre-filter the
+    stream (an 'error'-last key would wrongly resurrect its previous
+    version). At warehouse scale this is the plan a nightly table
+    compaction wants: linear scan, one exchange keyed on the merge key,
+    output bounded by live keys.
+    """
+    e = table(spark, sf_dir, "events")
+    last = e.groupBy("user_id").agg(
+        F.count("*").alias("n_versions"),
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last"),
+    )
+    return last.where(F.col("last.event_type") != "error").select(
+        "user_id",
+        "n_versions",
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_type").alias("last_type"),
+        F.col("last.value").alias("last_value"),
+    )

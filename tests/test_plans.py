@@ -301,3 +301,12 @@ def test_join_interval_in_bucket_expansion(spark):
     assert "NestedLoop" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 3, plan
+
+
+def test_cdc_compact_aggregates_not_window(spark):
+    """The latest-wins merge must be the map-side-combining max(struct)
+    aggregate — a Window/row_number formulation (the oracle's clarity
+    choice) would shuffle and sort every changelog version."""
+    plan = _plan(QUERIES["q_cdc_compact"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
