@@ -912,6 +912,94 @@ def q_embed_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_embed_covariance",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, CAST(i - 1 AS INT) AS d, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    sums AS (SELECT d, sum(v) AS sx FROM x GROUP BY d),
+    prods AS (
+      SELECT a.d AS dim_i, b.d AS dim_j, sum(a.v * b.v) AS sxy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d
+      GROUP BY a.d, b.d
+    )
+    SELECT p.dim_i, p.dim_j,
+           round((p.sxy - sa.sx * sb.sx / nn.n) / (nn.n - 1), 6) + 0.0 AS cov
+    FROM prods p
+    JOIN sums sa ON p.dim_i = sa.d
+    JOIN sums sb ON p.dim_j = sb.d
+    CROSS JOIN nn
+    """,
+)
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle sample covariance matrix of the embedding corpus —
+    the d x d moment aggregate PCA / ZCA-whitening / OPQ rotation all
+    start from (q_embed_whiten is the diagonal-only special case; the
+    eigendecomposition of this 2080-row output is a driver-side
+    O(d^3) = trivial step once the corpus pass is done).
+
+    Shape: each vector expands MAP-SIDE into its d(d+1)/2 pair
+    products via a nested transform over the array (one explode, no
+    self-join, no second corpus scan — the oracle's x JOIN x
+    formulation would shuffle |corpus| x d rows on vec_id; here
+    vec_id never leaves the mapper). That per-row d^2/2 multiply IS
+    the FLOP floor of covariance, and the shuffle after it carries
+    only d^2/2 partial sums per partition (partial+final
+    HashAggregate), so network volume is corpus-size-independent.
+    Means arrive from the d-row first-moment aggregate of the same
+    scan pattern, broadcast onto the 2080-row product frame; the
+    centered combine (sxy - sx*sy/n)/(n-1) runs on exact double sums
+    and rounds at 6 dp per the float-fold discipline (module
+    docstring).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    prods = (
+        e.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(embedding, (x, i) -> "
+                    "transform(slice(embedding, i + 1, size(embedding) - i), "
+                    "(y, j) -> struct(i AS dim_i, i + j AS dim_j, "
+                    "CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS xy))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.dim_i", "p.dim_j")
+        .agg(F.sum("p.xy").alias("sxy"))
+    )
+    moments = (
+        e.select(F.posexplode("embedding").alias("d", "v"))
+        .groupBy("d")
+        .agg(F.sum(F.col("v").cast("double")).alias("sx"))
+    )
+    n = e.agg(F.count("*").alias("n"))
+    sa = moments.select(F.col("d").alias("dim_i"), F.col("sx").alias("sxa"))
+    sb = moments.select(F.col("d").alias("dim_j"), F.col("sx").alias("sxb"))
+    return (
+        prods.join(F.broadcast(sa), "dim_i")
+        .join(F.broadcast(sb), "dim_j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "dim_i",
+            "dim_j",
+            (
+                F.round(
+                    (F.col("sxy") - F.col("sxa") * F.col("sxb") / F.col("n"))
+                    / (F.col("n") - 1),
+                    6,
+                )
+                # signed-zero normalization (functions/scalar2.py
+                # discipline): DuckDB's round yields -0.0 where Spark's
+                # yields +0.0; IEEE -0.0 + 0.0 = +0.0 on both engines
+                + 0.0
+            ).alias("cov"),
+        )
+    )
+
+
 def hyperplane_bits_pandas(df: DataFrame, planes: int = _LSH_PLANES) -> DataFrame:
     """Vectorized (Arrow/numpy) twin of the interpreted hyperplane-bit
     expression used by q_sim_neardup / q_sim_pairs_lsh — the documented
