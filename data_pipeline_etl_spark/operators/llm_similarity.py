@@ -955,7 +955,13 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     and rounds at 6 dp per the float-fold discipline (module
     docstring).
     """
-    e = table(spark, sf_dir, "embeddings")
+    return covariance_for(table(spark, sf_dir, "embeddings"))
+
+
+def covariance_for(e: DataFrame) -> DataFrame:
+    """Upper-triangle covariance for any (embedding) frame — the body of
+    :func:`q_embed_covariance`, split out so the scaling probe can feed
+    replicated corpora through the identical plan."""
     prods = (
         e.select(
             F.explode(

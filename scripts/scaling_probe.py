@@ -184,12 +184,22 @@ def main() -> int:
             F.round(F.avg("dup_frac"), 4).alias("avg_dup_frac"),
         )
 
+    def covm(edf):
+        # 2080-row output; summarize anyway so every case reports one row
+        from data_pipeline_etl_spark.operators.llm_similarity import covariance_for
+
+        return covariance_for(edf).agg(
+            F.count("*").alias("n_entries"),
+            F.round(F.sum(F.abs("cov")), 6).alias("abs_mass"),
+        )
+
     cases = {
         "q1_groupby": lambda L, O, E, D: q1(L),
         "join_agg": lambda L, O, E, D: join_agg(L, O),
         "dedup_exact": lambda L, O, E, D: dedup(L),
         "win_topn": lambda L, O, E, D: wtopn(L),
         "substr_spans": lambda L, O, E, D: substr(D),
+        "cov_matrix": lambda L, O, E, D: covm(E),
     }
 
     def scaled_rows(factor):

@@ -95,3 +95,131 @@ def test_pii_redaction_planted(spark, tmp_path):
     assert "@" not in clean6 and "555-" not in clean6
     assert "bob" not in clean6  # the in-text address is gone too
     assert "<IP>" in out[1]["clean"] and "@" not in out[1]["clean"]
+
+
+def test_covariance_feeds_driver_side_pca(spark):
+    """End-to-end PCA: assemble the 64x64 matrix from
+    q_embed_covariance's 2080 upper-triangle rows, eigendecompose on
+    the driver (the O(d^3) step that is trivial once the corpus pass is
+    done), and pin both halves against numpy computed directly from the
+    raw fixture vectors: the matrix must match numpy.cov to the query's
+    6 dp rounding, and the eigenspectrum must be PSD with trace equal
+    to the total variance."""
+    np = pytest.importorskip("numpy")
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["q_embed_covariance"](spark, sf).collect()
+    d = max(r.dim_j for r in rows) + 1
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r.dim_i, r.dim_j] = r.cov
+        cov[r.dim_j, r.dim_i] = r.cov
+    vecs = np.array(
+        [r.embedding for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+         .select("embedding").collect()],
+        dtype=np.float64,
+    )
+    ref = np.cov(vecs, rowvar=False, ddof=1)
+    assert np.abs(cov - ref).max() < 1e-6 + 1e-9  # 6 dp rounding bound
+    evals, evecs = np.linalg.eigh(cov)
+    # sample covariance is PSD up to rounding noise on the 6 dp entries
+    assert evals.min() > -1e-4
+    assert abs(evals.sum() - np.trace(cov)) < 1e-8
+    # projecting onto the top component reproduces the leading variance
+    top = evecs[:, -1]
+    centered = vecs - vecs.mean(axis=0)
+    proj_var = np.var(centered @ top, ddof=1)
+    assert abs(proj_var - evals[-1]) / evals[-1] < 1e-3
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)"""
+    spark.createDataFrame(
+        [(int(i), t, int(u), et, float(v), "{}") for i, t, u, et, v in rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+
+
+def test_join_interval_planted(spark, tmp_path):
+    """One part, two shipments whose transit windows BOTH span the same
+    fortnight-bucket boundary (so the pair is generated in two buckets
+    and must be collapsed to one by the distinct), plus a non-overlap
+    and a below-quantity-filter row.
+
+    qty=43 -> span 43%14+1 = 2 days; qty=45 -> 4 days. Ship dates
+    2024-01-03 / 2024-01-02 put both intervals across epoch-day bucket
+    19726/14: overlap = [2024-01-03, 2024-01-05] = 3 days.
+    """
+    rows = [
+        # (ok, pk, ln, qty, shipdate)
+        (1, 7, 1, 43.0, "2024-01-03"),  # [01-03, 01-05], buckets {1408,1409}
+        (2, 7, 1, 45.0, "2024-01-02"),  # [01-02, 01-06], buckets {1408,1409}
+        (3, 7, 1, 44.0, "2024-03-01"),  # far away: no overlap
+        (4, 7, 1, 20.0, "2024-01-03"),  # quantity < 30: filtered out
+        (5, 9, 1, 43.0, "2024-01-03"),  # other part: no partner
+    ]
+    sf = str(tmp_path / "planted_iv")
+    spark.createDataFrame(
+        [(int(ok), int(pk), int(ln), q, d) for ok, pk, ln, q, d in rows],
+        "l_orderkey long, l_partkey long, l_linenumber int, "
+        "l_quantity double, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")).write.parquet(
+        f"{sf}/lineitem.parquet"
+    )
+    out = {r.l_partkey: r for r in QUERIES["q_join_interval"](spark, sf).collect()}
+    assert set(out) == {7}
+    assert out[7].n_pairs == 1  # double-bucketed pair counted ONCE
+    assert out[7].max_overlap_days == 3
+
+
+def test_cdc_compact_planted(spark, tmp_path):
+    """Latest-wins + tombstone semantics: newest-entry-is-error keys
+    vanish, an error that is later superseded does NOT tombstone, and
+    equal timestamps break ties by event_id."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0),
+        (2, "2024-01-02 00:00:00", 1, "purchase", 2.0),   # u1 -> purchase
+        (3, "2024-01-01 00:00:00", 2, "view", 3.0),
+        (4, "2024-01-02 00:00:00", 2, "error", 4.0),      # u2 tombstoned
+        (5, "2024-01-01 00:00:00", 3, "error", 5.0),
+        (6, "2024-01-02 00:00:00", 3, "signup", 6.0),     # u3 resurrected
+        (10, "2024-01-05 00:00:00", 4, "view", 7.0),
+        (11, "2024-01-05 00:00:00", 4, "click", 8.0),     # tie: id 11 wins
+    ]
+    sf = str(tmp_path / "planted_cdc")
+    _write_events(spark, sf, rows)
+    out = {r.user_id: r for r in QUERIES["q_cdc_compact"](spark, sf).collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[1].last_type == "purchase" and out[1].n_versions == 2
+    assert out[3].last_type == "signup"
+    assert out[4].last_type == "click" and out[4].last_value == 8.0
+
+
+def test_profile_psi_planted(spark, tmp_path):
+    """Identical snapshot halves give PSI exactly 0.0 (pa == pb in every
+    bin including the smoothed-empty ones); a fully shifted distribution
+    gives the hand-computed smoothed PSI."""
+    import math
+
+    rows = []
+    eid = 0
+    # 'stable': users 0 (half A) and 1 (half B) with identical values
+    for u in (0, 1):
+        for v in (10.0, 60.0, 110.0, 460.0):
+            rows.append((eid, "2024-01-01 00:00:00", u, "stable", v)); eid += 1
+    # 'shift': half A all in bucket 0, half B all in bucket 9
+    for _ in range(4):
+        rows.append((eid, "2024-01-01 00:00:00", 0, "shift", 10.0)); eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", 1, "shift", 460.0)); eid += 1
+    sf = str(tmp_path / "planted_psi")
+    _write_events(spark, sf, rows)
+    out = {r.event_type: r for r in QUERIES["q_profile_psi"](spark, sf).collect()}
+    assert out["stable"].psi == 0.0
+    # hand-computed: bins {0: (4,0), 9: (0,4)}, 8 empty bins, t=4 each
+    def p(n):
+        return (n + 0.5) / (4 + 5.0)
+    exp = 2 * (p(4) - p(0)) * math.log(p(4) / p(0))  # bins 0 and 9 mirror
+    assert abs(out["shift"].psi - round(exp, 6)) < 1e-9
+    assert out["shift"].psi > 0.25  # comfortably past the 0.1 drift bar
