@@ -750,3 +750,68 @@ def q_stream_state_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"mem_state_live_{next(_MEM_SINK_SEQ)}"
     run_to_memory_sink(counted, qname, output_mode="update")
     return spark.table(qname)
+
+
+@query(
+    "q_stream_cdc_live",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_versions
+      FROM events
+    )
+    SELECT user_id, CAST(n_versions AS BIGINT) AS n_versions,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+           event_type AS last_type, value AS last_value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_stream_cdc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins compaction executed LIVE as a streaming job — the
+    eighth live contract: the same max(struct) merge as the batch
+    q_cdc_compact (operators/warehouse.py), but maintained
+    incrementally by the streaming aggregation state store in update
+    mode, with the tombstone filter applied AFTER the stateful merge
+    (a filter before it would resurrect superseded versions; after it,
+    the filter is a stateless projection over each batch's updated
+    keys). This is the continuously-materialized current-state table of
+    the upsert-stream genre: every micro-batch emits exactly the keys
+    it changed.
+
+    The fixture backlog drains in one availableNow micro-batch, so
+    update mode emits one row per live key and the result equals the
+    batch compaction — hash-checked against the same window oracle.
+    State is one struct per key (the merge is associative and
+    commutative, so partial aggregation applies within each batch
+    before the state update); no watermark is attached because CDC
+    current-state is exactly the thing that must never age out — state
+    size is O(live keys) by design, the same bound the compacted table
+    itself has. Output timestamps are integer microseconds per the
+    live family's canonicalization discipline.
+    """
+    from data_pipeline_etl_spark.streaming.jobs import run_to_memory_sink
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type", "value",
+    )
+    merged = (
+        stream.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last"),
+        )
+        .where(F.col("last.event_type") != "error")
+        .select(
+            "user_id",
+            "n_versions",
+            F.unix_micros("last.ts").alias("last_ts_us"),
+            F.col("last.event_type").alias("last_type"),
+            F.col("last.value").alias("last_value"),
+        )
+    )
+    qname = f"mem_cdc_live_{next(_MEM_SINK_SEQ)}"
+    run_to_memory_sink(merged, qname, output_mode="update")
+    return spark.table(qname)
