@@ -642,3 +642,91 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.max("overlap_days").alias("max_overlap_days"),
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS c_us
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    x AS (
+      SELECT *,
+        last_value(c_id IGNORE NULLS) OVER w_prev AS prev_c_id,
+        last_value(c_us IGNORE NULLS) OVER w_prev AS prev_c_us,
+        first_value(c_id IGNORE NULLS) OVER w_next AS next_c_id,
+        first_value(c_us IGNORE NULLS) OVER w_next AS next_c_us
+      FROM m
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN next_c_us IS NULL
+                  OR (prev_c_us IS NOT NULL
+                      AND epoch_us(ts) - prev_c_us <= next_c_us - epoch_us(ts))
+                THEN prev_c_id ELSE next_c_id END AS click_id,
+           CASE WHEN next_c_us IS NULL
+                  OR (prev_c_us IS NOT NULL
+                      AND epoch_us(ts) - prev_c_us <= next_c_us - epoch_us(ts))
+                THEN epoch_us(ts) - prev_c_us
+                ELSE next_c_us - epoch_us(ts) END AS gap_us
+    FROM x WHERE event_type = 'purchase'
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-as-of join: each purchase matched to the temporally
+    NEAREST click of the same user, in either direction (backward-only
+    is q_join_asof's lag shape). Ties (equidistant prev/next) take the
+    earlier click; purchases with no click at all keep a NULL match
+    (left semantics).
+
+    The scalable expression is the tagged-union single window pass:
+    union both event kinds into one stream, carry click attributes in
+    nullable columns, and resolve prev/next via last/first
+    IGNORE NULLS over the two half-open frames — ONE shuffle on
+    user_id, zero joins, where a range-join formulation would shuffle
+    both sides and explode candidates by the time radius. Gap
+    arithmetic is exact integer microseconds (the live family's
+    canonicalization discipline), so the hash check is immune to
+    timestamp formatting.
+    """
+    e = table(spark, sf_dir, "events")
+    m = e.where(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("c_id"),
+        F.when(
+            F.col("event_type") == "click",
+            F.unix_micros(F.col("ts").cast("timestamp")),
+        ).alias("c_us"),
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_prev = base.rowsBetween(Window.unboundedPreceding, -1)
+    w_next = base.rowsBetween(1, Window.unboundedFollowing)
+    x = (
+        m.withColumn("prev_c_id", F.last("c_id", ignorenulls=True).over(w_prev))
+        .withColumn("prev_c_us", F.last("c_us", ignorenulls=True).over(w_prev))
+        .withColumn("next_c_id", F.first("c_id", ignorenulls=True).over(w_next))
+        .withColumn("next_c_us", F.first("c_us", ignorenulls=True).over(w_next))
+        .where(F.col("event_type") == "purchase")
+    )
+    p_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pick_prev = F.col("next_c_us").isNull() | (
+        F.col("prev_c_us").isNotNull() & (p_us - F.col("prev_c_us") <= F.col("next_c_us") - p_us)
+    )
+    return x.select(
+        "event_id",
+        "user_id",
+        F.when(pick_prev, F.col("prev_c_id")).otherwise(F.col("next_c_id")).alias("click_id"),
+        F.when(pick_prev, p_us - F.col("prev_c_us"))
+        .otherwise(F.col("next_c_us") - p_us)
+        .alias("gap_us"),
+    )

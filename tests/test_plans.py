@@ -310,3 +310,14 @@ def test_cdc_compact_aggregates_not_window(spark):
     plan = _plan(QUERIES["q_cdc_compact"](spark, SF_DIR))
     assert "Window" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_nearest_single_window_pass(spark):
+    """Both direction frames (prev via last, next via first) share the
+    user_id partition and (ts, event_id) sort — the tagged-union design
+    means ONE exchange and zero join operators; a range-join
+    formulation would show SortMergeJoin/CartesianProduct here."""
+    plan = _plan(QUERIES["q_join_asof_nearest"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
