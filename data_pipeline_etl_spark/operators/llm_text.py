@@ -753,3 +753,79 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chunks") - F.col("n_kept")).alias("n_removed"),
         "clean_md5",
     )
+
+
+@query(
+    "q_text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[g.i] AS a, t[g.i + 1] AS b
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+    ),
+    cnt AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY a, b),
+    ctx AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM cnt GROUP BY a)
+    SELECT g.doc_id, count(*) AS n_bigrams,
+           round(sum(ln(c.n_ab / CAST(x.n_a AS DOUBLE))), 4) AS logprob,
+           round(sum(ln(c.n_ab / CAST(x.n_a AS DOUBLE))) / count(*), 6)
+             AS avg_logprob
+    FROM bg g
+    JOIN cnt c ON g.a = c.a AND g.b = c.b
+    JOIN ctx x ON g.a = x.a
+    GROUP BY g.doc_id
+    """,
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring: per-doc sum/mean of
+    ln P(w_i | w_{i-1}) under the corpus MLE bigram model — the
+    next-order quality signal after q_text_unigram_logprob: a
+    word-salad document shares the corpus's unigrams but not its
+    transitions, so the conditional score separates fluent text from
+    shuffled text that the unigram model cannot tell apart.
+
+    Bigrams are generated MAP-SIDE from the token array (element_at
+    over an index sequence — no posexplode + lead window, so no
+    doc_id shuffle just to pair neighbors; single-token docs guard to
+    an empty array because Spark's sequence(1, 0) is DESCENDING, not
+    empty). The model is two aggregates — (a, b) transition counts and
+    their per-context sums, both |bigram-vocab|-bounded — joined back
+    onto the bigram stream WITHOUT a broadcast hint: a corpus-scale
+    bigram vocabulary is quadratically larger than the unigram one and
+    must be allowed to shuffle-join (AQE still broadcasts when the
+    runtime size fits, which it does at fixture scale). Every doc
+    bigram exists in the model by construction, so P > 0 and no
+    smoothing is needed; summed ln terms are all-negative (no
+    cancellation), so 4 dp on the sum / 6 dp on the mean hash
+    identically across engines, exactly as the unigram op documents.
+    """
+    d = table(spark, sf_dir, "documents")
+    bg = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
+                    "transform(sequence(1, size(t) - 1), i -> "
+                    "struct(element_at(t, i) AS a, element_at(t, i + 1) AS b)) "
+                    "ELSE array() END"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.a", "p.b")
+    )
+    cnt = bg.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    ctx = cnt.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    lp = F.log(F.col("n_ab") / F.col("n_a").cast("double"))
+    return (
+        bg.join(cnt, ["a", "b"])
+        .join(ctx, "a")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(lp), 4).alias("logprob"),
+            F.round(F.sum(lp) / F.count("*"), 6).alias("avg_logprob"),
+        )
+    )
