@@ -223,3 +223,37 @@ def test_profile_psi_planted(spark, tmp_path):
     exp = 2 * (p(4) - p(0)) * math.log(p(4) / p(0))  # bins 0 and 9 mirror
     assert abs(out["shift"].psi - round(exp, 6)) < 1e-9
     assert out["shift"].psi > 0.25  # comfortably past the 0.1 drift bar
+
+
+def test_dedup_semantic_planted(spark, tmp_path):
+    """A planted near-identical pair must be dropped (higher id, rep =
+    lower id) while mutually-orthogonal vectors survive: orthogonal
+    vectors have cosine 0 < tau, so even accidental band collisions
+    cannot drop them, and identical-direction vectors share every band
+    signature by construction, so the pair is always a candidate."""
+    dim = 64
+
+    def one_hot(i, scale=1.0, bump=0.0):
+        v = [0.0] * dim
+        v[i] = scale
+        if bump:
+            v[(i + 1) % dim] = bump
+        return v
+
+    rows = [
+        (0, one_hot(0), 0),
+        (1, one_hot(0, scale=0.9, bump=0.01), 0),  # cos ~0.9999 vs vec 0
+        (2, one_hot(7), 0),
+        (3, one_hot(13), 0),
+        (4, one_hot(21), 0),
+    ]
+    sf = str(tmp_path / "planted_sem")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    out = {r.vec_id: r for r in QUERIES["q_dedup_semantic"](spark, sf).collect()}
+    assert len(out) == 5
+    assert out[0].kept == 1 and out[0].rep_id is None
+    assert out[1].kept == 0 and out[1].rep_id == 0
+    for v in (2, 3, 4):
+        assert out[v].kept == 1, v
