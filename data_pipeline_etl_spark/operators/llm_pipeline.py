@@ -746,3 +746,79 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@query(
+    "q_events_attribution",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN epoch_us(ts) END IGNORE NULLS) OVER w
+               AS touch_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN touch_us IS NOT NULL
+                 AND epoch_us(ts) - touch_us <= CAST(604800000000 AS BIGINT)
+                THEN touch_type ELSE 'direct' END AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 4) AS attributed_revenue
+    FROM x WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase's value is credited to the
+    channel (event_type) of the user's most recent preceding
+    non-purchase event within a 7-day lookback, else to 'direct' — the
+    marketing-warehouse rollup every funnel feeds.
+
+    Same tagged-window machinery as q_join_asof_nearest: ONE window
+    pass over events partitioned by user (the touch candidates ride in
+    nullable columns, resolved by last IGNORE NULLS over the preceding
+    frame), then a |channels|-row aggregate — no self-join of the
+    event stream against itself, which is the naive formulation's
+    |purchases| x |touches|-per-user blowup. The lookback test is
+    exact integer microseconds; revenue sums round at 4 dp per the
+    float-fold discipline.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_type = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    touch_us = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.unix_micros(F.col("ts").cast("timestamp")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    p_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    x = e.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        touch_type.alias("touch_type"), touch_us.alias("touch_us"),
+    ).where(F.col("event_type") == "purchase")
+    channel = F.when(
+        F.col("touch_us").isNotNull()
+        & (p_us - F.col("touch_us") <= F.lit(7 * 86400 * 1000000).cast("long")),
+        F.col("touch_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        x.select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("attributed_revenue"),
+        )
+    )
