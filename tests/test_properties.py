@@ -518,3 +518,51 @@ def test_substring_spans_match_bruteforce(spark, tmp_path_factory, docs):
         for r in QUERIES["q_dedup_substring"](spark, sf).collect()
     }
     assert got == _ref_substring_spans(list(enumerate(docs)))
+
+
+def test_join_interval_matches_bruteforce(spark, tmp_path):
+    """Seeded-random intervals across parts, checked against a plain
+    O(n^2) Python reference: bucketization + in-bucket expansion +
+    distinct must reproduce exactly the brute-force overlap pairs —
+    including intervals that straddle fortnight boundaries and pairs
+    co-bucketed twice."""
+    import random
+    from datetime import date, timedelta
+
+    rng = random.Random(20260814)
+    rows = []
+    ok = 0
+    for pk in range(1, 6):
+        for _ in range(rng.randint(5, 14)):
+            ok += 1
+            qty = float(rng.randint(30, 50))
+            ship = date(2024, 1, 1) + timedelta(days=rng.randint(0, 60))
+            rows.append((ok, pk, 1, qty, ship))
+    sf = str(tmp_path / "prop_iv")
+    spark.createDataFrame(
+        [(o, p, l, q, str(s)) for o, p, l, q, s in rows],
+        "l_orderkey long, l_partkey long, l_linenumber int, "
+        "l_quantity double, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+        "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+
+    expected = {}
+    for i, (ok_a, pk_a, _, q_a, s_a) in enumerate(rows):
+        r_a = s_a + timedelta(days=int(q_a) % 14 + 1)
+        for ok_b, pk_b, _, q_b, s_b in rows[i + 1:]:
+            if pk_a != pk_b:
+                continue
+            r_b = s_b + timedelta(days=int(q_b) % 14 + 1)
+            if s_a <= r_b and s_b <= r_a:
+                ov = (min(r_a, r_b) - max(s_a, s_b)).days + 1
+                n, mx = expected.get(pk_a, (0, 0))
+                expected[pk_a] = (n + 1, max(mx, ov))
+
+    from data_pipeline_etl_spark.registry import QUERIES
+    got = {
+        r.l_partkey: (r.n_pairs, r.max_overlap_days)
+        for r in QUERIES["q_join_interval"](spark, sf).collect()
+    }
+    assert got == expected
