@@ -377,3 +377,65 @@ def q_profile_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
         )
     )
+
+
+@query(
+    "q_skew_diagnose",
+    oracle="""
+    WITH stacked AS (
+      SELECT 'l_orderkey' AS key_name, l_orderkey AS key_value FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', l_suppkey FROM lineitem
+    ),
+    counts AS (
+      SELECT key_name, key_value, count(*) AS n
+      FROM stacked GROUP BY key_name, key_value
+    )
+    SELECT key_name,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_per_key,
+           round(max(n) * count(*) / CAST(sum(n) AS DOUBLE), 4) AS skew_ratio,
+           min(key_value) FILTER (WHERE n = (SELECT max(c2.n) FROM counts c2
+                                             WHERE c2.key_name = counts.key_name))
+             AS top_key
+    FROM counts GROUP BY key_name
+    """,
+)
+def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: for each candidate shuffle key of the
+    fact table, the key cardinality, the heaviest key's row count, the
+    max/avg skew ratio, and the heaviest key itself (smallest id on
+    ties) — the diagnostic a pipeline runs BEFORE choosing salting /
+    AQE-skew-join / broadcast strategy for a 100 TB join, and the
+    source of the salt-factor number q_join_salted hardcodes.
+
+    One scan: the three key columns stack map-side into (name, value)
+    rows (3x row amplification before the partial aggregate, which
+    collapses it immediately), then a (name, value) count aggregate and
+    a 3-row rollup. The argmax key resolves deterministically via
+    max(struct(n, -key)) — no second pass, no window; the oracle's
+    correlated-subquery formulation is the clarity twin of the same
+    selection.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    stacked = l.select(
+        F.expr(
+            "stack(3, 'l_orderkey', l_orderkey, "
+            "'l_partkey', l_partkey, 'l_suppkey', l_suppkey)"
+        ).alias("key_name", "key_value")
+    )
+    counts = stacked.groupBy("key_name", "key_value").agg(F.count("*").alias("n"))
+    return counts.groupBy("key_name").agg(
+        F.sum("n").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_per_key"),
+        F.round(
+            F.max("n") * F.count("*") / F.sum("n").cast("double"), 4
+        ).alias("skew_ratio"),
+        (-F.max(F.struct(F.col("n"), (-F.col("key_value")).alias("neg_key")))[
+            "neg_key"
+        ]).alias("top_key"),
+    )
