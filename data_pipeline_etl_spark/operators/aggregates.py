@@ -491,3 +491,49 @@ def q_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 4).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+@query(
+    "q_agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS gross_cents,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS total_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money aggregation in exact DECIMAL — the no-floats-for-finance
+    discipline: every other revenue query in the registry sums doubles
+    and rounds (acceptable for analytics, hash-stable only because both
+    engines are given the identical fold), but a ledger-grade total
+    must be exact and association-order-independent, which only decimal
+    arithmetic provides. At 100 TB a double sum's error bound grows
+    with row count; the decimal sum's doesn't exist.
+
+    The double->DECIMAL(18,2) cast rounds to nearest on both engines
+    from the SAME stored double, so the per-row decimals agree
+    bit-for-bit and the sums are exactly equal with NO rounding step in
+    the query at all — the one aggregate family where the float-fold
+    discipline is unnecessary by construction. Results are surfaced as
+    integer CENTS (decimal x100 -> bigint, still exact) because the
+    engines' pandas bridges disagree on decimal surfacing — DuckDB's
+    .df() degrades DECIMAL to float64, Spark hands over
+    decimal.Decimal — and the driver hashes surfaced values; integer
+    cents is also how a ledger actually stores money. Plan is the
+    plain partial+final hash aggregate; decimal partials are
+    fixed-width ints, so map-side combine carries the same bytes a
+    bigint would.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("gross_cents"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("long")
+        .alias("total_qty"),
+        F.count("*").alias("n"),
+    )
