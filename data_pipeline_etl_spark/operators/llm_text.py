@@ -800,7 +800,13 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     cancellation), so 4 dp on the sum / 6 dp on the mean hash
     identically across engines, exactly as the unigram op documents.
     """
-    d = table(spark, sf_dir, "documents")
+    return bigram_logprob_for(table(spark, sf_dir, "documents"))
+
+
+def bigram_logprob_for(d: DataFrame) -> DataFrame:
+    """Body of :func:`q_text_bigram_logprob` over any (doc_id, text)
+    frame — split out so the scaling probe feeds replicated corpora
+    through the identical plan."""
     bg = (
         d.select("doc_id", F.split("text", " ").alias("t"))
         .select(

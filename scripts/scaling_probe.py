@@ -184,6 +184,20 @@ def main() -> int:
             F.round(F.avg("dup_frac"), 4).alias("avg_dup_frac"),
         )
 
+    def bigram(ddf):
+        # per-doc output summarized to one row so Arrow transfer stays
+        # out of the measurement; prefix-replicated docs keep the
+        # within-replica transition structure (each replica is its own
+        # closed vocabulary, so the bigram model grows linearly — the
+        # honest corpus-growth model for a vocabulary-bounded table)
+        from data_pipeline_etl_spark.operators.llm_text import bigram_logprob_for
+
+        return bigram_logprob_for(ddf).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+            F.round(F.avg("avg_logprob"), 6).alias("mean_avg_lp"),
+        )
+
     def covm(edf):
         # 2080-row output; summarize anyway so every case reports one row
         from data_pipeline_etl_spark.operators.llm_similarity import covariance_for
@@ -200,6 +214,7 @@ def main() -> int:
         "win_topn": lambda L, O, E, D: wtopn(L),
         "substr_spans": lambda L, O, E, D: substr(D),
         "cov_matrix": lambda L, O, E, D: covm(E),
+        "bigram_lm": lambda L, O, E, D: bigram(D),
     }
 
     def scaled_rows(factor):
