@@ -241,6 +241,65 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_time_ohlc",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bin6h,
+             value,
+             row_number() OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT)
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bin6h,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n
+    FROM r GROUP BY event_type, bin6h
+    """,
+)
+def q_time_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: open/high/low/close of `value` per event_type
+    per 6-hour bin — the financial-resample shape, and the general
+    first/last-in-group-by-time problem WITHOUT a window: open/close
+    resolve via min/max over (ts_us, event_id, value) structs inside
+    the ordinary hash aggregate, so the whole query is one scan + one
+    partial-combining shuffle keyed on (type, bin). A
+    row_number-window formulation would sort every event inside every
+    bin and cannot partial-aggregate; the struct-extremum trick
+    carries one candidate per group per mapper instead — the same
+    argument as q_cdc_compact, applied to time-series resampling.
+    Bins are exact integer epoch-microsecond arithmetic (21600000000 =
+    6 h), immune to timestamp canonicalization; (ts, event_id) is
+    unique, so open/close are deterministic.
+    """
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    binned = e.select(
+        "event_type",
+        F.floor(us / F.lit(21600000000)).cast("long").alias("bin6h"),
+        us.alias("us"),
+        "event_id",
+        "value",
+    )
+    return binned.groupBy("event_type", "bin6h").agg(
+        F.min(F.struct("us", "event_id", "value"))["value"].alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.struct("us", "event_id", "value"))["value"].alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
 _MEM_SINK_SEQ = iter(range(10**9))
 
 
