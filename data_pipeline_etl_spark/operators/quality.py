@@ -439,3 +439,51 @@ def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_key"
         ]).alias("top_key"),
     )
+
+
+@query(
+    "q_dq_freshness",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, max(epoch_us(ts)) AS last_us,
+             count(*) AS n
+      FROM events GROUP BY event_type
+    ),
+    hd AS (SELECT max(last_us) AS head_us FROM per)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST((g.head_us - last_us) // 1000000 AS BIGINT) AS lag_sec,
+           CAST(CASE WHEN g.head_us - last_us > CAST(3600000000 AS BIGINT)
+                     THEN 1 ELSE 0 END AS INT) AS stale
+    FROM per CROSS JOIN hd g
+    """,
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness gate: each feed's (event_type's) lag behind the
+    newest record anywhere, with a staleness flag at 1 hour — the
+    post-load check that catches a silently-stalled upstream producer
+    before consumers read a partial day.
+
+    One |feeds|-row aggregate carries max-ts and counts (map-side
+    combining max, shuffle is |feeds| partial rows); the head-of-log
+    scalar is a one-row aggregate OF THAT FRAME — the corpus is
+    scanned once — broadcast back as a cross join. Lag arithmetic in
+    exact integer microseconds (integer division to whole seconds), so
+    the hash check is canonicalization-immune.
+    """
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("last_us"),
+        F.count("*").alias("n"),
+    )
+    glob = per.agg(F.max("last_us").alias("head_us"))
+    lag_us = F.col("head_us") - F.col("last_us")
+    return per.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        "n",
+        F.expr("(head_us - last_us) div 1000000").cast("long").alias("lag_sec"),
+        F.when(lag_us > F.lit(3600000000).cast("long"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("stale"),
+    )
