@@ -329,3 +329,107 @@ def q_win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("revenue", 4).alias("revenue"),
         F.round(F.col("revenue") / F.col("total_rev"), 6).alias("share"),
     )
+
+
+@query(
+    "q_win_distinct_rolling",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d AS day FROM ud)
+    SELECT days.day, count(DISTINCT ud.user_id) AS actives_7d
+    FROM days JOIN ud
+      ON ud.d BETWEEN days.day - INTERVAL 6 DAY AND days.day
+    GROUP BY days.day
+    """,
+)
+def q_win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per observed day — the DAU/WAU
+    engagement staple, computed EXACTLY without a distinct-over-window
+    (Spark has none) and without per-day user sets.
+
+    Scale shape: COUNT(DISTINCT) over a sliding frame is re-expressed as
+    a coverage-interval explode. Dedup to (user, day) rows (one shuffle,
+    map-side combine); per user, each active day covers target days
+    [d, min(d+6, next_active-1)] — only the user's MOST RECENT activity
+    covers a target day, so each (user, target-day) pair appears exactly
+    once and a plain count per target day is the distinct count. The
+    per-user lead() is a second shuffle on user_id; the explode emits at
+    most 7 rows per active day (bounded fan-out, no giant collect_set
+    whose per-day set would be hundreds of millions at 100 TB). Final
+    inner join restricts to observed days (broadcast-sized frame:
+    |days|).
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    ud = e.select(day.alias("d"), "user_id").distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    horizon = F.col("d") + F.expr("INTERVAL 6 DAY")
+    covered = (
+        ud.withColumn("nxt", F.lead("d").over(w))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.least(
+                        horizon,
+                        F.coalesce(
+                            F.col("nxt") - F.expr("INTERVAL 1 DAY"), horizon
+                        ),
+                    ),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day"),
+        )
+    )
+    counts = covered.groupBy("day").agg(F.count("*").alias("actives_7d"))
+    obs_days = ud.select(F.col("d").alias("day")).distinct()
+    return counts.join(F.broadcast(obs_days), "day", "inner").select(
+        "day", "actives_7d"
+    )
+
+
+@query(
+    "q_win_moving_median",
+    oracle="""
+    SELECT event_id, event_type, value,
+           median(value) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS med7
+    FROM events
+    """,
+)
+def q_win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row moving MEDIAN per feed — the robust-smoothing twin
+    of q_win_moving's mean (a median shrugs off the single spike that
+    drags a mean).
+
+    Spark has no median-over-window; the frame is materialized with
+    collect_list over the same ROWS frame (bounded: ≤7 doubles per row,
+    constant state regardless of corpus size), sorted, and the middle
+    element(s) picked — (a+b)/2 for even counts, exactly DuckDB's
+    interpolating median at 0.5. One shuffle on event_type + partition
+    sort, same cost shape as any other windowed query here.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2.0
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(n % 2 == 1, odd).otherwise(even).alias("med7"),
+    )
