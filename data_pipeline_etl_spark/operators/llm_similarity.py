@@ -1062,3 +1062,97 @@ def hyperplane_bits_pandas(df: DataFrame, planes: int = _LSH_PLANES) -> DataFram
     return df.select("vec_id", "embedding").mapInPandas(
         batches, "vec_id LONG, bits ARRAY<INT>"
     )
+
+
+@query(
+    "q_sim_rank_fusion",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             {_COS_SQL} AS cos_sim,
+             round({_dot_sql('qe', 'qe')} + {_dot_sql('ce', 'ce')}
+                   - 2 * {_dot_sql('qe', 'ce')}, 6) AS dist2
+      FROM (SELECT vec_id, embedding AS ce FROM embeddings) c CROSS JOIN q
+      WHERE c.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id) AS rc,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dist2 ASC, vec_id) AS rd
+      FROM scored
+    ),
+    fused AS (
+      SELECT q_id, vec_id,
+             1.0 / (60 + rc) + 1.0 / (60 + rd) AS rrf
+      FROM ranked
+    )
+    SELECT q_id, vec_id, rrf, CAST(fr AS BIGINT) AS fused_rank FROM (
+      SELECT q_id, vec_id, rrf,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY rrf DESC, vec_id) AS fr
+      FROM fused
+    ) WHERE fr <= 5
+    """,
+)
+def q_sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two retrieval rankings — cosine
+    similarity and squared-L2 distance — per query vector, top-5 fused.
+    The standard hybrid-retrieval merge (RRF needs only ranks, so it
+    composes rankings whose raw scores aren't comparable).
+
+    One broadcast cross join scores every candidate once for BOTH
+    metrics (the dot products are shared subtrees Catalyst evaluates
+    once per pair); the two row_number windows share the q_id hash
+    partitioning, so the pair frame shuffles once and only re-sorts.
+    The RRF score is built from integer ranks (1.0/(60+r)), so the
+    fused ordering is float-canonicalization-immune; cos/dist2 feed
+    ranks only after a round(6) that is mirrored in the oracle.
+    """
+    base = _normed(spark, sf_dir)
+    q = base.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = base.select(
+        "vec_id", F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            _cos_pair().alias("cos_sim"),
+            F.round(
+                dot64("qe", "qe") + dot64("ce", "ce") - 2 * dot64("qe", "ce"), 6
+            ).alias("dist2"),
+        )
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    wd = Window.partitionBy("q_id").orderBy(F.asc("dist2"), F.asc("vec_id"))
+    ranked = scored.select(
+        "q_id",
+        "vec_id",
+        F.row_number().over(wc).alias("rc"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    fused = ranked.select(
+        "q_id",
+        "vec_id",
+        (
+            F.lit(1.0) / (F.lit(60) + F.col("rc"))
+            + F.lit(1.0) / (F.lit(60) + F.col("rd"))
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("vec_id"))
+    return (
+        fused.withColumn("fr", F.row_number().over(wf))
+        .where(F.col("fr") <= 5)
+        .select("q_id", "vec_id", "rrf", F.col("fr").cast("long").alias("fused_rank"))
+    )

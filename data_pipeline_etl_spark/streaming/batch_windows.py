@@ -874,3 +874,136 @@ def q_stream_cdc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"mem_cdc_live_{next(_MEM_SINK_SEQ)}"
     run_to_memory_sink(merged, qname, output_mode="update")
     return spark.table(qname)
+
+
+@query(
+    "q_time_interp",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, epoch_us(ts) AS t, min(value) AS v
+      FROM events GROUP BY event_type, epoch_us(ts)
+    ),
+    b AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+      FROM events GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS gts
+      FROM b
+    ),
+    u AS (
+      SELECT event_type, t, CAST(NULL AS TIMESTAMP) AS gts, 0 AS is_grid,
+             t AS obs_t, v AS obs_v
+      FROM obs
+      UNION ALL
+      SELECT event_type, epoch_us(gts), gts, 1,
+             CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+      FROM grid
+    ),
+    wined AS (
+      SELECT event_type, t, gts, is_grid,
+        last_value(obs_t IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY t, is_grid
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        last_value(obs_v IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY t, is_grid
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        first_value(obs_t IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY t, is_grid
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+        first_value(obs_v IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY t, is_grid
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM u
+    )
+    SELECT event_type, gts,
+      CASE WHEN t = pt THEN pv
+           ELSE pv + (nv - pv) *
+                (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+      END AS v_interp
+    FROM wined
+    WHERE is_grid = 1 AND pt IS NOT NULL AND (nt IS NOT NULL OR pt = t)
+    """,
+)
+def q_time_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation onto a regular hourly grid per feed — the
+    resampling third of the densification trio (q_date_spine zero-fill,
+    q_time_ffill carry-forward, this one interpolates BETWEEN
+    bracketing observations).
+
+    No grid-to-observation range join anywhere: grid points and
+    observations are unioned into one frame, tagged, and a single
+    per-feed window sort yields BOTH neighbors — prev via
+    last(ignorenulls) over the preceding frame, next via
+    first(ignorenulls) over the following frame (same partitioning and
+    sort, so Spark executes one shuffle + one sort and evaluates both
+    frames in the same WindowExec pass). Duplicate-timestamp
+    observations are collapsed with min() first so the bracketing pair
+    is deterministic. All time arithmetic is exact integer
+    microseconds; the interpolation expression tree is mirrored
+    operation-for-operation in the oracle so doubles match bitwise.
+    Grid points before a feed's first observation are dropped on both
+    sides; a grid point landing exactly on the last observation keeps
+    its observed value even with no following neighbor.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    obs = (
+        e.groupBy("event_type", t_us.alias("t"))
+        .agg(F.min("value").alias("v"))
+        .select(
+            "event_type",
+            "t",
+            F.lit(None).cast("timestamp_ntz").alias("gts"),
+            F.lit(0).alias("is_grid"),
+            F.col("t").alias("obs_t"),
+            F.col("v").alias("obs_v"),
+        )
+    )
+    bounds = e.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("lo"),
+        F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("hi"),
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("gts"),
+    ).select(
+        "event_type",
+        F.unix_micros(F.col("gts").cast("timestamp")).alias("t"),
+        "gts",
+        F.lit(1).alias("is_grid"),
+        F.lit(None).cast("long").alias("obs_t"),
+        F.lit(None).cast("double").alias("obs_v"),
+    )
+    u = obs.unionByName(grid)
+    base = Window.partitionBy("event_type").orderBy("t", "is_grid")
+    wp = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wined = u.select(
+        "event_type",
+        "t",
+        "gts",
+        "is_grid",
+        F.last("obs_t", ignorenulls=True).over(wp).alias("pt"),
+        F.last("obs_v", ignorenulls=True).over(wp).alias("pv"),
+        F.first("obs_t", ignorenulls=True).over(wn).alias("nt"),
+        F.first("obs_v", ignorenulls=True).over(wn).alias("nv"),
+    )
+    frac = (F.col("t") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    return wined.where(
+        (F.col("is_grid") == 1)
+        & F.col("pt").isNotNull()
+        & (F.col("nt").isNotNull() | (F.col("pt") == F.col("t")))
+    ).select(
+        "event_type",
+        "gts",
+        F.when(F.col("t") == F.col("pt"), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("v_interp"),
+    )
