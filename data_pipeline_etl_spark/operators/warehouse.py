@@ -244,3 +244,186 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("s") / F.sum("n"), 6).alias("avg_price"),
         F.max("hi").alias("last_orderdate"),
     )
+
+
+@query(
+    "q_basket_affinity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    freq AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS c_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, c_ab,
+           CAST(c_ab AS DOUBLE) / CAST(n.n_orders AS DOUBLE) AS support,
+           CAST(c_ab AS DOUBLE) / CAST(fa.c AS DOUBLE) AS confidence,
+           (CAST(c_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+             / (CAST(fa.c AS DOUBLE) * CAST(fb.c AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+    CROSS JOIN n
+    WHERE c_ab >= 2
+    """,
+)
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: support / confidence / lift for part
+    pairs co-ordered at least twice — the association-rules staple over
+    the order-item fact.
+
+    Scale shape: the pair frame is a SELF-JOIN WITHIN the order key
+    (one shuffle on l_orderkey; fan-out bounded by basket size, ≤C(7,2)
+    pairs per order — never an all-parts cross join), then one
+    pair-keyed count. Part frequencies are a dimension-sized frame
+    joined back broadcast; the order total is a one-row broadcast. All
+    three metrics are ratios of BIGINT counts cast to double with a
+    mirrored expression tree — no float summation anywhere, so parity
+    is exact by construction.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= 2)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            (d("c_ab") / d("n_orders")).alias("support"),
+            (d("c_ab") / d("ca")).alias("confidence"),
+            ((d("c_ab") * d("n_orders")) / (d("ca") * d("cb"))).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q_rfm_segment",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             date_diff('day', max(CAST(o_orderdate AS DATE)),
+                       (SELECT maxd FROM mx)) AS r_days,
+             count(*) AS freq,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    th AS (
+      SELECT quantile_cont(r_days, 0.2) AS r1, quantile_cont(r_days, 0.4) AS r2,
+             quantile_cont(r_days, 0.6) AS r3, quantile_cont(r_days, 0.8) AS r4,
+             quantile_cont(freq, 0.2) AS f1, quantile_cont(freq, 0.4) AS f2,
+             quantile_cont(freq, 0.6) AS f3, quantile_cont(freq, 0.8) AS f4,
+             quantile_cont(monetary_cents, 0.2) AS m1,
+             quantile_cont(monetary_cents, 0.4) AS m2,
+             quantile_cont(monetary_cents, 0.6) AS m3,
+             quantile_cont(monetary_cents, 0.8) AS m4
+      FROM cust
+    )
+    SELECT o_custkey, r_days, freq, monetary_cents,
+           r_score, f_score, m_score,
+           concat(CAST(r_score AS VARCHAR), '-', CAST(f_score AS VARCHAR),
+                  '-', CAST(m_score AS VARCHAR)) AS segment
+    FROM (
+      SELECT o_custkey, r_days, freq, monetary_cents,
+             1 + CAST(r_days > r1 AS INT) + CAST(r_days > r2 AS INT)
+               + CAST(r_days > r3 AS INT) + CAST(r_days > r4 AS INT) AS r_score,
+             1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+               + CAST(freq > f3 AS INT) + CAST(freq > f4 AS INT) AS f_score,
+             1 + CAST(monetary_cents > m1 AS INT) + CAST(monetary_cents > m2 AS INT)
+               + CAST(monetary_cents > m3 AS INT) + CAST(monetary_cents > m4 AS INT)
+               AS m_score
+      FROM cust CROSS JOIN th
+    )
+    """,
+)
+def q_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    quintile scores — the classic CRM rollup.
+
+    Quintiles are THRESHOLD-BASED, not ntile: a keyless global ntile
+    would funnel every customer through one sorting task at scale, so
+    instead four interpolated percentile cuts per metric come from one
+    aggregate over the customer frame (a 1-row, 12-value result,
+    broadcast back) and each score is 1 + count of thresholds passed.
+    Monetary totals are summed as exact integer cents (no float
+    summation order anywhere); recency is whole days against the
+    corpus max date; thresholds interpolate exact integers so both
+    engines cut at bitwise-identical values.
+    """
+    o = table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    maxd = o.agg(F.max(od).alias("maxd"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(od).alias("lastd"),
+            F.count("*").alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "lastd").cast("long").alias("r_days"),
+            "freq",
+            "monetary_cents",
+        )
+    )
+    th = cust.agg(
+        *[
+            F.percentile(m, p).alias(f"{m[0]}{i}")
+            for m in ("r_days", "freq", "monetary_cents")
+            for i, p in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+        ]
+    )
+
+    def score(metric: str, pfx: str):
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + (F.col(metric) > F.col(f"{pfx}{i}")).cast("int")
+        return s
+
+    scored = cust.crossJoin(F.broadcast(th)).select(
+        "o_custkey",
+        "r_days",
+        "freq",
+        "monetary_cents",
+        score("r_days", "r").alias("r_score"),
+        score("freq", "f").alias("f_score"),
+        score("monetary_cents", "m").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "-",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
