@@ -427,3 +427,124 @@ def q_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+@query(
+    "q_graph_pagerank",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT l_partkey AS node FROM items),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS d
+            FROM edges GROUP BY src),
+    pr0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+    it1 AS (
+      SELECT nodes.node,
+             0.15 / n + 0.85 * coalesce(s.c, 0.0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr / deg.d) AS c
+        FROM edges e JOIN pr0 p ON p.node = e.src
+        JOIN deg ON deg.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = nodes.node
+    ),
+    it2 AS (
+      SELECT nodes.node,
+             0.15 / n + 0.85 * coalesce(s.c, 0.0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr / deg.d) AS c
+        FROM edges e JOIN it1 p ON p.node = e.src
+        JOIN deg ON deg.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = nodes.node
+    ),
+    it3 AS (
+      SELECT nodes.node,
+             0.15 / n + 0.85 * coalesce(s.c, 0.0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr / deg.d) AS c
+        FROM edges e JOIN it2 p ON p.node = e.src
+        JOIN deg ON deg.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = nodes.node
+    )
+    SELECT node AS l_partkey, round(pr * n, 6) AS pr_rel
+    FROM it3 CROSS JOIN nn
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 damped iterations, d=0.85) over the part co-order
+    graph — graph centrality on the same bounded-fan-out pair frame as
+    q_basket_affinity, the representative of unrolled iterative
+    algorithms expressed as pure joins + aggregates.
+
+    Per iteration: edges join ranks on src (shuffle on node key), one
+    groupBy dst for the contribution sum, left join back onto the node
+    frame so isolated nodes keep teleport mass. Edge and degree frames
+    build once and are reused across iterations (at cluster scale they
+    would be cached/bucketed on node so every iteration reuses the
+    partitioning; lineage stays flat because the loop is unrolled, not
+    driver-iterated — cf. q_dedup_cluster's checkpointed variant for
+    convergence-driven loops). Output is rank relative to uniform
+    (pr * |nodes|, O(1) values) rounded at 6 — the repo's float-fold
+    parity convention for order-insensitive double sums.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = items.select(F.col("l_partkey").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("double").alias("d")
+    )
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("d")).alias("c"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + 0.85 * F.coalesce("c", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.crossJoin(F.broadcast(nn)).select(
+        F.col("node").alias("l_partkey"),
+        F.round(F.col("pr") * F.col("n"), 6).alias("pr_rel"),
+    )

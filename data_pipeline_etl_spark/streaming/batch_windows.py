@@ -1007,3 +1007,53 @@ def q_time_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
         .alias("v_interp"),
     )
+
+
+@query(
+    "q_time_seasonal_dow",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, isodow(ts) AS dow,
+             count(*) AS n, sum(value) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, sum(s) AS ts_, sum(n) AS tn
+      FROM per GROUP BY event_type
+    )
+    SELECT per.event_type, CAST(dow AS INT) AS dow, n,
+           round(s / n, 6) AS dow_avg,
+           round((s / n) / (ts_ / tn), 6) AS seasonal_idx
+    FROM per JOIN tot ON per.event_type = tot.event_type
+    """,
+)
+def q_time_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per feed: each ISO weekday's mean
+    value and its index against the feed's overall mean (index > 1 =
+    that weekday runs hot) — the first screen for weekly periodicity
+    before any forecasting.
+
+    One groupBy to the 35-row (feed × weekday) frame carrying sum and
+    count partials; the feed-level mean RE-AGGREGATES those partials
+    (sum of 7 sums — no second corpus scan) and joins back broadcast.
+    Both ratios are formed from the same partials with a mirrored
+    expression tree and the repo's round-6 float-fold convention.
+    """
+    from pyspark.sql import Window  # noqa: F401  (module convention)
+
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy(
+        "event_type", (F.weekday("ts") + 1).cast("int").alias("dow")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    tot = per.groupBy("event_type").agg(
+        F.sum("s").alias("ts_"), F.sum("n").alias("tn")
+    )
+    return per.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("dow_avg"),
+        F.round(
+            (F.col("s") / F.col("n")) / (F.col("ts_") / F.col("tn")), 6
+        ).alias("seasonal_idx"),
+    )
