@@ -515,10 +515,20 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+    # The edge and node frames feed every iteration: checkpoint them once
+    # (same barrier q_dedup_cluster uses) so the order-key self-join and
+    # the distinct don't re-execute per unrolled round. Ranks and degrees
+    # are node-dimension-sized — broadcast into the edge join so each
+    # iteration shuffles only the contribution groupBy (at cluster scale
+    # edges would be bucketed on src to make that shuffle-free too).
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        items.select(F.col("l_partkey").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    nodes = items.select(F.col("l_partkey").alias("node")).distinct()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("double").alias("d")
@@ -528,8 +538,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(3):
         contrib = (
-            edges.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(deg.withColumnRenamed("node", "src"), "src")
+            edges.join(F.broadcast(pr.withColumnRenamed("node", "src")), "src")
+            .join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("d")).alias("c"))
         )
