@@ -708,14 +708,28 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("ts").cast("timestamp")),
         ).alias("c_us"),
     )
-    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_prev = base.rowsBetween(Window.unboundedPreceding, -1)
-    w_next = base.rowsBetween(1, Window.unboundedFollowing)
+    # "Next click" runs over the REVERSED sort with a growing frame:
+    # Spark streams UNBOUNDED PRECEDING frames incrementally but
+    # re-evaluates an UNBOUNDED FOLLOWING frame from scratch at every
+    # row — O(rows^2) inside a single power-user partition at scale
+    # (same rewrite as q_time_interp; the (ts, event_id) order is a
+    # strict total order, so the reversal is exact). Both windows share
+    # the user_id hash partitioning: still one shuffle, two sorts.
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     x = (
         m.withColumn("prev_c_id", F.last("c_id", ignorenulls=True).over(w_prev))
         .withColumn("prev_c_us", F.last("c_us", ignorenulls=True).over(w_prev))
-        .withColumn("next_c_id", F.first("c_id", ignorenulls=True).over(w_next))
-        .withColumn("next_c_us", F.first("c_us", ignorenulls=True).over(w_next))
+        .withColumn("next_c_id", F.last("c_id", ignorenulls=True).over(w_next))
+        .withColumn("next_c_us", F.last("c_us", ignorenulls=True).over(w_next))
         .where(F.col("event_type") == "purchase")
     )
     p_us = F.unix_micros(F.col("ts").cast("timestamp"))
