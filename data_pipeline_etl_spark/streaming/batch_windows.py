@@ -1071,3 +1071,68 @@ def q_time_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") / F.col("n")) / (F.col("ts_") / F.col("tn")), 6
         ).alias("seasonal_idx"),
     )
+
+
+@query(
+    "q_time_ewma",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER w AS rn,
+             value + 0.7 * (lag(value, 1) OVER w + 0.7 * (lag(value, 2) OVER w
+               + 0.7 * (lag(value, 3) OVER w + 0.7 * (lag(value, 4) OVER w
+               + 0.7 * (lag(value, 5) OVER w + 0.7 * (lag(value, 6) OVER w
+               + 0.7 * (lag(value, 7) OVER w + 0.7 * (lag(value, 8) OVER w
+               + 0.7 * (lag(value, 9) OVER w))))))))) AS num
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts, value,
+           round(num / 3.2391749169999997, 6) AS ewma10
+    FROM t WHERE rn >= 10
+    """,
+)
+def q_time_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.3) of each user's
+    metric stream over the trailing 10 observations — the smoothing
+    primitive under alerting thresholds and trend lines.
+
+    EWMA's textbook form is a recurrence (each row depends on the
+    previous smoothed value), which no engine's window frame expresses
+    directly; the trailing-k truncation turns it into a fixed LAG CHAIN,
+    one window pass, no self-join. The weighted sum is written in HORNER
+    FORM (x0 + 0.7*(x1 + 0.7*(x2 + ...))) with an identical nesting in
+    the oracle, so both engines execute the same IEEE expression tree
+    bit-for-bit — no order-of-summation hazard at all, unlike a
+    sum-over-frame formulation. Rows before the window fills (rn < 10)
+    are dropped so the normalizer is the constant Horner fold of the ten
+    weights (3.2391749169999997 in both texts). One shuffle (the window
+    partitioning); weight count is a literal-tree constant, so scaling
+    the trailing depth k grows the expression, not the shuffle.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lag("value", 9).over(w)
+    for k in range(8, 0, -1):
+        num = F.lag("value", k).over(w) + 0.7 * num
+    num = F.col("value") + 0.7 * num
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            num.alias("num"),
+        )
+        .where(F.col("rn") >= 10)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.round(F.col("num") / F.lit(3.2391749169999997), 6).alias("ewma10"),
+        )
+    )
