@@ -537,3 +537,35 @@ def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_qty"),
         F.count("*").alias("n"),
     )
+
+
+@query("q_agg_sketch_merge")  # rows-only: HLL sketch bytes are engine-specific
+def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch aggregation: per-source Apache DataSketches HLL
+    sketches of the document id space, then a UNION MERGE of the partial
+    sketches into the corpus-wide distinct estimate — the two-level
+    (shard -> global) pattern that makes approximate count-distinct
+    embarrassingly parallel at 100 TB: each partition/shard/day emits a
+    few-KB sketch, and ANY subset of shards can be re-aggregated later
+    without touching raw data (the property approx_count_distinct's
+    one-shot HLL++ path does not expose).
+
+    Spark-side: hll_sketch_agg partials per source, hll_union_agg over
+    the stored sketch column for the merged row. Rows-only by design
+    (SURVEY §2 approx-sketch rule): sketch binaries and estimator
+    rounding differ across engines, so there is no cross-engine hash —
+    the driver's rows-check pins shape; tests/test_ops_edge.py pins the
+    estimates against exact counts at fixture scale.
+    """
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.hll_sketch_agg("doc_id").alias("sk"))
+    per_src = per.select(
+        "source",
+        F.round(F.hll_sketch_estimate("sk"), 0).cast("long").alias("approx_docs"),
+    )
+    merged = per.agg(
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sk")), 0)
+        .cast("long")
+        .alias("approx_docs")
+    ).select(F.lit("__all__").alias("source"), "approx_docs")
+    return per_src.unionByName(merged)

@@ -1156,3 +1156,150 @@ def q_sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("fr") <= 5)
         .select("q_id", "vec_id", "rrf", F.col("fr").cast("long").alias("fused_rank"))
     )
+
+
+def _l2sq_spark(a: str, b: str, start: int, sub: int) -> Column:
+    """Sequential float64 fold of squared L2 distance over a 1-based
+    ``sub``-wide slice of two float32 vectors (Spark side)."""
+    return F.expr(
+        f"aggregate(zip_with(slice({a}, {start}, {sub}), slice({b}, {start}, {sub}), "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _l2sq_sql(a: str, b: str, start: int, sub: int) -> str:
+    """DuckDB twin of _l2sq_spark: same element order, same float64 fold."""
+    return (
+        f"list_sum(list_transform(generate_series({start}, {start + sub - 1}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+_PQ_M, _PQ_SUB = 4, 16  # 64-dim embedding -> 4 subspaces x 16 dims
+
+
+@query(
+    "q_sim_pq_adc",
+    oracle=f"""
+    WITH cb AS (
+      SELECT vec_id - 8 AS code, embedding AS cbe
+      FROM embeddings WHERE vec_id BETWEEN 8 AND 15
+    ),
+    enc AS (
+      SELECT e.vec_id,
+             (min(struct_pack(d := {_l2sq_sql('e.embedding', 'cbe', 1, 16)}, c := code))).c AS c0,
+             (min(struct_pack(d := {_l2sq_sql('e.embedding', 'cbe', 17, 16)}, c := code))).c AS c1,
+             (min(struct_pack(d := {_l2sq_sql('e.embedding', 'cbe', 33, 16)}, c := code))).c AS c2,
+             (min(struct_pack(d := {_l2sq_sql('e.embedding', 'cbe', 49, 16)}, c := code))).c AS c3
+      FROM embeddings e CROSS JOIN cb GROUP BY e.vec_id
+    ),
+    lut AS (
+      SELECT q.vec_id AS q_id, code,
+             {_l2sq_sql('q.embedding', 'cbe', 1, 16)} AS qd0,
+             {_l2sq_sql('q.embedding', 'cbe', 17, 16)} AS qd1,
+             {_l2sq_sql('q.embedding', 'cbe', 33, 16)} AS qd2,
+             {_l2sq_sql('q.embedding', 'cbe', 49, 16)} AS qd3
+      FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 3
+    ),
+    scored AS (
+      SELECT l0.q_id, enc.vec_id,
+             round(l0.qd0 + l1.qd1 + l2.qd2 + l3.qd3, 6) AS adc_dist
+      FROM enc
+      JOIN lut l0 ON l0.code = enc.c0
+      JOIN lut l1 ON l1.q_id = l0.q_id AND l1.code = enc.c1
+      JOIN lut l2 ON l2.q_id = l0.q_id AND l2.code = enc.c2
+      JOIN lut l3 ON l3.q_id = l0.q_id AND l3.code = enc.c3
+      WHERE enc.vec_id <> l0.q_id
+    )
+    SELECT q_id, vec_id, adc_dist, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT q_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC): top-5 approximate neighbors for query vectors vec_id ∈ [0,3)
+    — the memory-compressed scale path that complements IVF cell pruning
+    (q_sim_ivf_topk) exactly as in the PQ literature (Jégou et al.,
+    TPAMI 2011): IVF prunes WHICH vectors are scored, PQ shrinks WHAT is
+    stored and scored per vector.
+
+    The 64-dim embedding splits into M=4 subspaces of 16 dims; each
+    subvector is ENCODED as the argmin-L2 code against an 8-entry
+    per-subspace codebook, so a corpus vector collapses to 4 small codes
+    (4 bytes instead of 256 — at 100 TB the encoded corpus fits in a
+    fraction of the footprint, and encoding is one linear broadcast-join
+    pass, shuffle-free). The codebook here is a deterministic corpus
+    sample (vec_id ∈ [8,16)) standing in for the k-means training step
+    (kmeans_lloyd above is the trainer at scale — sampling keeps the
+    oracle cross-engine reproducible). Queries are NOT quantized:
+    per query, a 8×4-entry LOOKUP TABLE of exact subspace distances is
+    built against the codebook (the "asymmetric" in ADC) and broadcast;
+    scoring a corpus vector is then 4 lookup joins + a fixed-order
+    4-term add — no per-pair vector math at all, which is the entire
+    point of PQ at scale. argmin parity: both engines fold the same
+    float64 expression tree bit-for-bit, and the code choice is a
+    min(struct(dist, code)) — commutative, tiebreak code asc — so the
+    assignments hash identically.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    cb = emb.where(F.col("vec_id").between(8, 15)).select(
+        (F.col("vec_id") - 8).alias("code"), F.col("embedding").alias("cbe")
+    )
+    starts = [1 + m * _PQ_SUB for m in range(_PQ_M)]
+    enc = (
+        emb.crossJoin(F.broadcast(cb))
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.min(
+                    F.struct(
+                        _l2sq_spark("embedding", "cbe", s, _PQ_SUB).alias("d"),
+                        F.col("code").alias("c"),
+                    )
+                )["c"].alias(f"c{m}")
+                for m, s in enumerate(starts)
+            ]
+        )
+    )
+    lut = (
+        emb.where(F.col("vec_id") < 3)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "code",
+            *[
+                _l2sq_spark("embedding", "cbe", s, _PQ_SUB).alias(f"qd{m}")
+                for m, s in enumerate(starts)
+            ],
+        )
+    )
+    scored = enc.join(
+        F.broadcast(lut.select("q_id", F.col("code").alias("c0"), "qd0")), "c0"
+    )
+    for m in range(1, _PQ_M):
+        scored = scored.join(
+            F.broadcast(
+                lut.select("q_id", F.col("code").alias(f"c{m}"), f"qd{m}")
+            ),
+            ["q_id", f"c{m}"],
+        )
+    scored = scored.where(F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        F.round(
+            F.col("qd0") + F.col("qd1") + F.col("qd2") + F.col("qd3"), 6
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .withColumn("rn", F.col("rn").cast("long"))
+        .select("q_id", "vec_id", "adc_dist", "rn")
+    )

@@ -835,3 +835,69 @@ def bigram_logprob_for(d: DataFrame) -> DataFrame:
             F.round(F.sum(lp) / F.count("*"), 6).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "q_text_hashtf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id,
+             CASE WHEN substring(md5(tok), 1, 1) BETWEEN 'a' AND 'f'
+                  THEN ascii(substring(md5(tok), 1, 1)) - 87
+                  ELSE ascii(substring(md5(tok), 1, 1)) - 48 END AS b
+      FROM tok
+    )
+    SELECT doc_id,
+           concat_ws(',',
+            count(CASE WHEN b = 0 THEN 1 END),  count(CASE WHEN b = 1 THEN 1 END),
+            count(CASE WHEN b = 2 THEN 1 END),  count(CASE WHEN b = 3 THEN 1 END),
+            count(CASE WHEN b = 4 THEN 1 END),  count(CASE WHEN b = 5 THEN 1 END),
+            count(CASE WHEN b = 6 THEN 1 END),  count(CASE WHEN b = 7 THEN 1 END),
+            count(CASE WHEN b = 8 THEN 1 END),  count(CASE WHEN b = 9 THEN 1 END),
+            count(CASE WHEN b = 10 THEN 1 END), count(CASE WHEN b = 11 THEN 1 END),
+            count(CASE WHEN b = 12 THEN 1 END), count(CASE WHEN b = 13 THEN 1 END),
+            count(CASE WHEN b = 14 THEN 1 END), count(CASE WHEN b = 15 THEN 1 END)
+           ) AS tf_hashed,
+           count(*) AS n_tokens
+    FROM bucketed GROUP BY doc_id
+    """,
+)
+def q_text_hashtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick"): each document becomes a
+    fixed-width 16-bucket term-frequency vector with bucket =
+    hash(token) — the vocabulary-free featurizer that feeds linear
+    classifiers/regressors at corpus scale, where a fitted vocabulary
+    (q_text_tfidf's document-frequency join) would itself be a giant
+    shuffle + dictionary to ship.
+
+    Bucket assignment is the first hex digit of md5(token) (16 buckets
+    exactly) — the repo's cross-engine stable hash bridge (cf.
+    q_sample_hash), since native hash() differs across engines. The
+    aggregation is ONE groupBy(doc_id) with 16 conditional counts
+    assembled into the (comma-joined — driver canonicalizer takes
+    scalars only) vector engine-side — no pivot, no per-bucket
+    join, no second pass for zero-fill; partial aggregation combines
+    map-side so the single shuffle carries 16 longs per doc. Widening
+    to 2^18 buckets at scale swaps the conditional-count fan-out for a
+    (doc_id, bucket) groupBy + engine-side sparse assembly
+    (collect_list of (bucket, count) structs) — same single-shuffle
+    plan shape.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    hexd = F.substring(F.md5("tok"), 1, 1)
+    b = F.when(
+        hexd.between("a", "f"), F.ascii(hexd) - 87
+    ).otherwise(F.ascii(hexd) - 48)
+    g = tok.withColumn("b", b).groupBy("doc_id").agg(
+        *[F.count(F.when(F.col("b") == k, 1)).alias(f"h{k}") for k in range(16)],
+        F.count("*").alias("n_tokens"),
+    )
+    return g.select(
+        "doc_id",
+        F.concat_ws(",", *[f"h{k}" for k in range(16)]).alias("tf_hashed"),
+        "n_tokens",
+    )

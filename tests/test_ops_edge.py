@@ -237,3 +237,22 @@ def test_connected_components_unconverged_raises(spark):
     chain = [(i, i + 1) for i in range(40)]
     with pytest.raises(RuntimeError, match="did not converge"):
         _connected_components(_edges_df(spark, chain), max_rounds=1)
+
+
+def test_hll_sketch_merge_tracks_exact_counts(spark):
+    """The per-source HLL estimates and the union-merged estimate must
+    land within HLL error (<2% at lgK default 12; exact at fixture
+    cardinalities well below 2^12) of the true distinct counts — and the
+    merged row must equal the estimate over the un-sharded corpus,
+    pinning the partial-merge property q_agg_sketch_merge advertises."""
+    from data_pipeline_etl_spark.operators.aggregates import q_agg_sketch_merge
+    from data_pipeline_etl_spark.sources.tables import table
+    from tests.conftest import SF_DIR
+
+    got = {r["source"]: r["approx_docs"] for r in q_agg_sketch_merge(spark, SF_DIR).collect()}
+    d = table(spark, SF_DIR, "documents")
+    exact = {r["source"]: r["n"] for r in d.groupBy("source").agg(F.countDistinct("doc_id").alias("n")).collect()}
+    exact["__all__"] = d.select("doc_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(1, int(0.02 * n)), (k, got[k], n)
