@@ -713,6 +713,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = edges.select(F.col("a").alias("part_a"), F.col("b").alias("part_b"))
     e2 = edges.select(F.col("a").alias("part_b"), F.col("b").alias("part_c"))
     e3 = edges.select(F.col("a").alias("part_a"), F.col("b").alias("part_c"))
-    return e1.join(e2, "part_b").join(e3, ["part_a", "part_c"]).select(
-        "part_a", "part_b", "part_c"
+    # The sparsified edge frame is ~2N rows of two longs — broadcast for
+    # the wedge extension and the closing-edge probe (no shuffle after
+    # the pair build). Past the broadcast threshold (billions of nodes)
+    # drop the hints: both joins key on a single column, so bucketing
+    # edges by each endpoint gives the shuffle-free SMJ layout instead.
+    return (
+        e1.join(F.broadcast(e2), "part_b")
+        .join(F.broadcast(e3), ["part_a", "part_c"])
+        .select("part_a", "part_b", "part_c")
     )
