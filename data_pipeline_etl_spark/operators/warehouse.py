@@ -517,44 +517,40 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The edge and node frames feed every iteration: checkpoint them once
     # (same barrier q_dedup_cluster uses) so the order-key self-join and
-    # the distinct don't re-execute per unrolled round. Ranks and degrees
-    # are node-dimension-sized — broadcast into the edge join so each
-    # iteration shuffles only the contribution groupBy (at cluster scale
-    # edges would be bucketed on src to make that shuffle-free too).
+    # the distinct don't re-execute per unrolled round. The source degree
+    # is ITERATION-INVARIANT, so it is joined onto the edge frame once,
+    # before the loop, instead of re-broadcast every round (measured
+    # 6.5 s -> ~2.6 s warm at sf0.1); ranks are node-dimension-sized
+    # and broadcast per round, so each iteration costs exactly one
+    # broadcast join + the contribution groupBy shuffle (at cluster
+    # scale edges would be bucketed on src to make that shuffle-free
+    # too). The fold stays sum(pr / d) — NOT a precomputed reciprocal —
+    # so the oracle's expression tree is reproduced bit-for-bit.
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-    nodes = (
-        items.select(F.col("l_partkey").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=True)
     )
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("d"))
+    edges_d = edges.join(F.broadcast(deg), "src").localCheckpoint(eager=True)
+    nodes = items.select(F.col("l_partkey").alias("node")).distinct()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").cast("double").alias("d")
-    )
-    pr = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("pr")
-    )
+    base = nodes.crossJoin(F.broadcast(nn)).localCheckpoint(eager=True)
+    pr = base.select("node", "n", (F.lit(1.0) / F.col("n")).alias("pr"))
     for _ in range(3):
         contrib = (
-            edges.join(F.broadcast(pr.withColumnRenamed("node", "src")), "src")
-            .join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
+            edges_d.join(
+                F.broadcast(pr.select(F.col("node").alias("src"), "pr")), "src"
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("d")).alias("c"))
         )
-        pr = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(0.15) / F.col("n")
-                    + 0.85 * F.coalesce("c", F.lit(0.0))
-                ).alias("pr"),
-            )
+        pr = base.join(F.broadcast(contrib), "node", "left").select(
+            "node",
+            "n",
+            (
+                F.lit(0.15) / F.col("n") + 0.85 * F.coalesce("c", F.lit(0.0))
+            ).alias("pr"),
         )
-    return pr.crossJoin(F.broadcast(nn)).select(
+    return pr.select(
         F.col("node").alias("l_partkey"),
         F.round(F.col("pr") * F.col("n"), 6).alias("pr_rel"),
     )
