@@ -1303,3 +1303,201 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.col("rn").cast("long"))
         .select("q_id", "vec_id", "adc_dist", "rn")
     )
+
+
+
+
+_COS_RAW_SQL = (
+    f"({_dot_sql('qe', 'ce')} / "
+    f"(sqrt({_dot_sql('qe', 'qe')}) * sqrt({_dot_sql('ce', 'ce')})))"
+)
+
+
+@query(
+    "q_sim_mmr",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 2
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id, c.embedding AS ce, q.qe,
+             {_COS_RAW_SQL} AS rel
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.q_id
+    ),
+    cand AS (
+      SELECT q_id, vec_id, ce, rel FROM (
+        SELECT q_id, vec_id, ce, rel,
+               row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 10
+    ),
+    pairsim AS (
+      SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
+             {_dot_sql('a.ce', 'b.ce')} /
+               (sqrt({_dot_sql('a.ce', 'a.ce')}) * sqrt({_dot_sql('b.ce', 'b.ce')})) AS sim
+      FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+      SELECT q_id, vec_id, 0.7 * rel AS mmr_raw FROM (
+        SELECT q_id, vec_id, rel,
+               row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    step2 AS (
+      SELECT c.q_id, c.vec_id,
+             0.7 * c.rel - 0.3 * p1.sim AS mmr_raw
+      FROM cand c
+      JOIN s1 ON s1.q_id = c.q_id AND c.vec_id <> s1.vec_id
+      JOIN pairsim p1 ON p1.q_id = c.q_id AND p1.va = c.vec_id AND p1.vb = s1.vec_id
+    ),
+    s2 AS (
+      SELECT q_id, vec_id, mmr_raw FROM (
+        SELECT q_id, vec_id, mmr_raw,
+               row_number() OVER (PARTITION BY q_id ORDER BY mmr_raw DESC, vec_id) AS rn
+        FROM step2
+      ) WHERE rn = 1
+    ),
+    step3 AS (
+      SELECT c.q_id, c.vec_id,
+             0.7 * c.rel - 0.3 * greatest(p1.sim, p2.sim) AS mmr_raw
+      FROM cand c
+      JOIN s1 ON s1.q_id = c.q_id AND c.vec_id <> s1.vec_id
+      JOIN s2 ON s2.q_id = c.q_id AND c.vec_id <> s2.vec_id
+      JOIN pairsim p1 ON p1.q_id = c.q_id AND p1.va = c.vec_id AND p1.vb = s1.vec_id
+      JOIN pairsim p2 ON p2.q_id = c.q_id AND p2.va = c.vec_id AND p2.vb = s2.vec_id
+    ),
+    s3 AS (
+      SELECT q_id, vec_id, mmr_raw FROM (
+        SELECT q_id, vec_id, mmr_raw,
+               row_number() OVER (PARTITION BY q_id ORDER BY mmr_raw DESC, vec_id) AS rn
+        FROM step3
+      ) WHERE rn = 1
+    )
+    SELECT q_id, vec_id, round(mmr_raw, 6) AS mmr_score, CAST(1 AS BIGINT) AS sel_rank FROM s1
+    UNION ALL
+    SELECT q_id, vec_id, round(mmr_raw, 6) AS mmr_score, CAST(2 AS BIGINT) AS sel_rank FROM s2
+    UNION ALL
+    SELECT q_id, vec_id, round(mmr_raw, 6) AS mmr_score, CAST(3 AS BIGINT) AS sel_rank FROM s3
+    """,
+)
+def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal marginal relevance (Carbonell & Goldstein 1998): pick 3
+    results per query that are RELEVANT but mutually DIVERSE —
+    mmr(c) = 0.7·rel(c) − 0.3·max_{s∈selected} sim(c, s) — the
+    retrieval-diversification step between raw top-k (q_sim_cosine_topk)
+    and result presentation, and the dedup-at-serving-time counterpart
+    of q_dedup_semantic.
+
+    MMR is inherently sequential (each pick changes the next argmax),
+    which no single window pass expresses; like q_graph_pagerank the
+    k=3 selection is UNROLLED into per-step argmax frames. Everything
+    after the corpus pass is candidate-sized: the top-10 shortlist per
+    query comes from one brute-force scored window (identical plan to
+    q_sim_cosine_topk — at scale swap in the IVF/PQ shortlist), the
+    10×10 pairwise-similarity frame joins shortlist-to-shortlist within
+    q_id, and each unrolled step is an argmax window over ≤10 rows.
+
+    Parity discipline: every rel/sim/score stays UNROUNDED (the float64
+    folds are bit-identical cross-engine) through ALL comparisons and
+    argmaxes; rounding to 6 dp happens exactly once, on output. Rounding
+    intermediates instead puts products like 0.7·rel on 1e-6 half-way
+    boundaries where Spark (HALF_UP) and DuckDB disagree — the first
+    draft of this query failed parity at exactly such a boundary
+    (0.2600395 → 0.26004 vs 0.260039).
+    """
+    base = _normed(spark, sf_dir)
+    q = base.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cand_all = (
+        base.select("vec_id", F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "ce",
+            "cn",
+            (dot64("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        cand_all.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "ce", "cn", "rel")
+        .localCheckpoint(eager=True)  # shortlist: reused by 5 downstream frames
+    )
+    a = cand.select(
+        "q_id", F.col("vec_id").alias("va"), F.col("ce").alias("ae"), F.col("cn").alias("an")
+    )
+    b = cand.select(
+        "q_id", F.col("vec_id").alias("vb"), F.col("ce").alias("be"), F.col("cn").alias("bn")
+    )
+    pairsim = (
+        a.join(b, "q_id")
+        .where(F.col("va") != F.col("vb"))
+        .select(
+            "q_id",
+            "va",
+            "vb",
+            (dot64("ae", "be") / (F.col("an") * F.col("bn"))).alias("sim"),
+        )
+    )
+
+    def argmax(df, score_col):
+        ww = Window.partitionBy("q_id").orderBy(F.desc(score_col), F.asc("vec_id"))
+        return (
+            df.withColumn("_r", F.row_number().over(ww))
+            .where(F.col("_r") == 1)
+            .select("q_id", "vec_id", score_col)
+        )
+
+    s1 = argmax(
+        cand.select("q_id", "vec_id", "rel", (0.7 * F.col("rel")).alias("mmr_raw")),
+        "mmr_raw",
+    )
+    p1 = pairsim.select(
+        "q_id", F.col("va").alias("vec_id"), F.col("vb").alias("v1"), F.col("sim").alias("sim1")
+    )
+    step2 = (
+        cand.join(F.broadcast(s1.select("q_id", F.col("vec_id").alias("v1"))), "q_id")
+        .where(F.col("vec_id") != F.col("v1"))
+        .join(p1, ["q_id", "vec_id", "v1"])
+        .select(
+            "q_id",
+            "vec_id",
+            (0.7 * F.col("rel") - 0.3 * F.col("sim1")).alias("mmr_raw"),
+        )
+    )
+    s2 = argmax(step2, "mmr_raw")
+    p2 = pairsim.select(
+        "q_id", F.col("va").alias("vec_id"), F.col("vb").alias("v2"), F.col("sim").alias("sim2")
+    )
+    step3 = (
+        cand.join(F.broadcast(s1.select("q_id", F.col("vec_id").alias("v1"))), "q_id")
+        .join(F.broadcast(s2.select("q_id", F.col("vec_id").alias("v2"))), "q_id")
+        .where((F.col("vec_id") != F.col("v1")) & (F.col("vec_id") != F.col("v2")))
+        .join(p1, ["q_id", "vec_id", "v1"])
+        .join(p2, ["q_id", "vec_id", "v2"])
+        .select(
+            "q_id",
+            "vec_id",
+            (0.7 * F.col("rel") - 0.3 * F.greatest("sim1", "sim2")).alias("mmr_raw"),
+        )
+    )
+    s3 = argmax(step3, "mmr_raw")
+
+    def out(df, rank):
+        return df.select(
+            "q_id",
+            "vec_id",
+            F.round("mmr_raw", 6).alias("mmr_score"),
+            F.lit(rank).cast("long").alias("sel_rank"),
+        )
+
+    return out(s1, 1).unionByName(out(s2, 2)).unionByName(out(s3, 3))

@@ -719,3 +719,78 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(e3), ["part_a", "part_c"])
         .select("part_a", "part_b", "part_c")
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             max(struct_pack(ts := ts, event_id := event_id,
+                             event_type := event_type, value := value)) AS st
+      FROM events WHERE ts < TIMESTAMP '2024-01-24 00:00:00'
+      GROUP BY user_id
+    ),
+    batch AS (
+      SELECT user_id,
+             max(struct_pack(ts := ts, event_id := event_id,
+                             event_type := event_type, value := value)) AS st
+      FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+      GROUP BY user_id
+    )
+    SELECT coalesce(b.user_id, u.user_id) AS user_id,
+           CASE WHEN u.user_id IS NULL THEN 'keep'
+                WHEN b.user_id IS NULL THEN 'insert'
+                ELSE 'update' END AS op,
+           CASE WHEN u.user_id IS NULL THEN (b.st).ts ELSE (u.st).ts END AS ts,
+           CASE WHEN u.user_id IS NULL THEN (b.st).event_type
+                ELSE (u.st).event_type END AS event_type,
+           CASE WHEN u.user_id IS NULL THEN (b.st).value
+                ELSE (u.st).value END AS value
+    FROM base b FULL JOIN batch u ON b.user_id = u.user_id
+    WHERE u.user_id IS NULL OR (u.st).event_type <> 'error'
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: apply a compacted
+    change batch to a base state table in one pass — WHEN MATCHED THEN
+    UPDATE, WHEN NOT MATCHED THEN INSERT, WHEN MATCHED AND tombstone
+    THEN DELETE — the nightly upsert a Delta/Hudi/Iceberg MERGE runs,
+    expressed engine-side so it works on plain parquet (q_snapshot_diff
+    derives a changelog FROM two states; this applies one TO a state;
+    q_cdc_compact collapses the raw log the batch comes from).
+
+    Base = latest state per user before the 2024-01-24 cutoff; batch =
+    latest event per user after it, with 'error'-latest acting as the
+    tombstone (dropping the user even if the base had state — the
+    resurrect-after-delete hazard q_cdc_compact documents). Both sides
+    compact via the map-side-combining max(struct) aggregate, so the
+    single full-outer shuffle join carries one row per live key per
+    side, not the event log; at table scale base and batch are bucketed
+    on the merge key and the join is shuffle-free (the same
+    storage-partitioned layout q_snapshot_diff relies on). The output
+    op column ('keep'/'insert'/'update') is the MERGE audit trail.
+    """
+    e = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-24 00:00:00").cast("timestamp_ntz")
+    st = F.max(F.struct("ts", "event_id", "event_type", "value")).alias("st")
+    base = e.where(F.col("ts") < cutoff).groupBy("user_id").agg(st)
+    batch = e.where(F.col("ts") >= cutoff).groupBy("user_id").agg(st)
+    b = base.select(F.col("user_id").alias("bk"), F.col("st").alias("bst"))
+    u = batch.select(F.col("user_id").alias("uk"), F.col("st").alias("ust"))
+    merged = b.join(u, b.bk == u.uk, "full_outer")
+    upd = F.col("uk").isNotNull()
+    return merged.where(
+        F.col("uk").isNull() | (F.col("ust.event_type") != "error")
+    ).select(
+        F.coalesce("uk", "bk").alias("user_id"),
+        F.when(F.col("uk").isNull(), "keep")
+        .when(F.col("bk").isNull(), "insert")
+        .otherwise("update")
+        .alias("op"),
+        F.when(upd, F.col("ust.ts")).otherwise(F.col("bst.ts")).alias("ts"),
+        F.when(upd, F.col("ust.event_type"))
+        .otherwise(F.col("bst.event_type"))
+        .alias("event_type"),
+        F.when(upd, F.col("ust.value")).otherwise(F.col("bst.value")).alias("value"),
+    )
