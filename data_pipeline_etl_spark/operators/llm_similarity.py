@@ -1181,6 +1181,30 @@ def _l2sq_sql(a: str, b: str, start: int, sub: int) -> str:
 _PQ_M, _PQ_SUB = 4, 16  # 64-dim embedding -> 4 subspaces x 16 dims
 
 
+def pq_codes_for(emb: DataFrame, cb: DataFrame) -> DataFrame:
+    """PQ-encode a corpus frame against a codebook frame (code, cbe):
+    one broadcast cross join + one aggregate with _PQ_M commutative
+    min(struct(dist, code)) argmins -> (vec_id, c0.._c3). Frame-
+    parameterized so the scaling probe measures the declared encode
+    plan (CLAUDE.md probe-helper convention)."""
+    starts = [1 + m * _PQ_SUB for m in range(_PQ_M)]
+    return (
+        emb.crossJoin(F.broadcast(cb))
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.min(
+                    F.struct(
+                        _l2sq_spark("embedding", "cbe", s, _PQ_SUB).alias("d"),
+                        F.col("code").alias("c"),
+                    )
+                )["c"].alias(f"c{m}")
+                for m, s in enumerate(starts)
+            ]
+        )
+    )
+
+
 @query(
     "q_sim_pq_adc",
     oracle=f"""
@@ -1252,21 +1276,7 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") - 8).alias("code"), F.col("embedding").alias("cbe")
     )
     starts = [1 + m * _PQ_SUB for m in range(_PQ_M)]
-    enc = (
-        emb.crossJoin(F.broadcast(cb))
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.min(
-                    F.struct(
-                        _l2sq_spark("embedding", "cbe", s, _PQ_SUB).alias("d"),
-                        F.col("code").alias("c"),
-                    )
-                )["c"].alias(f"c{m}")
-                for m, s in enumerate(starts)
-            ]
-        )
-    )
+    enc = pq_codes_for(emb, cb)
     lut = (
         emb.where(F.col("vec_id") < 3)
         .crossJoin(F.broadcast(cb))

@@ -207,6 +207,21 @@ def main() -> int:
             F.round(F.sum(F.abs("cov")), 6).alias("abs_mass"),
         )
 
+    def pqenc(edf):
+        # corpus-side PQ encode (the at-scale cost of q_sim_pq_adc; the
+        # ADC scoring joins are shortlist-sized). Codebook = the declared
+        # query's fixed sample ids, present at every factor because
+        # replication preserves original vec_ids.
+        from data_pipeline_etl_spark.operators.llm_similarity import pq_codes_for
+
+        cb = edf.where(F.col("vec_id").between(8, 15)).select(
+            (F.col("vec_id") - 8).alias("code"), F.col("embedding").alias("cbe")
+        )
+        return pq_codes_for(edf, cb).agg(
+            F.count("*").alias("n_vecs"),
+            F.countDistinct("c0", "c1", "c2", "c3").alias("n_code_combos"),
+        )
+
     cases = {
         "q1_groupby": lambda L, O, E, D: q1(L),
         "join_agg": lambda L, O, E, D: join_agg(L, O),
@@ -215,6 +230,7 @@ def main() -> int:
         "substr_spans": lambda L, O, E, D: substr(D),
         "cov_matrix": lambda L, O, E, D: covm(E),
         "bigram_lm": lambda L, O, E, D: bigram(D),
+        "pq_encode": lambda L, O, E, D: pqenc(E),
     }
 
     def scaled_rows(factor):
