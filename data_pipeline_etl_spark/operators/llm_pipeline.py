@@ -822,3 +822,54 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("attributed_revenue"),
         )
     )
+
+
+@query(
+    "q_sample_balanced",
+    oracle="""
+    WITH counts AS (
+      SELECT label, count(*) AS n FROM embeddings GROUP BY label
+    ),
+    m AS (SELECT min(n) AS m FROM counts),
+    ranked AS (
+      SELECT label, vec_id,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM embeddings
+    )
+    SELECT label, vec_id, CAST(rn AS BIGINT) AS rn
+    FROM ranked CROSS JOIN m WHERE rn <= m.m
+    """,
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-count rows — the de-skewing step before training a
+    classifier on an imbalanced corpus (the label-conditional sibling
+    of q_sample_stratified's rate sampling and q_sample_hash's global
+    cut).
+
+    Row choice is a deterministic hash order (md5 of the key, vec_id
+    tiebreak), NOT rand(): reproducible across runs, retries, engines —
+    the property every sampling op in this repo guarantees. The floor
+    count is a one-row broadcast from the |labels|-sized count frame;
+    selection is one row_number window per label (single shuffle on the
+    label key). Skew note for 100 TB: the window sorts each label
+    partition, so a dominant class pays |class|·log — if that bites,
+    pre-filter with an md5-prefix range to ~2× the floor before ranking
+    (the hash order makes the pre-cut consistent with the final cut),
+    then rank only the survivors.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    counts = e.groupBy("label").agg(F.count("*").alias("n"))
+    m = counts.agg(F.min("n").alias("m"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        e.select("label", "vec_id", F.row_number().over(w).alias("rn"))
+        .crossJoin(F.broadcast(m))
+        .where(F.col("rn") <= F.col("m"))
+        .select("label", "vec_id", F.col("rn").cast("long").alias("rn"))
+    )

@@ -901,3 +901,102 @@ def q_text_hashtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", *[f"h{k}" for k in range(16)]).alias("tf_hashed"),
         "n_tokens",
     )
+
+
+@query(
+    "q_text_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT t[g.i] AS a, t[g.i + 1] AS b
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      UNION ALL
+      SELECT t[g.i] AS a, t[g.i + 2] AS b
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+    ),
+    cnt AS (SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY a, b),
+    np AS (SELECT CAST(count(*) AS DOUBLE) AS np FROM pairs),
+    uni AS (
+      SELECT tok, count(*) AS n_w
+      FROM (SELECT unnest(t) AS tok FROM toks)
+      GROUP BY tok
+    ),
+    nt AS (SELECT CAST(sum(n_w) AS DOUBLE) AS nt FROM uni)
+    SELECT cnt.a, cnt.b, n_ab,
+           round(ln((CAST(n_ab AS DOUBLE) / np)
+                    / ((CAST(ua.n_w AS DOUBLE) / nt)
+                       * (CAST(ub.n_w AS DOUBLE) / nt))), 6) AS pmi
+    FROM cnt
+    JOIN uni ua ON ua.tok = cnt.a
+    JOIN uni ub ON ub.tok = cnt.b
+    CROSS JOIN np CROSS JOIN nt
+    WHERE n_ab >= 5
+    """,
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over ±2-position skip-grams —
+    pmi(a,b) = ln(p(a,b) / (p(a)·p(b))) — the word-association statistic
+    that seeds collocation lists, phrase mining, and embedding-era
+    co-occurrence matrices (it is the implicit objective SGNS
+    factorizes, Levy & Goldberg 2014).
+
+    Context pairs are generated MAP-SIDE from the token array (two
+    element_at index sequences, distance 1 and 2 — the
+    q_text_bigram_logprob idiom; no posexplode + window shuffle just to
+    pair neighbors). The model is three bounded aggregates — pair
+    counts, unigram counts, and the two scalar totals — joined back
+    unhinted (a corpus-scale pair vocabulary must be free to
+    shuffle-join; AQE broadcasts while it fits, and the scalar totals
+    ride as explicit one-row broadcasts). The n_ab >= 5 support floor
+    is the standard collocation cut, and it bounds output to the
+    frequent-pair vocabulary. The pmi expression is mirrored
+    cast-for-cast so both engines fold identical doubles before the
+    single 6 dp output round.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "flatten(array("
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b)) "
+                "ELSE array() END, "
+                "CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t) - 2), "
+                "i -> struct(element_at(t, i) AS a, element_at(t, i + 2) AS b)) "
+                "ELSE array() END))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    cnt = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    np_ = pairs.agg(F.count("*").cast("double").alias("np"))
+    uni = toks.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("n_w")
+    )
+    nt = uni.agg(F.sum("n_w").cast("double").alias("nt"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("n_w").alias("n_b"))
+    return (
+        cnt.where(F.col("n_ab") >= 5)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") / F.col("np"))
+                    / (
+                        (F.col("n_a").cast("double") / F.col("nt"))
+                        * (F.col("n_b").cast("double") / F.col("nt"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
