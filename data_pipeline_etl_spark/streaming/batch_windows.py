@@ -1136,3 +1136,41 @@ def q_time_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("num") / F.lit(3.2391749169999997), 6).alias("ewma10"),
         )
     )
+
+
+@query(
+    "q_stream_topk_live",
+    oracle="""
+    SELECT user_id, n, total FROM (
+      SELECT user_id, count(*) AS n, round(sum(value), 4) AS total
+      FROM events GROUP BY user_id
+    ) ORDER BY total DESC, user_id LIMIT 10
+    """,
+)
+def q_stream_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live leaderboard — the ninth live-execution contract: a REAL
+    Structured Streaming job maintaining the global top-10 users by
+    accumulated value, re-emitted complete each micro-batch.
+
+    Sort + LIMIT on a streaming DataFrame is legal ONLY in complete
+    mode after an aggregation (append/update would need to retract
+    rows that fall out of the top-k) — this query exercises exactly
+    that capability edge, which none of the other eight live contracts
+    touch. State is |users| aggregate rows; the sort runs over the
+    aggregate result, not the stream. The tiebreak (total DESC,
+    user_id) makes the emitted set deterministic, and the 4 dp rounding
+    happens BEFORE the sort on both engines so the cut line is the
+    same rounded value cross-engine.
+    """
+    from data_pipeline_etl_spark.streaming.jobs import run_to_memory_sink
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .orderBy(F.desc("total"), "user_id")
+        .limit(10)
+    )
+    qname = f"mem_topk_live_{next(_MEM_SINK_SEQ)}"
+    run_to_memory_sink(agg, qname, output_mode="complete")
+    return spark.table(qname)
