@@ -569,3 +569,102 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("approx_docs")
     ).select(F.lit("__all__").alias("source"), "approx_docs")
     return per_src.unionByName(merged)
+
+
+_CMS_HEX = (
+    "CASE WHEN substring(md5({x}), 1, 1) BETWEEN 'a' AND 'f' "
+    "THEN ascii(substring(md5({x}), 1, 1)) - 87 "
+    "ELSE ascii(substring(md5({x}), 1, 1)) - 48 END"
+)
+
+
+@query(
+    "q_agg_countmin",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT tok,
+             {_CMS_HEX.format(x="tok")} AS b0,
+             {_CMS_HEX.format(x="concat('s1', tok)")} AS b1
+      FROM tok
+    ),
+    cells0 AS (SELECT b0, count(*) AS c0 FROM hashed GROUP BY b0),
+    cells1 AS (SELECT b1, count(*) AS c1 FROM hashed GROUP BY b1),
+    truth AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+    top5 AS (
+      SELECT tok, n FROM (
+        SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rn
+        FROM truth
+      ) WHERE rn <= 5
+    )
+    SELECT t.tok, t.n,
+           least(c.c0, d.c1) AS cms_est,
+           least(c.c0, d.c1) - t.n AS overcount
+    FROM top5 t
+    JOIN cells0 c ON c.b0 = {_CMS_HEX.format(x="t.tok")}
+    JOIN cells1 d ON d.b1 = {_CMS_HEX.format(x="concat('s1', t.tok)")}
+    """,
+)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) built as a plan:
+    d=2 hash rows × w=16 buckets of token counts, probed for the top-5
+    true heavy hitters — estimate = min over rows, always ≥ truth
+    (pinned by the non-negative overcount column). The mergeable
+    heavy-hitter sketch complementing HLL's distinct counting
+    (q_agg_sketch_merge): at 100 TB every partition's 2×16 cell grid
+    sums cell-wise into the global sketch, so frequency estimates for
+    ANY later-chosen key need the raw data exactly zero more times.
+
+    Each hash row is one groupBy over the token stream (map-side
+    combinable, 16-row output); probing is a broadcast join of the
+    32-cell grid onto the probe keys. Hash = first md5 hex digit with
+    a per-row salt — the repo's cross-engine bucket bridge, giving
+    DuckDB the bit-identical grid. Fixture-scale w=16 makes collisions
+    (and thus visible overcounts) certain, which is the property the
+    oracle exercises; production widths (w=2^16) shrink error to
+    2/w·N with the same plan.
+    """
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = d.select(F.explode(F.split("text", " ")).alias("tok"))
+
+    def hexbucket(col):
+        h = F.substring(F.md5(col), 1, 1)
+        return F.when(h.between("a", "f"), F.ascii(h) - 87).otherwise(
+            F.ascii(h) - 48
+        )
+
+    hashed = tok.select(
+        "tok",
+        hexbucket(F.col("tok")).alias("b0"),
+        hexbucket(F.concat(F.lit("s1"), F.col("tok"))).alias("b1"),
+    )
+    cells0 = hashed.groupBy("b0").agg(F.count("*").alias("c0"))
+    cells1 = hashed.groupBy("b1").agg(F.count("*").alias("c1"))
+    truth = tok.groupBy("tok").agg(F.count("*").alias("n"))
+    top5 = (
+        truth.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("n"), "tok"))
+        )
+        .where(F.col("rn") <= 5)
+        .select("tok", "n")
+    )
+    probe = top5.select(
+        "tok",
+        "n",
+        hexbucket(F.col("tok")).alias("b0"),
+        hexbucket(F.concat(F.lit("s1"), F.col("tok"))).alias("b1"),
+    )
+    return (
+        probe.join(F.broadcast(cells0), "b0")
+        .join(F.broadcast(cells1), "b1")
+        .select(
+            "tok",
+            "n",
+            F.least("c0", "c1").alias("cms_est"),
+            (F.least("c0", "c1") - F.col("n")).alias("overcount"),
+        )
+    )

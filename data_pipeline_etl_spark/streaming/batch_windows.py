@@ -1174,3 +1174,106 @@ def q_stream_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"mem_topk_live_{next(_MEM_SINK_SEQ)}"
     run_to_memory_sink(agg, qname, output_mode="complete")
     return spark.table(qname)
+
+
+@query(
+    "q_time_changepoint",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 10000) AS BIGINT) AS v
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             sum(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(v) OVER (PARTITION BY user_id) AS total
+      FROM q
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    shifts AS (
+      SELECT user_id, ts, rn, CAST(n AS BIGINT) AS n,
+             abs(CAST(cum AS DOUBLE) / CAST(rn AS DOUBLE)
+                 - CAST(total - cum AS DOUBLE) / CAST(n - rn AS DOUBLE))
+               AS shift
+      FROM s
+      WHERE n >= 20 AND rn >= 5 AND rn <= n - 5
+    )
+    SELECT user_id, ts AS split_ts, n,
+           round(shift / 10000.0, 6) AS mean_shift
+    FROM (
+      SELECT user_id, ts, n, shift,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY shift DESC, rn) AS pick
+      FROM shifts
+    ) WHERE pick = 1
+    """,
+)
+def q_time_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint screen per metric stream: the split position
+    maximizing |mean(prefix) − mean(suffix)| — the offline mean-shift
+    detector that flags level changes (deploys, pricing changes, sensor
+    drift) before heavier models run.
+
+    Parity discipline — learned the hard way: the first draft ran the
+    cumulative sum over raw doubles, assuming both engines fold the
+    running window sequentially; DuckDB evaluates window sums with a
+    SEGMENT TREE (pairwise order), so cumulative bits diverged and
+    argmaxes flipped at sf0.1. The detector therefore QUANTIZES to
+    1e-4 units with floor() first (floor of identical input bits is
+    identical — no rounding-mode hazard), making every running sum and
+    partition total EXACT integer arithmetic, order-free on any
+    engine; the split means are then integer-derived doubles,
+    bit-identical by construction (cf. q_agg_decimal_exact's
+    integer-cents convention).
+
+    Plan: one shuffle on user_id; prefix mean = cum/i and suffix mean
+    = (total−cum)/(n−i) come from a single running-sum pass — O(n)
+    splits, O(1) state per row. Min-segment-5 and n ≥ 20 floors keep
+    edge splits out; argmax is shift DESC, earliest-split tiebreak.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = q.select(
+        "user_id",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("v").over(Window.partitionBy("user_id")).alias("total"),
+    )
+    shifts = s.where(
+        (F.col("n") >= 20) & (F.col("rn") >= 5) & (F.col("rn") <= F.col("n") - 5)
+    ).select(
+        "user_id",
+        "ts",
+        "rn",
+        F.col("n").cast("long").alias("n"),
+        F.abs(
+            F.col("cum").cast("double") / F.col("rn").cast("double")
+            - (F.col("total") - F.col("cum")).cast("double")
+            / (F.col("n") - F.col("rn")).cast("double")
+        ).alias("shift"),
+    )
+    pick = Window.partitionBy("user_id").orderBy(F.desc("shift"), "rn")
+    return (
+        shifts.withColumn("pick", F.row_number().over(pick))
+        .where(F.col("pick") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("split_ts"),
+            "n",
+            F.round(F.col("shift") / 10000.0, 6).alias("mean_shift"),
+        )
+    )

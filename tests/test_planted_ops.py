@@ -257,3 +257,42 @@ def test_dedup_semantic_planted(spark, tmp_path):
     assert out[1].kept == 0 and out[1].rep_id == 0
     for v in (2, 3, 4):
         assert out[v].kept == 1, v
+
+
+def test_pq_adc_planted(spark, tmp_path):
+    """Constant-valued vectors make PQ hand-checkable: codebook ids 8..15
+    hold [0]*64 .. [7]*64, so a vector [v]*64 encodes to the nearest
+    integer code in EVERY subspace and ADC(q, x) = 4·16·(q−code(x))².
+    Query 0 = [1.2]*64 (nearest code 1); expected top-5 by (adc, vec_id):
+    code-1 vectors (cb vec 9, planted 100), then code-2 (cb 10, planted
+    101), then code-0 (cb 8). Same-code vectors tie EXACTLY (ADC depends
+    only on codes), pinning the vec_id tiebreak too.
+    """
+    rows = []
+    def put(vid, v, label=0):
+        rows.append((int(vid), [float(v)] * 64, int(label)))
+    put(0, 1.2)   # query 0
+    put(1, 6.7)   # query 1 (present, not asserted)
+    put(2, 3.3)   # query 2 (present, not asserted)
+    for k in range(8):
+        put(8 + k, k)  # codebook sample ids
+    put(100, 1.0)
+    put(101, 2.0)
+    put(102, 0.0)
+    put(103, 5.0)
+    sf = str(tmp_path / "planted_pq")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    out = [
+        (r["vec_id"], r["adc_dist"])
+        for r in QUERIES["q_sim_pq_adc"](spark, sf)
+        .where(F.col("q_id") == 0)
+        .orderBy("rn")
+        .collect()
+    ]
+    assert [v for v, _ in out] == [9, 100, 10, 101, 8]
+    d1 = round(4 * 16 * (1.2 - 1.0) ** 2, 6)
+    assert out[0][1] == out[1][1] == pytest.approx(d1, abs=1e-4)
+    assert out[0][1] == out[1][1]  # exact same-code tie
+    assert out[2][1] == out[3][1]  # code-2 tie
