@@ -214,3 +214,99 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").alias("n_contam"),
         F.round(F.count("hit") / F.count("*").cast("double"), 6).alias("contam_frac"),
     )
+
+
+@query(
+    "q_text_jsd",
+    oracle="""
+    WITH cnt AS (
+      SELECT source, tok, count(*) AS n
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY source, tok
+    ),
+    tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY source),
+    p AS (
+      SELECT cnt.source, tok, CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
+      FROM cnt JOIN tot ON cnt.source = tot.source
+    ),
+    h AS (
+      SELECT source, -sum(p * ln(p)) AS h FROM p GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    m AS (
+      SELECT pr.src_a, pr.src_b, p.tok, sum(p.p * 0.5) AS mp
+      FROM pairs pr
+      JOIN p ON p.source = pr.src_a OR p.source = pr.src_b
+      GROUP BY pr.src_a, pr.src_b, p.tok
+    ),
+    hm AS (
+      SELECT src_a, src_b, -sum(mp * ln(mp)) AS h_m
+      FROM m GROUP BY src_a, src_b
+    )
+    SELECT hm.src_a, hm.src_b,
+           round(h_m - 0.5 * ha.h - 0.5 * hb.h, 6) AS jsd
+    FROM hm
+    JOIN h ha ON ha.source = hm.src_a
+    JOIN h hb ON hb.source = hm.src_b
+    """,
+)
+def q_text_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between every pair of source token
+    distributions — the SYMMETRIC, always-finite drift measure
+    (bounded [0, ln 2]) that complements q_text_kl's directed
+    lang-vs-corpus form: pairwise JSD is what clusters corpus slices,
+    flags an off-distribution crawl batch, and weighs mixture rebalance
+    decisions.
+
+    Computed via the entropy identity JSD(P,Q) = H(M) − (H(P)+H(Q))/2
+    with M = (P+Q)/2, which needs NO per-pair full-outer vocabulary
+    join: the mixture frame is ONE join of the |vocab|-sized prob table
+    onto the |sources|² pair list plus a (pair, tok) re-aggregate —
+    absent-token terms contribute exactly their half-weight mass
+    through M and vanish from H(P)/H(Q), so the zero-handling that
+    plagues direct KL forms never arises. Everything after the single
+    corpus scan is vocabulary-scale; per-term probs are exact int64
+    ratios, and the three entropy sums follow the module's 6 dp
+    grouped-double-sum convention.
+    """
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("t"))
+    p = cnt.join(F.broadcast(tot), "source").select(
+        "source", "tok", (F.col("n").cast("double") / F.col("t").cast("double")).alias("p")
+    )
+    h = p.groupBy("source").agg((-F.sum(F.col("p") * F.log("p"))).alias("h"))
+    ta = tot.select(F.col("source").alias("src_a"))
+    tb = tot.select(F.col("source").alias("src_b"))
+    pairs = ta.crossJoin(tb).where(F.col("src_a") < F.col("src_b"))
+    m = (
+        p.join(
+            F.broadcast(pairs),
+            (F.col("source") == F.col("src_a")) | (F.col("source") == F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b", "tok")
+        .agg(F.sum(F.col("p") * 0.5).alias("mp"))
+    )
+    hm = m.groupBy("src_a", "src_b").agg(
+        (-F.sum(F.col("mp") * F.log("mp"))).alias("h_m")
+    )
+    ha = h.select(F.col("source").alias("src_a"), F.col("h").alias("ha"))
+    hb = h.select(F.col("source").alias("src_b"), F.col("h").alias("hb"))
+    return (
+        hm.join(F.broadcast(ha), "src_a")
+        .join(F.broadcast(hb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("h_m") - 0.5 * F.col("ha") - 0.5 * F.col("hb"), 6
+            ).alias("jsd"),
+        )
+    )

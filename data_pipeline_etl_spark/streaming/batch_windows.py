@@ -1277,3 +1277,49 @@ def q_time_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("shift") / 10000.0, 6).alias("mean_shift"),
         )
     )
+
+
+@query(
+    "q_time_autocorr",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(value, prev), 6) AS ac1
+    FROM lagged WHERE prev IS NOT NULL
+    GROUP BY user_id HAVING count(*) >= 20
+    """,
+)
+def q_time_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per metric stream — the one-number
+    persistence screen run before any forecasting: ac1 ≈ 0 says the
+    feed is noise (model the mean), ac1 → 1 says momentum (model the
+    delta), ac1 < 0 says oscillation/overcorrection.
+
+    One window pass pairs each value with its predecessor (same
+    partitioning the EWMA and changepoint screens use — at scale all
+    three share one shuffle of the metric table), then corr() — a
+    MERGEABLE moment aggregate (partial co-moments combine map-side,
+    same shape as q_agg_stats/q_corr_regr whose cross-engine equality
+    §2.1 #6 verified) — collapses each stream to one coefficient.
+    The n ≥ 20 floor drops streams too short for the estimate to mean
+    anything.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.corr("value", "prev"), 6).alias("ac1"),
+        )
+        .where(F.col("n_pairs") >= 20)
+    )
