@@ -873,3 +873,92 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.col("m"))
         .select("label", "vec_id", F.col("rn").cast("long").alias("rn"))
     )
+
+
+@query(
+    "q_pipeline_funnel",
+    oracle="""
+    WITH flags AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) >= 30 AS ok_quality,
+             lang IN ('en', 'de', 'fr') AS ok_lang,
+             md5(lower(trim(text))) AS digest
+      FROM documents
+    ),
+    agg AS (
+      SELECT count(*) AS n_raw,
+             count(CASE WHEN ok_quality THEN 1 END) AS n_quality,
+             count(CASE WHEN ok_quality AND ok_lang THEN 1 END) AS n_lang,
+             count(DISTINCT CASE WHEN ok_quality AND ok_lang
+                                 THEN digest END) AS n_dedup,
+             count(DISTINCT CASE WHEN ok_quality AND ok_lang
+                                 AND substring(digest, 1, 1) IN ('0','1','2','3')
+                                 THEN digest END) AS n_sample
+      FROM flags
+    )
+    SELECT 1 AS stage_no, 'raw' AS stage, n_raw AS n_rows,
+           round(n_raw / CAST(n_raw AS DOUBLE), 6) AS frac_of_raw FROM agg
+    UNION ALL
+    SELECT 2, 'quality', n_quality, round(n_quality / CAST(n_raw AS DOUBLE), 6) FROM agg
+    UNION ALL
+    SELECT 3, 'lang', n_lang, round(n_lang / CAST(n_raw AS DOUBLE), 6) FROM agg
+    UNION ALL
+    SELECT 4, 'dedup', n_dedup, round(n_dedup / CAST(n_raw AS DOUBLE), 6) FROM agg
+    UNION ALL
+    SELECT 5, 'sample', n_sample, round(n_sample / CAST(n_raw AS DOUBLE), 6) FROM agg
+    """,
+)
+def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's own funnel: survivor counts through
+    raw → quality floor (≥30 tokens) → language allowlist → exact-dedup
+    → 25% hash sample — the per-stage attrition report every
+    training-data run publishes next to its output (and the first
+    thing an operator reads when a corpus shrinks unexpectedly).
+
+    ONE corpus scan computes all five stages: per-doc flags + digest,
+    then a single aggregate whose conditional counts reuse the
+    cumulative predicate chain (a naive implementation re-filters and
+    re-scans per stage — 5 scans for 5 numbers; at 100 TB that is the
+    difference between a dashboard tile and a day job). The two dedup
+    stages are conditional count(DISTINCT digest) — Catalyst plans the
+    distincts via expand, still one pass over the scan. Stage rows
+    unfold from the 1-row aggregate, so the output is fixed-shape
+    regardless of corpus size. Stage predicates reuse the repo's
+    conventions: token floor (q_text_quality), md5 content digest
+    (q_dedup_exact), md5-prefix sampling (q_sample_hash).
+    """
+    d = table(spark, sf_dir, "documents")
+    flags = d.select(
+        (F.size(F.split("text", " ")) >= 30).alias("ok_quality"),
+        F.col("lang").isin("en", "de", "fr").alias("ok_lang"),
+        F.md5(F.lower(F.trim("text"))).alias("digest"),
+    )
+    qual = F.col("ok_quality")
+    both = F.col("ok_quality") & F.col("ok_lang")
+    sampled = both & F.substring("digest", 1, 1).isin("0", "1", "2", "3")
+    agg = flags.agg(
+        F.count("*").alias("n_raw"),
+        F.count(F.when(qual, 1)).alias("n_quality"),
+        F.count(F.when(both, 1)).alias("n_lang"),
+        F.countDistinct(F.when(both, F.col("digest"))).alias("n_dedup"),
+        F.countDistinct(F.when(sampled, F.col("digest"))).alias("n_sample"),
+    )
+    stages = [
+        (1, "raw", "n_raw"),
+        (2, "quality", "n_quality"),
+        (3, "lang", "n_lang"),
+        (4, "dedup", "n_dedup"),
+        (5, "sample", "n_sample"),
+    ]
+    out = None
+    for no, name, col in stages:
+        row = agg.select(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.col(col).alias("n_rows"),
+            F.round(F.col(col) / F.col("n_raw").cast("double"), 6).alias(
+                "frac_of_raw"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
