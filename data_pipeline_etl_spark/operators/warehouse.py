@@ -519,8 +519,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same barrier q_dedup_cluster uses) so the order-key self-join and
     # the distinct don't re-execute per unrolled round. The source degree
     # is ITERATION-INVARIANT, so it is joined onto the edge frame once,
-    # before the loop, instead of re-broadcast every round (measured
-    # 6.5 s -> ~2.6 s warm at sf0.1); ranks are node-dimension-sized
+    # before the loop, instead of re-broadcast every round (controlled
+    # 5-rep compare at sf0.1: wall UNCHANGED vs the per-round broadcast
+    # — tiny-frame broadcasts are nearly free locally; the hoist is
+    # kept because it removes one broadcast round-trip per iteration,
+    # the term that grows with node count); ranks are node-dimension-sized
     # and broadcast per round, so each iteration costs exactly one
     # broadcast join + the contribution groupBy shuffle (at cluster
     # scale edges would be bucketed on src to make that shuffle-free
