@@ -296,3 +296,121 @@ def test_pq_adc_planted(spark, tmp_path):
     assert out[0][1] == out[1][1] == pytest.approx(d1, abs=1e-4)
     assert out[0][1] == out[1][1]  # exact same-code tie
     assert out[2][1] == out[3][1]  # code-2 tie
+
+
+def test_changepoint_planted(spark, tmp_path):
+    """A clean level shift (1.0 -> 9.0 after row 15 of 30) must be found
+    exactly at the boundary: the argmax split is rn=15, i.e. the 15th
+    event's timestamp, and the shift magnitude equals the level gap."""
+    rows = []
+    for i in range(30):
+        v = 1.0 if i < 15 else 9.0
+        rows.append((i, f"2024-01-01 {i:02d}:00:00", 7, "view", v))
+    # second stream with no shift: constant value -> zero mean_shift
+    for i in range(30):
+        rows.append(
+            (100 + i, f"2024-01-02 {i % 24:02d}:{(i // 24) * 10:02d}:00", 8, "view", 4.0)
+        )
+    sf = str(tmp_path / "planted_cpt")
+    _write_events(spark, sf, rows)
+    out = {r.user_id: r for r in QUERIES["q_time_changepoint"](spark, sf).collect()}
+    assert set(out) == {7, 8}
+    assert str(out[7].split_ts) == "2024-01-01 14:00:00"  # rn=15 boundary
+    assert out[7].mean_shift == 8.0
+    assert out[8].mean_shift == 0.0
+
+
+def test_ewma_constant_series(spark, tmp_path):
+    """EWMA of a constant series is the constant (the Horner weights are
+    normalized by their own fold — any drift here means the numerator
+    and denominator nests diverged)."""
+    rows = [(i, f"2024-01-01 {i:02d}:00:00", 5, "view", 3.5) for i in range(14)]
+    sf = str(tmp_path / "planted_ewma")
+    _write_events(spark, sf, rows)
+    out = QUERIES["q_time_ewma"](spark, sf).collect()
+    assert len(out) == 5  # rows 10..14
+    assert all(r.ewma10 == 3.5 for r in out)
+
+
+def test_mmr_prefers_diverse_over_redundant(spark, tmp_path):
+    """Rank-2-by-relevance is an exact clone of rank 1; MMR must skip it.
+
+    With λ=0.7 the penalty (0.3·sim) can only outweigh the relevance
+    term when the clone's sim to the pick EXCEEDS its own relevance —
+    so the planted geometry puts A and B at EQUAL relevance on opposite
+    sides of q (sim(A,B) small) and makes A' an exact copy of A
+    (sim = 1 > rel). Plain top-2 = {A, A'}; MMR = A, then B (diverse),
+    then A' last."""
+
+    def vec(base):
+        return [float(x) for x in base * 16]
+
+    rows = [
+        (0, vec([1.0, 0.0, 0.0, 0.0]), 0),           # query 0
+        (1, vec([0.0, 0.0, 1.0, 0.0]), 0),           # query 1 (unasserted)
+        (100, vec([1.0, 0.9, 0.0, 0.0]), 0),         # A (rel tie, wins by id)
+        (101, vec([1.0, 0.9, 0.0, 0.0]), 0),         # A': exact clone of A
+        (102, vec([1.0, -0.9, 0.0, 0.0]), 0),        # B: same rel, diverse
+    ]
+    sf = str(tmp_path / "planted_mmr")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    got = {
+        r.sel_rank: r.vec_id
+        for r in QUERIES["q_sim_mmr"](spark, sf).where(F.col("q_id") == 0).collect()
+    }
+    assert got[1] == 100          # A first
+    assert got[2] == 102          # diverse B beats near-clone A'
+    assert got[3] == 101          # clone only after diversity satisfied
+
+
+def test_countmin_never_undercounts(spark):
+    """CMS guarantee: min over hash rows >= true count for EVERY key,
+    not just the probed top-5 — rebuilt over the full fixture vocab."""
+    from data_pipeline_etl_spark.sources.tables import table
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("tok"))
+
+    def hexbucket(col):
+        h = F.substring(F.md5(col), 1, 1)
+        return F.when(h.between("a", "f"), F.ascii(h) - 87).otherwise(F.ascii(h) - 48)
+
+    hashed = tok.select(
+        "tok",
+        hexbucket(F.col("tok")).alias("b0"),
+        hexbucket(F.concat(F.lit("s1"), F.col("tok"))).alias("b1"),
+    )
+    cells0 = hashed.groupBy("b0").agg(F.count("*").alias("c0"))
+    cells1 = hashed.groupBy("b1").agg(F.count("*").alias("c1"))
+    truth = hashed.groupBy("tok", "b0", "b1").agg(F.count("*").alias("n"))
+    bad = (
+        truth.join(cells0, "b0")
+        .join(cells1, "b1")
+        .where(F.least("c0", "c1") < F.col("n"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_merge_upsert_planted(spark, tmp_path):
+    """MERGE semantics on a hand-built log: keep (base only), update
+    (both sides), insert (batch only), tombstone-delete (batch latest is
+    'error' — even when the base had state)."""
+    rows = [
+        (1, "2024-01-10 00:00:00", 1, "click", 1.0),    # u1: base only -> keep
+        (2, "2024-01-10 00:00:00", 2, "view", 2.0),     # u2: base...
+        (3, "2024-01-25 00:00:00", 2, "purchase", 3.0), # ...updated by batch
+        (4, "2024-01-25 00:00:00", 3, "signup", 4.0),   # u3: batch only -> insert
+        (5, "2024-01-10 00:00:00", 4, "view", 5.0),     # u4: base...
+        (6, "2024-01-25 00:00:00", 4, "error", 6.0),    # ...tombstoned
+    ]
+    sf = str(tmp_path / "planted_merge")
+    _write_events(spark, sf, rows)
+    out = {r.user_id: r for r in QUERIES["q_merge_upsert"](spark, sf).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].op == "keep" and out[1].event_type == "click"
+    assert out[2].op == "update" and out[2].event_type == "purchase"
+    assert out[3].op == "insert" and out[3].event_type == "signup"
