@@ -1467,9 +1467,16 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "vec_id", score_col)
         )
 
-    s1 = argmax(
-        cand.select("q_id", "vec_id", "rel", (0.7 * F.col("rel")).alias("mmr_raw")),
-        "mmr_raw",
+    # First selection ranks on RAW rel — the same expression the oracle's
+    # s1 CTE orders by. Ranking on 0.7*rel instead could collapse two
+    # distinct adjacent doubles into equal keys (the product rounds to the
+    # same float64), flipping the vec_id tiebreak cross-engine (ADVICE r8).
+    s1 = (
+        argmax(
+            cand.select("q_id", "vec_id", "rel"),
+            "rel",
+        )
+        .select("q_id", "vec_id", (0.7 * F.col("rel")).alias("mmr_raw"))
     )
     p1 = pairsim.select(
         "q_id", F.col("va").alias("vec_id"), F.col("vb").alias("v1"), F.col("sim").alias("sim1")

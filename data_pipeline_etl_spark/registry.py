@@ -73,17 +73,13 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # (All r4/r5 entries pruned at r6 open: CORRECTNESS_r05.json graded every
 # one of them green post-touch, so each had expired by its own rule.)
 _FORCE_FRONT: dict[str, int] = {
-    # (r6 entries pruned at r7 open: CORRECTNESS_r06 graded q_udaf_grouped,
+    # (r7 entries pruned at r9 open: CORRECTNESS_r08 graded q_dedup_cluster,
     # q_sim_neardup, q_sim_pairs_lsh green post-touch — all expired.)
-    # round-7 touches:
-    # label propagation rewritten hop+jump (pointer doubling) with a
-    # convergence guard raise (VERDICT r6 item 1):
-    "q_dedup_cluster": 7,
-    # band_candidate_pairs_for split into band_pairs_from_bits so the
-    # probe's vectorized bit path shares the bucket machinery; the
-    # declared SQL-fold path is unchanged but flows through the split:
-    "q_sim_neardup": 7,
-    "q_sim_pairs_lsh": 7,
+    # round-9 touches:
+    # q_sim_mmr: first-selection argmax re-keyed to raw rel (ADVICE r8 #1);
+    # q_time_autocorr: zero-variance NaN-vs-NULL guard (ADVICE r8 #2):
+    "q_sim_mmr": 9,
+    "q_time_autocorr": 9,
 }
 
 

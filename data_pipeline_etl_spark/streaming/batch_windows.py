@@ -1288,7 +1288,8 @@ def q_time_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
-           round(corr(value, prev), 6) AS ac1
+           round(covar_samp(value, prev)
+                   / (stddev_samp(value) * stddev_samp(prev)), 6) AS ac1
     FROM lagged WHERE prev IS NOT NULL
     GROUP BY user_id HAVING count(*) >= 20
     """,
@@ -1315,11 +1316,23 @@ def q_time_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = e.select(
         "user_id", "value", F.lag("value").over(w).alias("prev")
     ).where(F.col("prev").isNotNull())
+    # Degenerate-stream guard (ADVICE r8): on a zero-variance stream
+    # Spark 4's ANSI-mode corr() THROWS DIVIDE_BY_ZERO (not NaN) while
+    # DuckDB corr() returns NULL — so both sides spell Pearson r out as
+    # covar_samp / (stddev·stddev), the identical expression tree, with
+    # try_divide on the Spark side matching DuckDB's native NULL-on-zero
+    # division. All three moments stay mergeable partial aggregates.
     return (
         lagged.groupBy("user_id")
         .agg(
             F.count("*").cast("long").alias("n_pairs"),
-            F.round(F.corr("value", "prev"), 6).alias("ac1"),
+            F.round(
+                F.try_divide(
+                    F.covar_samp("value", "prev"),
+                    F.stddev_samp("value") * F.stddev_samp("prev"),
+                ),
+                6,
+            ).alias("ac1"),
         )
         .where(F.col("n_pairs") >= 20)
     )

@@ -305,7 +305,7 @@ def test_changepoint_planted(spark, tmp_path):
     rows = []
     for i in range(30):
         v = 1.0 if i < 15 else 9.0
-        rows.append((i, f"2024-01-01 {i:02d}:00:00", 7, "view", v))
+        rows.append((i, f"2024-01-0{1 + i // 24} {i % 24:02d}:00:00", 7, "view", v))
     # second stream with no shift: constant value -> zero mean_shift
     for i in range(30):
         rows.append(
@@ -318,6 +318,28 @@ def test_changepoint_planted(spark, tmp_path):
     assert str(out[7].split_ts) == "2024-01-01 14:00:00"  # rn=15 boundary
     assert out[7].mean_shift == 8.0
     assert out[8].mean_shift == 0.0
+
+
+def test_autocorr_constant_stream_is_null(spark, tmp_path):
+    """A zero-variance stream must yield ac1 = NULL, not NaN: Spark's
+    corr() returns NaN on zero variance while DuckDB returns NULL, so
+    the query maps NaN -> NULL to keep hash parity (ADVICE r8). Also
+    plants an alternating stream whose lag-1 autocorrelation is exactly
+    -1 (perfect oscillation) to pin the live path."""
+    rows = []
+    for i in range(25):  # constant stream: 24 pairs >= 20 floor
+        rows.append((i, f"2024-01-0{1 + i // 24} {i % 24:02d}:00:00", 1, "view", 5.0))
+    for i in range(25):  # alternating 1, -1: ac1 = -1 exactly
+        rows.append(
+            (100 + i, f"2024-01-0{1 + i // 24} {i % 24:02d}:00:00", 2, "view",
+             1.0 if i % 2 == 0 else -1.0)
+        )
+    sf = str(tmp_path / "planted_ac")
+    _write_events(spark, sf, rows)
+    out = {r.user_id: r for r in QUERIES["q_time_autocorr"](spark, sf).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_pairs == 24 and out[1].ac1 is None
+    assert out[2].n_pairs == 24 and out[2].ac1 == -1.0
 
 
 def test_ewma_constant_series(spark, tmp_path):
