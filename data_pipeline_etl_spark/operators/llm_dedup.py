@@ -570,6 +570,134 @@ def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_oracle() -> str:
+    sigs = ",\n           ".join(
+        f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(_MINHASH_K)
+    )
+    n_bands = _MINHASH_K // _MINHASH_BAND
+    band_cols = ",\n           ".join(
+        "md5({}) AS band{}".format(
+            " || ".join(
+                f"mh{i}" for i in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND)
+            ),
+            b,
+        )
+        for b in range(n_bands)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, lang, source, {b} AS band_idx, band{b} AS band_key FROM bsig"
+        for b in range(n_bands)
+    )
+    out_bands = ", ".join(f"band{b}" for b in range(n_bands))
+    return f"""
+    WITH sig AS (
+      SELECT doc_id, lang, source,
+           {sigs}
+      FROM (SELECT doc_id, lang, source,
+                   unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents)
+      GROUP BY doc_id, lang, source
+    ),
+    bsig AS (
+      SELECT doc_id, lang, source,
+           {band_cols}
+      FROM sig
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    thr AS (SELECT max(doc_id) / 2 AS cut FROM documents),
+    store AS (
+      SELECT DISTINCT lang, source, band_idx, band_key
+      FROM bands CROSS JOIN thr WHERE doc_id < cut
+    ),
+    hit AS (
+      SELECT DISTINCT n.doc_id
+      FROM bands n CROSS JOIN thr
+      JOIN store s
+        ON n.lang = s.lang AND n.source = s.source
+       AND n.band_idx = s.band_idx AND n.band_key = s.band_key
+      WHERE n.doc_id >= cut
+    )
+    SELECT b.doc_id, b.lang, b.source, {out_bands}
+    FROM bsig b CROSS JOIN thr
+    WHERE b.doc_id >= cut
+      AND b.doc_id NOT IN (SELECT doc_id FROM hit)
+    """
+
+
+@query("q_dedup_incremental", oracle=_incremental_oracle())
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the production LLM-ingest shape: a NEW
+    batch of documents is screened against the band-key store of an
+    EXISTING corpus, and only docs whose LSH bands collide with no stored
+    key are admitted. Output is the STORE DELTA for the admitted docs
+    (doc_id + block key + their band keys), i.e. exactly the rows the
+    next ingest round appends to the store before screening its batch.
+
+    The corpus/batch split is deterministic — doc ids are arrival-ordered
+    in the fixture, so corpus = ids below max/2, batch = the newer half —
+    which keeps the whole loop oracle-able in pure SQL. (A parity split
+    was measured degenerate: the fixture's dup families sit at doc_id ≡ r
+    mod 20, so mod-class splits never cross corpus and batch and every
+    doc is admitted — memory: fixture-traps.) In production the store is
+    a materialized table and only the batch side is computed. Plan shape:
+    the store is DISTINCT band keys (collisions across corpus docs
+    collapse — the store is keyed by band, not by doc), the batch
+    signature frame builds once (one explode + one groupBy, then
+    localCheckpoint so its two consumers don't recompute the tokenize
+    subtree), the screen is one semi join on the band key followed by a
+    doc-level anti join. At 100 TB the store is bucketed by band_key, the
+    batch is the small side, and both joins shuffle batch-sized frames
+    only — the corpus is never rescanned (q_dedup_minhash_sig builds its
+    half of the store; blocking by (lang, source) mirrors
+    q_dedup_lsh_candidates, memory: fixture-traps).
+    """
+    d = table(spark, sf_dir, "documents")
+    n_bands = _MINHASH_K // _MINHASH_BAND
+    # arrival-order split: one max() scalar, broadcast into both filters
+    # (in production this is the ingest watermark, not a computed value)
+    cut = d.agg((F.max("doc_id") / 2).alias("cut"))
+    d = d.crossJoin(F.broadcast(cut))
+    corpus_sig = _minhash_sig(d.where(F.col("doc_id") < F.col("cut")), with_block=True)
+    store = (
+        corpus_sig.select(
+            "lang",
+            "source",
+            F.posexplode(F.array(*[_band_key(b) for b in range(n_bands)])).alias(
+                "band_idx", "band_key"
+            ),
+        )
+        .distinct()
+    )
+    bsig = (
+        _minhash_sig(d.where(F.col("doc_id") >= F.col("cut")), with_block=True)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            *[_band_key(b).alias(f"band{b}") for b in range(n_bands)],
+        )
+        .localCheckpoint(eager=True)  # feeds the probe AND the output
+    )
+    probe = bsig.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    hit = (
+        probe.join(store, ["lang", "source", "band_idx", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return bsig.join(hit, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", *[f"band{b}" for b in range(n_bands)]
+    )
+
+
 _CC_MAX_ROUNDS = 20  # with pointer doubling this covers diameter ~2**20
 
 

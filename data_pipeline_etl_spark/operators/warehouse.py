@@ -287,7 +287,13 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact by construction.
     """
     l = table(spark, sf_dir, "lineitem")
-    items = l.select("l_orderkey", "l_partkey").distinct()
+    return basket_affinity_for(l.select("l_orderkey", "l_partkey").distinct())
+
+
+def basket_affinity_for(items: DataFrame) -> DataFrame:
+    """q_basket_affinity's plan over any (l_orderkey, l_partkey) item
+    frame — shared by the declared query and scripts/scaling_probe.py so
+    the probe measures the exact declared plan shape."""
     n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     freq = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
     a = items.select(
@@ -506,7 +512,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity convention for order-insensitive double sums.
     """
     l = table(spark, sf_dir, "lineitem")
-    items = l.select("l_orderkey", "l_partkey").distinct()
+    return pagerank_for(l.select("l_orderkey", "l_partkey").distinct())
+
+
+def pagerank_for(items: DataFrame) -> DataFrame:
+    """q_graph_pagerank's plan over any (l_orderkey, l_partkey) item
+    frame — shared by the declared query and scripts/scaling_probe.py so
+    the probe measures the exact declared plan shape."""
     a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     pairs = (
@@ -682,7 +694,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reused across its three join roles.
     """
     l = table(spark, sf_dir, "lineitem")
-    items = l.select("l_orderkey", "l_partkey").distinct()
+    return triangles_for(l.select("l_orderkey", "l_partkey").distinct())
+
+
+def triangles_for(items: DataFrame) -> DataFrame:
+    """q_graph_triangles' plan over any (l_orderkey, l_partkey) item
+    frame — shared by the declared query and scripts/scaling_probe.py so
+    the probe measures the exact declared plan shape."""
     a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("s"))
     b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("d"))
     pairs = (

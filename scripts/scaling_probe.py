@@ -8,9 +8,10 @@ Results are recorded in SCALE.md / BASELINE.md; run on a quiet host.
 
     python scripts/scaling_probe.py [factor ...] [--only SUBSTR]   # default: 10
 
-``--only SUBSTR`` keeps just the cases whose name contains SUBSTR (e.g.
-``--only lsh`` re-measures the LSH family without replaying the lineitem
-suite).
+``--only SUBSTR[,SUBSTR...]`` keeps just the cases whose name contains
+any listed substring (e.g. ``--only lsh`` re-measures the LSH family
+without replaying the lineitem suite; ``--only pagerank,triangles,
+basket`` measures the graph family off one shared replication).
 
 Replicated documents get per-replica TOKEN PREFIXES (r<rep>_<token>) so
 within-replica duplicate structure is preserved and nothing else —
@@ -54,7 +55,7 @@ def main() -> int:
     only = None
     if "--only" in args:
         i = args.index("--only")
-        only = args[i + 1]
+        only = [s for s in args[i + 1].split(",") if s]
         del args[i : i + 2]
     factors = [int(a) for a in args] or [10]
     from pyspark.sql import functions as F
@@ -78,6 +79,7 @@ def main() -> int:
     max_ok = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
     max_vid = e.agg(F.max("vec_id")).collect()[0][0] + 1
     max_did = dc.agg(F.max("doc_id")).collect()[0][0] + 1
+    max_pk = l.agg(F.max("l_partkey")).collect()[0][0] + 1
     dim = len(e.select("embedding").first()[0])
 
     def replicate(tmp: str, factor: int, need_base: bool = True) -> dict[str, str]:
@@ -90,9 +92,17 @@ def main() -> int:
             if not need_base:  # --only selected no lineitem/orders case —
                 continue  # skip the dominant replication cost (60M rows at 100x)
             paths[name] = os.path.join(tmp, name)
-            df.crossJoin(reps).withColumn(key, F.col(key) + F.col("rep") * mx).drop(
-                "rep"
-            ).write.parquet(paths[name])
+            rdf = df.crossJoin(reps).withColumn(key, F.col(key) + F.col("rep") * mx)
+            if name == "lineitem":
+                # remap partkey per replica too: the co-order GRAPH must
+                # grow Nx (Nx nodes, Nx edges, same degree structure) —
+                # with parts unremapped the graph cases would measure a
+                # constant-size graph with Nx-weighted edges, i.e. the
+                # pair-build only. Orderkey cases never read l_partkey.
+                rdf = rdf.withColumn(
+                    "l_partkey", F.col("l_partkey") + F.col("rep") * max_pk
+                )
+            rdf.drop("rep").write.parquet(paths[name])
         paths["embeddings"] = os.path.join(tmp, "embeddings")
         shift = (F.col("rep") % dim).cast("int")
         (
@@ -222,6 +232,30 @@ def main() -> int:
             F.countDistinct("c0", "c1", "c2", "c3").alias("n_code_combos"),
         )
 
+    def _items(ldf):
+        return ldf.select("l_orderkey", "l_partkey").distinct()
+
+    def basket(ldf):
+        # summarize (pair count + co-count mass) — per-pair rows stay out
+        from data_pipeline_etl_spark.operators.warehouse import basket_affinity_for
+
+        return basket_affinity_for(_items(ldf)).agg(
+            F.count("*").alias("n_pairs"), F.sum("c_ab").alias("c_mass")
+        )
+
+    def pagerank(ldf):
+        from data_pipeline_etl_spark.operators.warehouse import pagerank_for
+
+        return pagerank_for(_items(ldf)).agg(
+            F.count("*").alias("n_nodes"),
+            F.round(F.sum("pr_rel"), 3).alias("pr_mass"),
+        )
+
+    def triangles(ldf):
+        from data_pipeline_etl_spark.operators.warehouse import triangles_for
+
+        return triangles_for(_items(ldf)).agg(F.count("*").alias("n_tris"))
+
     cases = {
         "q1_groupby": lambda L, O, E, D: q1(L),
         "join_agg": lambda L, O, E, D: join_agg(L, O),
@@ -231,6 +265,9 @@ def main() -> int:
         "cov_matrix": lambda L, O, E, D: covm(E),
         "bigram_lm": lambda L, O, E, D: bigram(D),
         "pq_encode": lambda L, O, E, D: pqenc(E),
+        "basket_aff": lambda L, O, E, D: basket(L),
+        "pagerank": lambda L, O, E, D: pagerank(L),
+        "triangles": lambda L, O, E, D: triangles(L),
     }
 
     def scaled_rows(factor):
@@ -262,7 +299,7 @@ def main() -> int:
                 todo[f"lsh_{label}"] = (lambda nn: lambda L, O, E, D: lsh(E, nn))(n)
             todo[f"lshv_{label}"] = (lambda nn: lambda L, O, E, D: lshv(E, nn))(n)
         if only:
-            todo = {k: v for k, v in todo.items() if only in k}
+            todo = {k: v for k, v in todo.items() if any(s in k for s in only)}
         out = {}
         for name, fn in todo.items():
             warm = fn(L, O, E, D).toPandas()  # warm
@@ -287,11 +324,16 @@ def main() -> int:
         f"{sf}/documents.parquet",
     )
     results = {"1x": base}
-    base_cases = ("q1_groupby", "join_agg", "dedup_exact", "win_topn")
+    base_cases = (
+        "q1_groupby", "join_agg", "dedup_exact", "win_topn",
+        "basket_aff", "pagerank", "triangles",
+    )
     for factor in factors:
         tmp = tempfile.mkdtemp(prefix=f"scaling_probe_{factor}x_")
         try:
-            need_base = (only is None) or any(only in n for n in base_cases)
+            need_base = (only is None) or any(
+                s in n for n in base_cases for s in only
+            )
             paths = replicate(tmp, factor, need_base=need_base)
             results[f"{factor}x"] = measure(
                 f"{factor}x",

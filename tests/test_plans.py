@@ -157,6 +157,16 @@ def test_lsh_candidates_hash_joins_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_incremental_dedup_semi_anti_shape(spark):
+    """The store screen must be a band-key semi join + doc-level anti
+    join (no pair materialization, no product): the corpus side enters
+    only as distinct band keys."""
+    plan = _optimized(QUERIES["q_dedup_incremental"](spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    phys = _plan(QUERIES["q_dedup_incremental"](spark, SF_DIR))
+    assert "CartesianProduct" not in phys
+
+
 def test_wholestage_codegen_active(spark):
     df = QUERIES["q_agg_groupby"](spark, SF_DIR)
     df.collect()  # AQE finalizes the plan on execution

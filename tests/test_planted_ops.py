@@ -298,6 +298,36 @@ def test_pq_adc_planted(spark, tmp_path):
     assert out[2][1] == out[3][1]  # code-2 tie
 
 
+def test_dedup_incremental_planted(spark, tmp_path):
+    """Arrival-order split with max doc_id = 7 puts ids 0-3 in the
+    corpus and 4-7 in the batch. A batch doc that is an exact copy of a
+    corpus doc collides on every band and is rejected; novel batch docs
+    are admitted. Two batch docs that duplicate EACH OTHER but nothing
+    in the corpus are BOTH admitted — batch-internal dedup is a
+    separate pass by design (the store screen only checks history)."""
+    a = " ".join(_toks("a", 20))
+    novel = " ".join(_toks("n", 20))
+    rows = [
+        (0, a),
+        (1, " ".join(_toks("f1_", 15))),
+        (2, " ".join(_toks("f2_", 15))),
+        (3, " ".join(_toks("f3_", 15))),
+        (4, a),  # exact dup of corpus doc 0 -> rejected
+        (5, novel),  # admitted
+        (6, " ".join(_toks("m", 20))),  # admitted
+        (7, novel),  # batch-internal dup of 5 -> still admitted
+    ]
+    sf = str(tmp_path / "planted_incr")
+    _write_documents(spark, sf, rows)
+    out = QUERIES["q_dedup_incremental"](spark, sf).collect()
+    assert {r.doc_id for r in out} == {5, 6, 7}
+    by_id = {r.doc_id: r for r in out}
+    # the emitted store delta carries identical band keys for the twins
+    assert [by_id[5][f"band{b}"] for b in range(4)] == [
+        by_id[7][f"band{b}"] for b in range(4)
+    ]
+
+
 def test_changepoint_planted(spark, tmp_path):
     """A clean level shift (1.0 -> 9.0 after row 15 of 30) must be found
     exactly at the boundary: the argmax split is rn=15, i.e. the 15th
