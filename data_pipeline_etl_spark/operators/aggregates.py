@@ -571,6 +571,48 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_src.unionByName(merged)
 
 
+@query("q_agg_kll_quantile")  # rows-only: KLL sketch bytes are engine-specific
+def q_agg_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile aggregation: per-returnflag Apache DataSketches
+    KLL sketches of l_extendedprice, then a MERGE of the partial sketches
+    into corpus-wide p50/p90/p99 — the quantile counterpart of
+    q_agg_sketch_merge's HLL distinct counting, completing the
+    re-mergeable-sketch story (distinct counts + frequencies + quantiles)
+    a 100 TB lakehouse stores per partition: each shard emits a ~KB
+    sketch, and percentiles over ANY later-chosen shard subset come from
+    sketch merges, never a raw-data rescan or a global sort. (One-shot
+    approx_percentile computes the same numbers but exposes no partial to
+    store — the stored-sketch form is the point.)
+
+    Spark-side: kll_sketch_agg_double partials per group,
+    kll_merge_agg_double over the stored sketch column for the __all__
+    row, kll_sketch_get_quantile_double probes. Rows-only by design
+    (SURVEY §2 approx-sketch rule): sketch binaries and compaction are
+    engine-specific, so there is no cross-engine hash; rank error vs
+    exact percentiles is pinned in tests/test_ops_edge.py (KLL k=200
+    default: ~1.65% normalized rank error with high probability).
+    """
+    l = table(spark, sf_dir, "lineitem")
+    per = l.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
+        F.count("*").alias("n"),
+    )
+
+    def probes(sk):
+        return [
+            F.round(
+                F.kll_sketch_get_quantile_double(sk, F.lit(q)), 6
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+
+    per_grp = per.select("l_returnflag", "n", *probes(F.col("sk")))
+    merged = per.agg(
+        F.kll_merge_agg_double("sk").alias("sk"), F.sum("n").alias("n")
+    ).select(F.lit("__all__").alias("l_returnflag"), "n", *probes(F.col("sk")))
+    return per_grp.unionByName(merged)
+
+
 _CMS_HEX = (
     "CASE WHEN substring(md5({x}), 1, 1) BETWEEN 'a' AND 'f' "
     "THEN ascii(substring(md5({x}), 1, 1)) - 87 "

@@ -256,3 +256,31 @@ def test_hll_sketch_merge_tracks_exact_counts(spark):
     assert set(got) == set(exact)
     for k, n in exact.items():
         assert abs(got[k] - n) <= max(1, int(0.02 * n)), (k, got[k], n)
+
+
+def test_kll_quantile_rank_error_bound(spark):
+    """Every KLL quantile estimate (per group AND the sketch-merged
+    __all__ row) must sit within 2x the k=200 normalized rank-error
+    bound (~1.65%, doubled for the with-high-probability slack) of the
+    exact quantile IN RANK SPACE: the exact rank of the estimated value
+    must be within 2*0.0165*n of q*n. Value-space comparison would be
+    meaningless on a heavy-tailed price column."""
+    from data_pipeline_etl_spark.operators.aggregates import q_agg_kll_quantile
+    from data_pipeline_etl_spark.sources.tables import table
+    from tests.conftest import SF_DIR
+
+    rows = q_agg_kll_quantile(spark, SF_DIR).collect()
+    l = table(spark, SF_DIR, "lineitem")
+    assert {r["l_returnflag"] for r in rows} == {"A", "N", "R", "__all__"}
+    for r in rows:
+        grp = l if r["l_returnflag"] == "__all__" else l.where(
+            F.col("l_returnflag") == r["l_returnflag"]
+        )
+        n = r["n"]
+        assert n == grp.count()
+        for q in (0.5, 0.9, 0.99):
+            est = r[f"p{int(q * 100)}"]
+            rank = grp.where(F.col("l_extendedprice") <= est).count()
+            assert abs(rank - q * n) <= 2 * 0.0165 * n + 1, (
+                r["l_returnflag"], q, est, rank, n,
+            )
