@@ -1518,3 +1518,205 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return out(s1, 1).unionByName(out(s2, 2)).unionByName(out(s3, 3))
+
+
+@query(
+    "q_sim_recall_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+      FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+      SELECT q.q_id, q.q_label, c.vec_id, c.label,
+             {_COS_SQL} AS cos_sim
+      FROM (SELECT vec_id, label, embedding AS ce FROM embeddings) c
+        CROSS JOIN q
+      WHERE c.vec_id <> q.q_id
+    ),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 10
+    ),
+    cell AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored WHERE label = q_label
+      ) WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT e.q_id, count(*) AS n_hits
+      FROM exact e JOIN cell c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
+      GROUP BY e.q_id
+    )
+    SELECT q.q_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10, 6) AS recall_at_10
+    FROM q LEFT JOIN hits h ON q.q_id = h.q_id
+    """,
+)
+def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index quality gate: recall@10 of the IVF coarse-cell search
+    (q_sim_ivf_topk's pruning — candidates restricted to the query's
+    label cell) against the exact brute-force cosine top-10, per query
+    vector vec_id ∈ [0,20). A production ANN stack ships this evaluator
+    next to the index: every re-train / re-quantization runs it on a
+    held-out query sample, and a recall drop below SLO pages before the
+    bad index serves traffic.
+
+    Shape: ONE broadcast-join scan scores all (query, candidate) pairs,
+    then two windows over q_id derive the exact and the cell-restricted
+    top-10 from the same scored frame — the corpus is read once, and the
+    intersection/count is |q|x10-row arithmetic. At 100 TB the scored
+    frame is the q_sim_cosine_topk ground-truth job (run on a sampled
+    query set precisely because it is the expensive exact pass), and the
+    cell ranking reuses its scores for free.
+    """
+    base = _normed(spark, sf_dir)
+    q = base.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = base.select(
+        "vec_id", "label", F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_label", "vec_id", "label", _cos_pair().alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("q_id", "vec_id")
+    )
+    cell = (
+        scored.where(F.col("label") == F.col("q_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("q_id", "vec_id")
+    )
+    hits = exact.join(cell, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        q.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / 10, 6
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+@query(
+    "q_sim_ndcg",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+      FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+      SELECT q.q_id, q.q_label, c.vec_id, c.label,
+             {_COS_SQL} AS cos_sim
+      FROM (SELECT vec_id, label, embedding AS ce FROM embeddings) c
+        CROSS JOIN q
+      WHERE c.vec_id <> q.q_id
+    ),
+    top10 AS (
+      SELECT q_id, rn, CAST(label = q_label AS DOUBLE) AS rel FROM (
+        SELECT q_id, label, q_label,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 10
+    ),
+    dcg AS (
+      SELECT q_id, rels,
+             list_sum(list_transform(generate_series(1, len(rels)),
+                                     i -> rels[i] / log2(i + 1))) AS dcg
+      FROM (SELECT q_id, list(rel ORDER BY rn) AS rels
+            FROM top10 GROUP BY q_id)
+    ),
+    avail AS (
+      SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel
+      FROM scored WHERE label = q_label GROUP BY q_id
+    )
+    SELECT d.q_id, a.n_rel,
+           round(d.dcg /
+                 list_sum(list_transform(
+                     generate_series(1, CAST(least(10, a.n_rel) AS INT)),
+                     i -> 1.0 / log2(i + 1))), 6) AS ndcg_at_10
+    FROM dcg d JOIN avail a ON d.q_id = a.q_id
+    """,
+)
+def q_sim_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality nDCG@10 of exact cosine search, scored against
+    binary class-label relevance (candidate label == query label), per
+    query vector vec_id ∈ [0,20) — the second half of the ANN evaluation
+    suite next to q_sim_recall_eval: recall grades the *index* against
+    ground truth, nDCG grades the *ranking* against labeled relevance,
+    which is how embedding-model regressions (not index regressions)
+    surface in a retrieval stack.
+
+    Parity discipline: DCG and IDCG are SEQUENTIAL rank-ordered float64
+    folds on both engines (aggregate() over array_sort(collect_list) on
+    Spark, list_sum(list_transform) over an ORDER BY rn list on DuckDB —
+    the same fold shape as the module's dot products), never a groupBy
+    SUM whose accumulation order the engines could disagree on; log2's
+    cross-engine 1-ulp wobble is absorbed by the 6 dp round.
+    """
+    base = _normed(spark, sf_dir)
+    q = base.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = base.select(
+        "vec_id", "label", F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_label", "vec_id", "label", _cos_pair().alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    top10 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select(
+            "q_id", "rn", (F.col("label") == F.col("q_label")).cast("double").alias("rel")
+        )
+    )
+    dcg = top10.groupBy("q_id").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(rn, rel))), "
+            "CAST(0 AS DOUBLE), (acc, s) -> acc + s.rel / log2(s.rn + 1))"
+        ).alias("dcg")
+    )
+    avail = (
+        scored.where(F.col("label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_rel"))
+    )
+    idcg = F.expr(
+        "aggregate(sequence(1, CAST(least(10, n_rel) AS INT)), "
+        "CAST(0 AS DOUBLE), (acc, i) -> acc + 1.0 / log2(i + 1))"
+    )
+    return (
+        dcg.join(avail, "q_id")
+        .select("q_id", "n_rel", F.round(F.col("dcg") / idcg, 6).alias("ndcg_at_10"))
+    )

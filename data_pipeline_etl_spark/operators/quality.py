@@ -8,7 +8,7 @@ aggregate, so the whole suite is a handful of shuffles regardless of scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_etl_spark.registry import query
@@ -486,4 +486,116 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("int")
         .alias("stale"),
+    )
+
+
+@query(
+    "q_profile_ks",
+    oracle="""
+    WITH rng AS (
+      SELECT event_type, min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type,
+             CASE WHEN e.user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+             CASE WHEN r.vmax = r.vmin THEN 0
+                  ELSE CAST(least(floor((e.value - r.vmin)
+                                        / ((r.vmax - r.vmin) / 256.0)),
+                                  255) AS INT)
+             END AS bucket
+      FROM events e JOIN rng r ON e.event_type = r.event_type
+    ),
+    counts AS (
+      SELECT event_type, bucket,
+             CAST(sum(is_a) AS BIGINT) AS n_a,
+             CAST(sum(1 - is_a) AS BIGINT) AS n_b
+      FROM binned GROUP BY event_type, bucket
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n_a) AS BIGINT) AS ta,
+             CAST(sum(n_b) AS BIGINT) AS tb
+      FROM counts GROUP BY event_type
+    ),
+    ecdf AS (
+      SELECT event_type, bucket,
+             sum(n_a) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(n_b) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cb
+      FROM counts
+    )
+    SELECT e.event_type, max(t.ta) AS n_a, max(t.tb) AS n_b,
+           round(max(abs(CAST(e.ca AS DOUBLE) / t.ta
+                         - CAST(e.cb AS DOUBLE) / t.tb)), 6) AS ks_stat
+    FROM ecdf e JOIN tot t ON e.event_type = t.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_profile_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per event_type
+    between the same snapshot halves as q_profile_psi (user_id parity =
+    yesterday's load vs today's): KS = sup over bin edges of
+    |ECDF_A - ECDF_B| on a 256-bin equi-width spine spanning the
+    per-type [min, max]. PSI is bin-mass-sensitive (chi-square-ish,
+    loud on fat-bin shifts); KS is the location-sensitive complement
+    that catches a pure median shift PSI underweights — warehouses run
+    both before trusting a load.
+
+    Scale shape: the only data-sized work is one corpus scan into a
+    (type, bucket) count aggregate (partial sums map-side; <= 256 rows
+    per type survive). The running ECDF window orders by bucket WITHIN
+    each type — 256-row partitions regardless of corpus size, never a
+    global sort. The sup needs no empty-bin spine fill: the ECDF gap is
+    constant across empty bins, so its max over occupied bins equals
+    the max over all bins. Degenerate constant-valued types collapse to
+    bucket 0 by an explicit CASE (vmax = vmin) so neither engine
+    touches a 0/0 NaN (the q_time_autocorr lesson: NaN-vs-NULL is a
+    cross-engine divergence).
+    """
+    e = table(spark, sf_dir, "events")
+    rng = e.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / 256.0
+    binned = e.join(F.broadcast(rng), "event_type").select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+        F.when(F.col("vmax") == F.col("vmin"), 0)
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("vmin")) / width), F.lit(255)
+            )
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    counts = binned.groupBy("event_type", "bucket").agg(
+        F.sum("is_a").alias("n_a"), F.sum(1 - F.col("is_a")).alias("n_b")
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = counts.select(
+        "event_type",
+        F.sum("n_a").over(w).alias("ca"),
+        F.sum("n_b").over(w).alias("cb"),
+    )
+    gap = F.abs(
+        F.col("ca").cast("double") / F.col("ta")
+        - F.col("cb").cast("double") / F.col("tb")
+    )
+    return (
+        ecdf.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("ta").alias("n_a"),
+            F.max("tb").alias("n_b"),
+            F.round(F.max(gap), 6).alias("ks_stat"),
+        )
     )

@@ -39,3 +39,82 @@ def roundtrip_json(df: DataFrame, spark: SparkSession, out_dir: str) -> DataFram
     """JSON-lines write + schema-preserving read-back."""
     df.write.mode("overwrite").json(out_dir)
     return spark.read.schema(df.schema).json(out_dir)
+
+
+def export_training_shards(df: DataFrame, out_dir: str, key: str, n_shards: int) -> DataFrame:
+    """Training-data export: write ``df`` as JSONL shards with a
+    content manifest — the hand-off format an LLM training job consumes
+    (one worker streams one shard; the manifest is the integrity +
+    progress contract between the data pipeline and the trainer).
+
+    Sharding is DETERMINISTIC (``pmod(xxhash64(key), n_shards)``), so a
+    re-export after an upstream fix reproduces the same doc→shard map
+    and the trainer's resume bookkeeping stays valid. ``repartition``
+    on the shard id co-locates each shard before ``partitionBy``, so
+    every shard is one task writing one file — no small-file spray.
+
+    The manifest carries, per shard: row count, total JSONL chars, and
+    an ORDER-INDEPENDENT content fingerprint (``bit_xor`` of per-line
+    xxhash64 — commutative, so parallel writers/readers need no sort,
+    and no overflow under ANSI arithmetic, unlike a SUM of hashes).
+    Everything is computed executor-side from the same ``to_json``
+    bytes the writer emits; only |shards| manifest rows exist anywhere.
+    """
+    cols = list(df.columns)
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards)).cast("int")
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(out_dir + "/data")
+    )
+    line = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    manifest = (
+        sharded.select("shard", line.alias("line"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.length("line")).alias("n_chars"),
+            F.expr("bit_xor(xxhash64(line))").alias("fingerprint"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").json(out_dir + "/_manifest")
+    return manifest
+
+
+def validate_training_shards(spark: SparkSession, out_dir: str) -> bool:
+    """Re-derive the shard manifest from the written JSONL files and
+    compare to the stored one — the post-export integrity gate (and the
+    pre-training gate on the consumer side). A lost line, a truncated
+    file, or a flipped byte changes count/chars/fingerprint for exactly
+    one shard.
+
+    Reads the shards as RAW TEXT, not JSON: the manifest fingerprints
+    the writer's exact bytes (``to_json`` output), so a byte-level
+    text read reproduces them with no parser in the loop — a corrupted
+    line that would crash or null out a JSON parse still just changes
+    one shard's fingerprint here. Distributed end-to-end: only the
+    |shards|-row comparison exists anywhere."""
+    back = spark.read.text(out_dir + "/data/shard=*").select(
+        F.regexp_extract(F.input_file_name(), r"shard=(\d+)", 1)
+        .cast("int")
+        .alias("shard"),
+        F.col("value").alias("line"),
+    )
+    recomputed = back.groupBy("shard").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("line")).alias("n_chars"),
+        F.expr("bit_xor(xxhash64(line))").alias("fingerprint"),
+    )
+    stored = spark.read.json(out_dir + "/_manifest").select(
+        F.col("shard").cast("int").alias("shard"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("fingerprint").cast("long").alias("fingerprint"),
+    )
+    return (
+        recomputed.exceptAll(stored).isEmpty()
+        and stored.exceptAll(recomputed).isEmpty()
+    )
