@@ -1720,3 +1720,83 @@ def q_sim_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         dcg.join(avail, "q_id")
         .select("q_id", "n_rel", F.round(F.col("dcg") / idcg, 6).alias("ndcg_at_10"))
     )
+
+
+@query(
+    "q_embed_drift",
+    oracle="""
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS half, g.i AS pos,
+             CAST(embedding[g.i] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+    ),
+    mu AS (
+      SELECT label, half, pos, round(avg(v), 6) AS mu
+      FROM ex GROUP BY label, half, pos
+    ),
+    j AS (
+      SELECT a.label, a.pos, (a.mu - b.mu) * (a.mu - b.mu) AS d2
+      FROM mu a JOIN mu b
+        ON a.label = b.label AND a.pos = b.pos AND a.half = 0 AND b.half = 1
+    ),
+    d AS (SELECT label, list(d2 ORDER BY pos) AS ds FROM j GROUP BY label),
+    cnt AS (
+      SELECT label,
+             CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM embeddings GROUP BY label
+    )
+    SELECT d.label, c.n_a, c.n_b,
+           round(sqrt(list_sum(d.ds)), 6) AS centroid_dist
+    FROM d JOIN cnt c ON d.label = c.label
+    """,
+)
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per-label L2 distance between the
+    centroids of the two snapshot halves (vec_id parity = yesterday's
+    embedding run vs today's) — the embedding-space member of the drift
+    family (q_profile_psi / q_profile_ks watch scalar distributions; this
+    watches the vector column). An embedding-model re-deploy that shifts
+    a class's centroid pages here before retrieval quality decays.
+
+    Scale + parity shape: one posexplode aggregate produces the
+    per-(label, half, dim) means — the only corpus-sized pass, partial
+    sums map-side, |labels| x 2 x 64 rows survive. Means are rounded to
+    6 dp BEFORE differencing (the q_embed_whiten discipline: downstream
+    math starts from identical inputs on both engines), and the 64-dim
+    squared-difference sum is a dim-ordered sequential fold
+    (collect/sort/aggregate — the module's dot-product fold shape), not
+    a groupBy SUM with engine-defined accumulation order.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    mu = ex.groupBy("label", "half", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("mu")
+    )
+    a = mu.where(F.col("half") == 0).select("label", "pos", F.col("mu").alias("mu_a"))
+    b = mu.where(F.col("half") == 1).select("label", "pos", F.col("mu").alias("mu_b"))
+    j = a.join(b, ["label", "pos"]).select(
+        "label",
+        "pos",
+        ((F.col("mu_a") - F.col("mu_b")) * (F.col("mu_a") - F.col("mu_b"))).alias("d2"),
+    )
+    dist = j.groupBy("label").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(pos, d2))), "
+            "s -> s.d2), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("ss")
+    )
+    cnt = e.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    return dist.join(cnt, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(F.sqrt("ss"), 6).alias("centroid_dist"),
+    )

@@ -1000,3 +1000,136 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+def _bpe_pairs(seq_df: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-symbol pair counts over a vocab of
+    space-separated symbol sequences (w, freq, seq)."""
+    arr = F.split("seq", " ")
+    pairs = F.expr(
+        "transform(sequence(1, size(split(seq, ' ')) - 1), "
+        "i -> struct(element_at(split(seq, ' '), i) AS a, "
+        "element_at(split(seq, ' '), i + 1) AS b))"
+    )
+    return (
+        seq_df.where(F.size(arr) > 1)
+        .select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _bpe_merge(seq_df: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply one BPE merge: rewrite every adjacent (a, b) into the fused
+    symbol ab across the whole vocab (left-to-right non-overlapping, the
+    textbook merge semantics of ``str.replace``)."""
+    return seq_df.crossJoin(F.broadcast(best.select("a", "b"))).select(
+        "w",
+        "freq",
+        F.replace(
+            F.col("seq"), F.concat_ws(" ", "a", "b"), F.concat("a", "b")
+        ).alias("seq"),
+    )
+
+
+@query(
+    "q_text_bpe_merge",
+    oracle=r"""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        FROM documents
+      ) WHERE length(w) > 0 GROUP BY w
+    ),
+    seq1 AS (
+      SELECT w, freq, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq
+      FROM words
+    ),
+    p1 AS (
+      SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT s.freq, s.arr[g.i] AS a, s.arr[g.i + 1] AS b
+        FROM (SELECT freq, string_split(seq, ' ') AS arr FROM seq1) s,
+             unnest(generate_series(1, len(s.arr) - 1)) AS g(i)
+      ) GROUP BY a, b
+    ),
+    b1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+    seq2 AS (
+      SELECT s.w, s.freq, replace(s.seq, b1.a || ' ' || b1.b, b1.a || b1.b) AS seq
+      FROM seq1 s, b1
+    ),
+    p2 AS (
+      SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT s.freq, s.arr[g.i] AS a, s.arr[g.i + 1] AS b
+        FROM (SELECT freq, string_split(seq, ' ') AS arr FROM seq2) s,
+             unnest(generate_series(1, len(s.arr) - 1)) AS g(i)
+      ) GROUP BY a, b
+    ),
+    b2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+    seq3 AS (
+      SELECT s.w, s.freq, replace(s.seq, b2.a || ' ' || b2.b, b2.a || b2.b) AS seq
+      FROM seq2 s, b2
+    ),
+    p3 AS (
+      SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT s.freq, s.arr[g.i] AS a, s.arr[g.i + 1] AS b
+        FROM (SELECT freq, string_split(seq, ' ') AS arr FROM seq3) s,
+             unnest(generate_series(1, len(s.arr) - 1)) AS g(i)
+      ) GROUP BY a, b
+    ),
+    b3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym,
+           n AS pair_count FROM b1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), a, b, n FROM b2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), a, b, n FROM b3
+    """,
+)
+def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary INDUCTION (the training half of byte-pair encoding;
+    q_text_token_bpe is the inference half): three unrolled merge rounds,
+    each picking the corpus's most frequent adjacent symbol pair and
+    fusing it across the vocabulary — the Sennrich-style trainer every
+    tokenizer build step runs before any token counting can happen.
+
+    The scale shape IS the classic trainer's: the corpus is touched ONCE
+    (word frequency aggregate); every merge round then operates on the
+    DISTINCT-WORD frame weighted by frequency — pair counting explodes
+    |vocab| short sequences, the argmax is a sort of |pair-types| rows,
+    and the merge is one broadcast of a 1-row pair into a string rewrite.
+    At 100 TB the vocab frame is millions of rows while the corpus is
+    trillions — rounds never rescan the corpus. Symbol sequences are
+    space-separated strings (not arrays): the merge is then a single
+    ``replace`` with textbook left-to-right non-overlap semantics,
+    identical on both engines, and re-splitting per round keeps pair
+    extraction a flat codegen expression.
+
+    Determinism: ties in pair frequency break on (a, b) lexicographic
+    order on both engines; counts are exact BIGINTs, so no float
+    discipline is needed anywhere.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    seq = words.select(
+        "w", "freq", F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq")
+    )
+    out = []
+    for rank in (1, 2, 3):
+        pairs = _bpe_pairs(seq)
+        best = pairs.orderBy(F.desc("n"), "a", "b").limit(1)
+        out.append(
+            best.select(
+                F.lit(rank).cast("long").alias("merge_rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("n").alias("pair_count"),
+            )
+        )
+        if rank < 3:
+            seq = _bpe_merge(seq, best)
+    return out[0].unionByName(out[1]).unionByName(out[2])
