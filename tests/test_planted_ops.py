@@ -466,3 +466,111 @@ def test_merge_upsert_planted(spark, tmp_path):
     assert out[1].op == "keep" and out[1].event_type == "click"
     assert out[2].op == "update" and out[2].event_type == "purchase"
     assert out[3].op == "insert" and out[3].event_type == "signup"
+
+
+def test_bpe_merge_planted(spark, tmp_path):
+    """Hand-derivable three-round BPE trajectory on a 2-word corpus:
+    'aaab' x3 + 'ab' x1.
+
+    seqs: 'a a a b'(f=3), 'a b'(f=1).
+    r1: (a,a)=2*3=6 beats (a,b)=3+1=4 -> merge 'a a'->'aa'
+        (LEFT-TO-RIGHT non-overlap: 'a a a b' -> 'aa a b', not 'a aa b').
+    r2: (a,b)=3+1=4 beats (aa,a)=3 -> merge -> 'aa ab' / 'ab'.
+    r3: only (aa,ab)=3 remains.
+    """
+    sf = str(tmp_path / "planted_bpe")
+    _write_documents(spark, sf, [(0, "aaab aaab aaab ab")])
+    out = {
+        r["merge_rank"]: (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in QUERIES["q_text_bpe_merge"](spark, sf).collect()
+    }
+    assert out == {1: ("a", "a", 6), 2: ("a", "b", 4), 3: ("aa", "ab", 3)}
+
+
+def test_profile_ks_planted(spark, tmp_path):
+    """Fully separated halves give KS=1; a constant-valued type exercises
+    the vmax=vmin degenerate guard (everything lands in bucket 0 on both
+    engines, KS=0) instead of a 0/0 NaN."""
+    rows = []
+    eid = 0
+    for u in range(8):  # 4 even (half A), 4 odd (half B)
+        rows.append((eid, "2024-01-01 00:00:00", u,
+                     "sep", 10.0 if u % 2 == 0 else 90.0))
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", u, "const", 5.0))
+        eid += 1
+    sf = str(tmp_path / "planted_ks")
+    _write_events(spark, sf, rows)
+    out = {r["event_type"]: r for r in QUERIES["q_profile_ks"](spark, sf).collect()}
+    assert set(out) == {"sep", "const"}
+    assert out["sep"]["n_a"] == 4 and out["sep"]["n_b"] == 4
+    assert out["sep"]["ks_stat"] == 1.0
+    assert out["const"]["ks_stat"] == 0.0
+
+
+def test_embed_drift_planted(spark, tmp_path):
+    """Label 0: both halves identical -> drift 0. Label 1: half B shifted
+    by exactly +3.0 in dim 0 -> centroid distance 3.0 (means are exact
+    in float, so the 6 dp rounds are lossless here)."""
+    rows = []
+    vid = 0
+    for _ in range(4):  # 2 per half once vec_id parity splits them
+        rows.append((vid, [1.0, 2.0, 0.0, 0.0], 0))
+        vid += 1
+    for _ in range(2):
+        rows.append((vid, [0.0, 1.0, 0.0, 0.0], 1))  # even vec_ids: half A
+        vid += 2
+    vid = 5
+    for _ in range(2):
+        rows.append((vid, [3.0, 1.0, 0.0, 0.0], 1))  # odd vec_ids: half B
+        vid += 2
+    sf = str(tmp_path / "planted_drift")
+    spark.createDataFrame(
+        [(int(v), [float(x) for x in e], int(l)) for v, e, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    out = {r["label"]: r for r in QUERIES["q_embed_drift"](spark, sf).collect()}
+    assert out[0]["centroid_dist"] == 0.0
+    assert out[1]["n_a"] == 2 and out[1]["n_b"] == 2
+    assert out[1]["centroid_dist"] == 3.0
+
+
+def test_recall_eval_planted_partition_miss(spark, tmp_path):
+    """IVF recall is exactly the planted overlap: for query 0 (label 0),
+    9 same-cell vectors sit at cosine ~1.0 and one OTHER-cell vector is
+    planted closer than the 10th same-cell one, so exact top-10 and
+    cell-restricted top-10 differ in exactly that slot -> recall 0.9.
+    Queries 1..19 are surrounded by 25 clones of themselves per label,
+    so exact top-10 == cell top-10 -> recall 1.0."""
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [(0, vec(0.0), 0)]
+    vid = 20
+    # 9 near-identical same-cell neighbors for query 0
+    for i in range(9):
+        rows.append((vid, vec(0.001 + 0.0001 * i), 0))
+        vid += 1
+    # one out-of-cell vector CLOSER than the 10th same-cell vector
+    rows.append((vid, vec(0.002), 99))
+    vid += 1
+    # the 10th same-cell vector, farther than the out-of-cell plant
+    rows.append((vid, vec(0.2), 0))
+    vid += 1
+    # queries 1..19: each in its own label with 25 self-clones
+    for q in range(1, 20):
+        rows.append((q, vec(1.0 + q), q))
+        for i in range(25):
+            rows.append((vid, vec(1.0 + q + 0.001 * (i + 1)), q))
+            vid += 1
+    sf = str(tmp_path / "planted_recall")
+    spark.createDataFrame(
+        [(int(v), [float(x) for x in e], int(l)) for v, e, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    out = {r["q_id"]: r for r in QUERIES["q_sim_recall_eval"](spark, sf).collect()}
+    assert out[0]["n_hits"] == 9 and out[0]["recall_at_10"] == 0.9
+    for q in range(1, 20):
+        assert out[q]["recall_at_10"] == 1.0, q
