@@ -289,9 +289,10 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_profile_psi",
-    oracle="""
+# PSI oracle text, shared with the streaming live twin
+# (streaming/batch_windows.py q_stream_psi_live): the live contract's
+# final-sink state reduces to the identical batch answer.
+_PSI_ORACLE = """
     WITH base AS (
       SELECT event_type,
              CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a,
@@ -327,8 +328,10 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / ((f.n_b + 0.5) / (t.tb + 5.0)))), 6) AS psi
     FROM filled f JOIN tot t ON f.event_type = t.event_type
     GROUP BY f.event_type
-    """,
-)
+    """
+
+
+@query("q_profile_psi", oracle=_PSI_ORACLE)
 def q_profile_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population stability index per event_type between two snapshot
     halves (user_id parity plays the role of yesterday's load vs
@@ -354,6 +357,16 @@ def q_profile_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = e.groupBy("event_type", "bucket").agg(
         F.sum("is_a").alias("n_a"), F.sum(1 - F.col("is_a")).alias("n_b")
     )
+    return psi_from_counts(counts)
+
+
+def psi_from_counts(counts: DataFrame) -> DataFrame:
+    """PSI reduction over a (event_type, bucket, n_a, n_b) count frame —
+    frame-parameterized so the batch profile (q_profile_psi) and the
+    streaming live twin (q_stream_psi_live, whose count frame is the
+    memory-sink state of a streaming aggregation) share one formula
+    tree. Everything here is |types| x 10 rows."""
+    spark = counts.sparkSession
     spine = (
         counts.select("event_type")
         .distinct()

@@ -77,9 +77,13 @@ _FORCE_FRONT: dict[str, int] = {
     # q_sim_neardup, q_sim_pairs_lsh green post-touch — all expired.)
     # round-9 touches:
     # q_sim_mmr: first-selection argmax re-keyed to raw rel (ADVICE r8 #1);
-    # q_time_autocorr: zero-variance NaN-vs-NULL guard (ADVICE r8 #2):
+    # q_time_autocorr: zero-variance NaN-vs-NULL guard (ADVICE r8 #2);
+    # q_profile_psi: formula tree extracted into psi_from_counts (shared
+    # with the new q_stream_psi_live) — value-preserving refactor, but
+    # the touched-query discipline re-grades regardless:
     "q_sim_mmr": 9,
     "q_time_autocorr": 9,
+    "q_profile_psi": 9,
 }
 
 

@@ -1336,3 +1336,50 @@ def q_time_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_pairs") >= 20)
     )
+
+
+def _psi_live_oracle() -> str:
+    from data_pipeline_etl_spark.operators.quality import _PSI_ORACLE
+
+    return _PSI_ORACLE
+
+
+@query("q_stream_psi_live", oracle=_psi_live_oracle())
+def q_stream_psi_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live drift monitor — the tenth live-execution contract: a REAL
+    Structured Streaming job maintains the per-(event_type, value-bucket,
+    snapshot-half) count state in complete mode, and the PSI reduction
+    (shared verbatim with q_profile_psi via quality.psi_from_counts)
+    runs over the memory-sink state each trigger. This is the deployed
+    shape of a drift gate: the DATA-SIZED work — bucket counting — is
+    the streaming aggregation's incremental state (|types| x 10 x 2
+    rows, updated per micro-batch, never a rescan), while the monitor's
+    formula runs over that tiny state table. Streaming forbids chained
+    aggregations in one query, so the count state/PSI split is not a
+    style choice — it is the only scalable factoring, and it mirrors
+    how a production monitor reads its counts from a state store.
+
+    Batch-equivalence: after availableNow drains the backlog, the sink
+    holds exactly the batch count frame, so the PSI output equals
+    q_profile_psi's — one oracle text serves both (quality._PSI_ORACLE).
+    """
+    from data_pipeline_etl_spark.operators.quality import psi_from_counts
+    from data_pipeline_etl_spark.streaming.jobs import run_to_memory_sink
+
+    counts = (
+        _events_stream(spark, sf_dir)
+        .select(
+            "event_type",
+            F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+            F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("is_a").alias("n_a"), F.sum(1 - F.col("is_a")).alias("n_b"))
+    )
+    qname = f"mem_psi_live_{next(_MEM_SINK_SEQ)}"
+    run_to_memory_sink(counts, qname, output_mode="complete")
+    # lazy localCheckpoint: psi_from_counts self-joins its input (spine
+    # derivation + left join), and two references to one MemorySink view
+    # trip Spark 4.1's analyzer with conflicting attribute ids; the
+    # checkpoint renumbers the leaf. The frame is |types| x 10 rows.
+    return psi_from_counts(spark.table(qname).localCheckpoint(eager=False))
