@@ -1800,3 +1800,136 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round(F.sqrt("ss"), 6).alias("centroid_dist"),
     )
+
+
+_MP_NPROBE = 2  # coarse cells probed per query (the IVF recall/cost dial)
+
+
+@query(
+    "q_sim_ivf_multiprobe",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS cell, embedding AS c FROM embeddings WHERE vec_id < {_IVF_K}
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM (SELECT v.vec_id, s.cell, {_D2_SQL} AS d2
+              FROM (SELECT vec_id, embedding AS e FROM embeddings) v
+              CROSS JOIN seeds s)
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, cell FROM (
+        SELECT q_id, cell,
+               row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) AS rn
+        FROM (SELECT v.vec_id AS q_id, s.cell, {_D2_SQL} AS d2
+              FROM (SELECT vec_id, embedding AS e FROM embeddings
+                    WHERE vec_id < 10) v
+              CROSS JOIN seeds s)
+      ) WHERE rn <= {_MP_NPROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, c.vec_id, {_COS_SQL} AS cos_sim
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN (SELECT vec_id, embedding AS ce FROM embeddings) c
+        ON c.vec_id = a.vec_id
+      JOIN (SELECT vec_id, embedding AS qe FROM embeddings) q
+        ON q.vec_id = p.q_id
+      WHERE c.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: search the query's nprobe=2 NEAREST coarse
+    cells instead of only the closest one — the standard recall repair
+    for the IVF boundary problem (a query near a cell edge has its true
+    neighbors in the runner-up cell; single-probe search can never see
+    them, q_sim_recall_eval is the gate that catches it). nprobe is THE
+    recall/cost dial of a production IVF index: candidates scanned scale
+    as nprobe/k of the corpus, recall approaches brute force as nprobe→k.
+
+    Unlike q_sim_ivf_topk (which reuses the fixture ``label`` as a
+    pre-assigned cell), this runs the full index topology end-to-end:
+    the same k=8 deterministic seed centroids as q_sim_ivf_assign, a
+    one-pass argmin assignment of every vector (the index BUILD), a
+    per-query top-nprobe centroid ranking (the PROBE plan — k folds per
+    query, driver-trivial), then scoring restricted to candidates whose
+    assigned cell is probed. A candidate lives in exactly one cell, so
+    the probe join never duplicates pairs and needs no DISTINCT.
+
+    Scale shape: seeds broadcast twice (assignment + probe ranking),
+    the corpus is scanned once for assignment and once for scoring, and
+    the (query x nprobe) probe list joined with the query embeddings is
+    a broadcast of ~|q|*nprobe rows; the only corpus-sized shuffle is
+    the assignment argmin window on vec_id. At 100 TB the assignment is
+    materialized once as a partition column (q_sim_ivf_assign's note)
+    and this query becomes: partition-prune to nprobe cells, one fold
+    per surviving candidate, top-k window over q_id. Distances and
+    cosines are the module's sequential float64 folds; (d2, cell) and
+    (cos_sim DESC, vec_id) orderings pin every tie cross-engine.
+    """
+    from data_pipeline_etl_spark.sources.tables import fanout
+
+    emb = fanout(table(spark, sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id", "embedding", F.sqrt(dot64("embedding", "embedding")).alias("nrm")
+    )
+    seeds = emb.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(e, c, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    assign = (
+        emb.select("vec_id", F.col("embedding").alias("e"))
+        .crossJoin(F.broadcast(seeds))
+        .select("vec_id", "cell", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    pw = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        emb.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("e"))
+        .crossJoin(F.broadcast(seeds))
+        .select("q_id", "cell", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= _MP_NPROBE)
+        .select("q_id", "cell")
+    )
+    qside = probes.join(
+        base.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        ),
+        "q_id",
+    )
+    cand = base.join(assign, "vec_id").select(
+        "vec_id", "cell", F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
+    )
+    scored = (
+        cand.join(F.broadcast(qside), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _cos_pair().alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+        .select("q_id", "vec_id", "cos_sim", "rn")
+    )

@@ -574,3 +574,37 @@ def test_recall_eval_planted_partition_miss(spark, tmp_path):
     assert out[0]["n_hits"] == 9 and out[0]["recall_at_10"] == 0.9
     for q in range(1, 20):
         assert out[q]["recall_at_10"] == 1.0, q
+
+
+def test_ivf_multiprobe_finds_runner_up_cell(spark, tmp_path):
+    """The boundary case multi-probe exists for: query 8 sits between
+    seed cells 0 (angle 0.0) and 1 (angle 0.7) at angle 0.3, so its
+    probe list is [cell 0, cell 1]. Its TRUE nearest neighbor (vec 100,
+    angle 0.42, cosine 0.992814) is assigned to the RUNNER-UP cell 1 —
+    single-probe search over cell 0 could never return it (cell 0's
+    best is seed 0 itself at cosine 0.955336). nprobe=2 must rank
+    100 first, then seed 0, then seed 1 (cosine 0.921061)."""
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [(k, vec(k * 0.7), k) for k in range(8)]  # seeds = their own cells
+    rows.append((8, vec(0.30), 0))  # the boundary query
+    rows.append((100, vec(0.42), 0))  # true NN, lands in cell 1
+    rows.append((101, vec(-0.20), 0))  # cell-0 filler
+    rows.append((102, vec(-0.25), 0))  # cell-0 filler
+    sf = str(tmp_path / "planted_multiprobe")
+    spark.createDataFrame(
+        [(int(v), [float(x) for x in e], int(l)) for v, e, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    out = [
+        (r["vec_id"], r["cos_sim"])
+        for r in QUERIES["q_sim_ivf_multiprobe"](spark, sf)
+        .where(F.col("q_id") == 8)
+        .orderBy("rn")
+        .collect()
+    ]
+    assert [v for v, _ in out] == [100, 0, 1]
+    assert out[0][1] == pytest.approx(math.cos(0.12), abs=1e-4)
