@@ -1383,3 +1383,98 @@ def q_stream_psi_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trip Spark 4.1's analyzer with conflicting attribute ids; the
     # checkpoint renumbers the leaf. The frame is |types| x 10 rows.
     return psi_from_counts(spark.table(qname).localCheckpoint(eager=False))
+
+
+@query(
+    "q_time_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+             min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY 1, 2
+    ),
+    per_t AS (
+      SELECT t, sum(ds) AS n_start, sum(de) AS n_end FROM (
+        SELECT s AS t, 1 AS ds, 0 AS de FROM iv
+        UNION ALL
+        SELECT e AS t, 0 AS ds, 1 AS de FROM iv
+      ) GROUP BY t
+    )
+    SELECT t,
+           CAST(n_start AS BIGINT) AS n_start,
+           CAST(n_end AS BIGINT) AS n_end,
+           CAST(sum(n_start) OVER w - sum(n_end) OVER w + n_end AS BIGINT)
+             AS n_active
+    FROM per_t
+    WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_time_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency curve: at every interval boundary instant,
+    how many users are concurrently active (interval = the user's
+    [min ts, max ts] span within each day, endpoints inclusive). The
+    load-curve / peak-occupancy primitive: capacity planning, concurrent-
+    session licensing, and the training-cluster "how many shards are
+    in-flight" monitor are all this one shape.
+
+    Intra-instant ordering is defined AWAY rather than tie-ordered:
+    n_active(t) = (#starts <= t) - (#ends < t), computed per distinct
+    boundary as cum(starts) - cum(ends) + ends_at_t — no +1-before--1
+    sequencing for the engines to disagree on, and a zero-length
+    interval (single-event user-day) correctly counts active at its own
+    instant.
+
+    Scale shape — the distributed prefix sum: a naive running total is a
+    GLOBAL ordered window, i.e. one partition pulling every boundary row
+    through a single task (the classic scale trap; fine in DuckDB's
+    oracle, wrong on a cluster). Instead: (1) boundaries partition by
+    day and each partition computes its LOCAL running sums in parallel;
+    (2) per-day delta totals — |days| rows, the only single-partition
+    step — turn into per-day OFFSETS via a cumulative window over days;
+    (3) offsets broadcast-join back onto the local sums. Identical
+    semantics, and the corpus-sized pass is embarrassingly parallel; at
+    100 TB the offset frame is still only |days| rows.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    iv = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    deltas = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("ds"), F.lit(0).alias("de")
+    ).unionByName(
+        iv.select(F.col("e").alias("t"), F.lit(0).alias("ds"), F.lit(1).alias("de"))
+    )
+    per_t = deltas.groupBy("t").agg(
+        F.sum("ds").alias("n_start"), F.sum("de").alias("n_end")
+    )
+    wl = (
+        Window.partitionBy("bkt")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = (
+        per_t.withColumn("bkt", F.date_trunc("day", "t"))
+        .withColumn("ls", F.sum("n_start").over(wl))
+        .withColumn("le", F.sum("n_end").over(wl))
+    )
+    tot = local.groupBy("bkt").agg(
+        F.sum("n_start").alias("bs"), F.sum("n_end").alias("be")
+    )
+    # |days|-row frame: the single-partition window is bounded by the
+    # calendar, not the corpus.
+    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select(
+        "bkt",
+        F.coalesce(F.sum("bs").over(wo), F.lit(0)).alias("os"),
+        F.coalesce(F.sum("be").over(wo), F.lit(0)).alias("oe"),
+    )
+    return local.join(F.broadcast(off), "bkt").select(
+        "t",
+        F.col("n_start").cast("long").alias("n_start"),
+        F.col("n_end").cast("long").alias("n_end"),
+        ((F.col("ls") + F.col("os")) - (F.col("le") + F.col("oe")) + F.col("n_end"))
+        .cast("long")
+        .alias("n_active"),
+    )

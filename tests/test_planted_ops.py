@@ -608,3 +608,33 @@ def test_ivf_multiprobe_finds_runner_up_cell(spark, tmp_path):
     ]
     assert [v for v, _ in out] == [100, 0, 1]
     assert out[0][1] == pytest.approx(math.cos(0.12), abs=1e-4)
+
+
+def test_concurrency_planted(spark, tmp_path):
+    """Four users, one day: u1 spans [01,03], u2 [02,05], u3 [03,04]
+    (starting the instant u1 ends — inclusive endpoints must count
+    both), u4 is a zero-length interval at 02:00 (active at its own
+    instant only). n_active(t) = (#starts <= t) - (#ends < t):
+    01->1, 02->3, 03->3, 04->2, 05->1."""
+    rows = [
+        (0, "2024-01-01 01:00:00", 1, "view", 1.0),
+        (1, "2024-01-01 03:00:00", 1, "view", 1.0),
+        (2, "2024-01-01 02:00:00", 2, "view", 1.0),
+        (3, "2024-01-01 05:00:00", 2, "view", 1.0),
+        (4, "2024-01-01 03:00:00", 3, "view", 1.0),
+        (5, "2024-01-01 04:00:00", 3, "view", 1.0),
+        (6, "2024-01-01 02:00:00", 4, "view", 1.0),
+    ]
+    sf = str(tmp_path / "planted_conc")
+    _write_events(spark, sf, rows)
+    out = {
+        r["t"].hour: (r["n_start"], r["n_end"], r["n_active"])
+        for r in QUERIES["q_time_concurrency"](spark, sf).collect()
+    }
+    assert out == {
+        1: (1, 0, 1),
+        2: (2, 1, 3),
+        3: (1, 1, 3),
+        4: (0, 1, 2),
+        5: (0, 1, 1),
+    }
