@@ -612,3 +612,51 @@ def q_profile_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(gap), 6).alias("ks_stat"),
         )
     )
+
+
+@query(
+    "q_dq_kanon",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           count(*) AS k,
+           count(*) = 1 AS is_unique
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 5
+    """,
+)
+def q_dq_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen over the quasi-identifier tuple
+    (nation, market segment, account-balance kilobucket): every QI group
+    smaller than k=5 is a re-identification risk — an attacker who knows
+    those three attributes narrows a "anonymized" record to <5 people
+    (k=1 = unique = fully identified). The privacy gate a training-data
+    pipeline runs BEFORE releasing structured records: PII scrubbing
+    (q_text_pii) removes direct identifiers; this catches the indirect
+    ones that survive scrubbing.
+
+    Scale: one partial+final aggregate; output is bounded by the QI-space
+    cardinality (|nations| x |segments| x |buckets|), never by row count,
+    so the report stays broadcast-sized at 100 TB. Production iterates:
+    groups flagged here get a coarser generalization (wider balance
+    buckets, region instead of nation) and re-screen — each pass is this
+    same single aggregate.
+    """
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        )
+        .agg(F.count("*").alias("k"))
+        .where(F.col("k") < 5)
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_bucket",
+            "k",
+            (F.col("k") == 1).alias("is_unique"),
+        )
+    )

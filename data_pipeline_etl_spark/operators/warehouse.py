@@ -815,3 +815,89 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("event_type"),
         F.when(upd, F.col("ust.value")).otherwise(F.col("bst.value")).alias("value"),
     )
+
+
+@query(
+    "q_graph_bfs",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ),
+    seed AS (SELECT min(l_partkey) AS s FROM items),
+    h1 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN seed ON e.src = seed.s),
+    h2 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN h1 ON e.src = h1.node),
+    h3 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN h2 ON e.src = h2.node)
+    SELECT node AS l_partkey, CAST(min(hops) AS BIGINT) AS hops FROM (
+      SELECT s AS node, 0 AS hops FROM seed
+      UNION ALL SELECT node, 1 AS hops FROM h1
+      UNION ALL SELECT node, 2 AS hops FROM h2
+      UNION ALL SELECT node, 3 AS hops FROM h3
+    ) GROUP BY node
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distance (<= 3 hops) from the minimum part key
+    over the part co-order graph — the reachability member of the graph
+    family (pagerank = centrality, triangles = cohesion, dedup_cluster =
+    components): "everything within N recommendation hops of this
+    product" / blast-radius queries are this shape.
+
+    BFS-as-joins, unrolled: each hop is one join of the edge frame
+    against the current frontier plus a distinct; min(hops) over the
+    unioned hop frames resolves multi-path visits (a node reached at
+    hop 1 AND hop 3 reports 1) without any visited-set state, which is
+    what keeps the unrolled form expressible as pure SQL on both
+    engines. Frontiers are node-dimension-bounded, so they broadcast
+    (the q_graph_pagerank rank-frame argument); the edge frame is
+    checkpointed once and reused across all three hop joins; each
+    frontier is checkpointed because it feeds BOTH the next hop join
+    and the final union (two consumers, one compute). Driver-iterated
+    convergence variants (unknown diameter) belong to q_dedup_cluster's
+    pointer-doubling pattern; fixed-depth unrolling is the right shape
+    when the hop budget is part of the question.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    return bfs_hops_for(l.select("l_orderkey", "l_partkey").distinct())
+
+
+def bfs_hops_for(items: DataFrame) -> DataFrame:
+    """q_graph_bfs's plan over any (l_orderkey, l_partkey) item frame —
+    shared by the declared query and scripts/scaling_probe.py so the
+    probe measures the exact declared plan shape."""
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    seed = items.agg(F.min("l_partkey").alias("node")).localCheckpoint(eager=True)
+    frames = [seed.select("node", F.lit(0).alias("hops"))]
+    frontier = seed
+    for hop in (1, 2, 3):
+        frontier = (
+            edges.join(
+                F.broadcast(frontier.select(F.col("node").alias("src"))), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        frames.append(frontier.select("node", F.lit(hop).alias("hops")))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return (
+        out.groupBy(F.col("node").alias("l_partkey"))
+        .agg(F.min("hops").cast("long").alias("hops"))
+    )

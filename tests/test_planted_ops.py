@@ -638,3 +638,32 @@ def test_concurrency_planted(spark, tmp_path):
         4: (0, 1, 2),
         5: (0, 1, 1),
     }
+
+
+def test_graph_bfs_planted(spark, tmp_path):
+    """Chain of co-order edges 10-20-30-40-50 (orders 1..4) plus a
+    shortcut order {10,30}: seed = min part = 10; 20 and 30 are 1 hop
+    (30 via the shortcut, NOT 2 via the chain — min(hops) must win),
+    40 is 2, 50 is 3. Part 99 sits in its own single-part order: no
+    co-order edge, unreachable, excluded from the output entirely."""
+    baskets = {1: [10, 20], 2: [20, 30], 3: [30, 40], 4: [40, 50], 5: [10, 30], 6: [99]}
+    rows = []
+    for ok, parts in baskets.items():
+        for i, p in enumerate(parts):
+            rows.append(
+                (ok, p, 1, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O", "2024-01-01")
+            )
+    sf = str(tmp_path / "planted_bfs")
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")).write.parquet(
+        f"{sf}/lineitem.parquet"
+    )
+    out = {
+        r["l_partkey"]: r["hops"]
+        for r in QUERIES["q_graph_bfs"](spark, sf).collect()
+    }
+    assert out == {10: 0, 20: 1, 30: 1, 40: 2, 50: 3}
