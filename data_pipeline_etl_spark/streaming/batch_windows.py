@@ -1435,9 +1435,15 @@ def q_time_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, and the corpus-sized pass is embarrassingly parallel; at
     100 TB the offset frame is still only |days| rows.
     """
+    return concurrency_for(table(spark, sf_dir, "events"))
+
+
+def concurrency_for(e: DataFrame) -> DataFrame:
+    """q_time_concurrency's plan over any events frame (ts normalized) —
+    shared by the declared query and scripts/scaling_probe.py so the
+    probe measures the exact declared plan shape."""
     from pyspark.sql import Window
 
-    e = table(spark, sf_dir, "events")
     iv = e.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("d")
     ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))

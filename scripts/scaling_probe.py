@@ -82,6 +82,20 @@ def main() -> int:
     max_pk = l.agg(F.max("l_partkey")).collect()[0][0] + 1
     dim = len(e.select("embedding").first()[0])
 
+    def _norm_events(df):
+        # the loader's ts dispatch (sources/tables.py): ns long vs µs ts
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    ev = _norm_events(spark.read.parquet(f"{sf}/events.parquet"))
+    max_uid = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    max_eid = ev.agg(F.max("event_id")).collect()[0][0] + 1
+
     def replicate(tmp: str, factor: int, need_base: bool = True) -> dict[str, str]:
         reps = spark.range(factor).select(F.col("id").alias("rep"))
         paths = {"lineitem": None, "orders": None}
@@ -135,6 +149,22 @@ def main() -> int:
                 ).alias("text"),
             )
             .write.parquet(paths["documents"])
+        )
+        # events: Nx more users over the SAME calendar window (user_id /
+        # event_id remapped, ts untouched) — the honest growth model for
+        # time-keyed data: traffic grows, the clock doesn't.
+        paths["events"] = os.path.join(tmp, "events")
+        (
+            ev.crossJoin(reps)
+            .select(
+                (F.col("event_id") + F.col("rep") * max_eid).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.col("rep") * max_uid).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            .write.parquet(paths["events"])
         )
         return paths
 
@@ -256,18 +286,28 @@ def main() -> int:
 
         return triangles_for(_items(ldf)).agg(F.count("*").alias("n_tris"))
 
+    def concurrency(vdf):
+        from data_pipeline_etl_spark.streaming.batch_windows import concurrency_for
+
+        # summarize (curve points + peak) — the boundary curve itself
+        # stays distributed
+        return concurrency_for(vdf).agg(
+            F.count("*").alias("n_points"), F.max("n_active").alias("peak")
+        )
+
     cases = {
-        "q1_groupby": lambda L, O, E, D: q1(L),
-        "join_agg": lambda L, O, E, D: join_agg(L, O),
-        "dedup_exact": lambda L, O, E, D: dedup(L),
-        "win_topn": lambda L, O, E, D: wtopn(L),
-        "substr_spans": lambda L, O, E, D: substr(D),
-        "cov_matrix": lambda L, O, E, D: covm(E),
-        "bigram_lm": lambda L, O, E, D: bigram(D),
-        "pq_encode": lambda L, O, E, D: pqenc(E),
-        "basket_aff": lambda L, O, E, D: basket(L),
-        "pagerank": lambda L, O, E, D: pagerank(L),
-        "triangles": lambda L, O, E, D: triangles(L),
+        "q1_groupby": lambda L, O, E, D, V: q1(L),
+        "join_agg": lambda L, O, E, D, V: join_agg(L, O),
+        "dedup_exact": lambda L, O, E, D, V: dedup(L),
+        "win_topn": lambda L, O, E, D, V: wtopn(L),
+        "substr_spans": lambda L, O, E, D, V: substr(D),
+        "cov_matrix": lambda L, O, E, D, V: covm(E),
+        "bigram_lm": lambda L, O, E, D, V: bigram(D),
+        "pq_encode": lambda L, O, E, D, V: pqenc(E),
+        "basket_aff": lambda L, O, E, D, V: basket(L),
+        "pagerank": lambda L, O, E, D, V: pagerank(L),
+        "triangles": lambda L, O, E, D, V: triangles(L),
+        "concurrency": lambda L, O, E, D, V: concurrency(V),
     }
 
     def scaled_rows(factor):
@@ -279,10 +319,11 @@ def main() -> int:
     # so each *_scaledN row has its own per-vector-cost reference
     all_ns = sorted({8} | {scaled_rows(f) for f in factors})
 
-    def measure(tag, factor, lp, op, ep, dp):
+    def measure(tag, factor, lp, op, ep, dp, vp):
         L = spark.read.parquet(lp) if lp else None
         O = spark.read.parquet(op) if op else None
         D = spark.read.parquet(dp) if dp else None
+        V = _norm_events(spark.read.parquet(vp)) if vp else None
         # spread the signature folds (the declared query does this via
         # fanout(); the small fixture parquet is otherwise one partition)
         E = spark.read.parquet(ep).repartition(
@@ -296,17 +337,17 @@ def main() -> int:
         for n in ns:
             label = "fixed8" if n == 8 else f"scaled{n}"
             if factor <= LSH_MAX_FACTOR:
-                todo[f"lsh_{label}"] = (lambda nn: lambda L, O, E, D: lsh(E, nn))(n)
-            todo[f"lshv_{label}"] = (lambda nn: lambda L, O, E, D: lshv(E, nn))(n)
+                todo[f"lsh_{label}"] = (lambda nn: lambda L, O, E, D, V: lsh(E, nn))(n)
+            todo[f"lshv_{label}"] = (lambda nn: lambda L, O, E, D, V: lshv(E, nn))(n)
         if only:
             todo = {k: v for k, v in todo.items() if any(s in k for s in only)}
         out = {}
         for name, fn in todo.items():
-            warm = fn(L, O, E, D).toPandas()  # warm
+            warm = fn(L, O, E, D, V).toPandas()  # warm
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                fn(L, O, E, D).toPandas()
+                fn(L, O, E, D, V).toPandas()
                 ts.append(time.perf_counter() - t0)
             out[name] = statistics.median(ts)
             note = ""
@@ -322,6 +363,7 @@ def main() -> int:
         f"{sf}/orders.parquet",
         f"{sf}/embeddings.parquet",
         f"{sf}/documents.parquet",
+        f"{sf}/events.parquet",
     )
     results = {"1x": base}
     base_cases = (
@@ -342,6 +384,7 @@ def main() -> int:
                 paths["orders"],
                 paths["embeddings"],
                 paths["documents"],
+                paths["events"],
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
