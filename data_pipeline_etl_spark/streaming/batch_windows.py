@@ -1385,9 +1385,7 @@ def q_stream_psi_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_counts(spark.table(qname).localCheckpoint(eager=False))
 
 
-@query(
-    "q_time_concurrency",
-    oracle="""
+_CONCURRENCY_ORACLE = """
     WITH iv AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
              min(ts) AS s, max(ts) AS e
@@ -1407,8 +1405,10 @@ def q_stream_psi_live(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_active
     FROM per_t
     WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    """,
-)
+    """
+
+
+@query("q_time_concurrency", oracle=_CONCURRENCY_ORACLE)
 def q_time_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line concurrency curve: at every interval boundary instant,
     how many users are concurrently active (interval = the user's
@@ -1442,11 +1442,20 @@ def concurrency_for(e: DataFrame) -> DataFrame:
     """q_time_concurrency's plan over any events frame (ts normalized) —
     shared by the declared query and scripts/scaling_probe.py so the
     probe measures the exact declared plan shape."""
-    from pyspark.sql import Window
-
     iv = e.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("d")
     ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    return concurrency_from_intervals(iv)
+
+
+def concurrency_from_intervals(iv: DataFrame) -> DataFrame:
+    """The boundary-curve reduction over any (s, e) interval frame — the
+    back half of :func:`concurrency_for`, split out so the live
+    streaming monitor (q_stream_concurrency_live, whose interval frame
+    is streaming aggregation state) runs the exact same prefix-sum
+    plan."""
+    from pyspark.sql import Window
+
     deltas = iv.select(
         F.col("s").alias("t"), F.lit(1).alias("ds"), F.lit(0).alias("de")
     ).unionByName(
@@ -1483,4 +1492,45 @@ def concurrency_for(e: DataFrame) -> DataFrame:
         ((F.col("ls") + F.col("os")) - (F.col("le") + F.col("oe")) + F.col("n_end"))
         .cast("long")
         .alias("n_active"),
+    )
+
+
+@query("q_stream_concurrency_live", oracle=_CONCURRENCY_ORACLE)
+def q_stream_concurrency_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live occupancy monitor — the eleventh live-execution contract: a
+    REAL Structured Streaming job maintains the per-(user, day) activity
+    interval state (min ts / max ts — both are streaming-safe monotone
+    aggregates) in complete mode, and the sweep-line boundary curve
+    (shared verbatim with q_time_concurrency via
+    concurrency_from_intervals) runs over the sink state each trigger.
+    The q_stream_psi_live factoring, applied to occupancy: streaming
+    forbids the chained aggregation (interval agg -> boundary agg ->
+    prefix windows) in one query, so the DATA-SIZED pass — collapsing
+    the event stream to one interval per user-day — is the incremental
+    streaming state, and the curve reduction reads that state table,
+    exactly how a deployed monitor reads its state store. The memory
+    sink is the local test vehicle; at scale the interval state lands in
+    a real sink keyed by (user, day) and the reduction stays the same
+    distributed prefix-sum plan.
+
+    Batch-equivalence: after availableNow drains the backlog the sink
+    holds exactly the batch interval frame, so the curve equals
+    q_time_concurrency's — one oracle text serves both.
+    """
+    from data_pipeline_etl_spark.streaming.jobs import run_to_memory_sink
+
+    iv = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    qname = f"mem_concurrency_live_{next(_MEM_SINK_SEQ)}"
+    run_to_memory_sink(iv, qname, output_mode="complete")
+    # lazy localCheckpoint: concurrency_from_intervals references the
+    # interval frame twice (start- and end-delta branches of the union),
+    # and two references to one MemorySink view trip Spark 4.1's
+    # analyzer with conflicting attribute ids; the checkpoint renumbers
+    # the leaf (the q_stream_psi_live workaround).
+    return concurrency_from_intervals(
+        spark.table(qname).localCheckpoint(eager=False)
     )
