@@ -698,6 +698,167 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ingest_oracle() -> str:
+    sigs = ",\n           ".join(
+        f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(_MINHASH_K)
+    )
+    n_bands = _MINHASH_K // _MINHASH_BAND
+    band_cols = ",\n           ".join(
+        "md5({}) AS band{}".format(
+            " || ".join(
+                f"mh{i}" for i in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND)
+            ),
+            b,
+        )
+        for b in range(n_bands)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, lang, source, {b} AS band_idx, band{b} AS band_key FROM bsig"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT doc_id, lang, source,
+           {sigs}
+      FROM (SELECT doc_id, lang, source,
+                   unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents)
+      GROUP BY doc_id, lang, source
+    ),
+    bsig AS (
+      SELECT doc_id, lang, source,
+           {band_cols}
+      FROM sig
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    thr AS (SELECT max(doc_id) / 2 AS cut FROM documents),
+    store AS (
+      SELECT DISTINCT lang, source, band_idx, band_key
+      FROM bands CROSS JOIN thr WHERE doc_id < cut
+    ),
+    hit AS (
+      SELECT DISTINCT n.doc_id
+      FROM bands n CROSS JOIN thr
+      JOIN store s
+        ON n.lang = s.lang AND n.source = s.source
+       AND n.band_idx = s.band_idx AND n.band_key = s.band_key
+      WHERE n.doc_id >= cut
+    ),
+    firsts AS (
+      SELECT lang, source, band_idx, band_key, min(doc_id) AS first_id
+      FROM bands CROSS JOIN thr WHERE doc_id >= cut
+      GROUP BY 1, 2, 3, 4
+    ),
+    earlier AS (
+      SELECT DISTINCT n.doc_id
+      FROM bands n CROSS JOIN thr
+      JOIN firsts f
+        ON n.lang = f.lang AND n.source = f.source
+       AND n.band_idx = f.band_idx AND n.band_key = f.band_key
+      WHERE n.doc_id >= cut AND f.first_id < n.doc_id
+    )
+    SELECT b.doc_id, b.lang, b.source,
+           CASE WHEN b.doc_id IN (SELECT doc_id FROM hit) THEN 'store_dup'
+                WHEN b.doc_id IN (SELECT doc_id FROM earlier) THEN 'batch_dup'
+                ELSE 'admitted' END AS disposition
+    FROM bsig b CROSS JOIN thr WHERE b.doc_id >= cut
+    """
+
+
+@query("q_dedup_ingest", oracle=_ingest_oracle())
+def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE ingest-dedup disposition report — q_dedup_incremental's
+    store screen composed with the batch-internal pass it deliberately
+    leaves out: every batch doc is tagged `store_dup` (some LSH band
+    collides with the historical signature store), `batch_dup` (survived
+    the store screen but band-collides with an EARLIER-ARRIVED batch doc
+    — arrival order = doc_id, first arrival claims the bucket), or
+    `admitted`. This is the audit log a production ingest writes: the
+    admitted set moves on, the two rejected sets are counted per source
+    for the corpus-health dashboard.
+
+    Batch-internal semantics are the conservative greedy rule: a doc is
+    `batch_dup` if ANY lower-id batch doc shares a band bucket, whether
+    or not that doc itself gets admitted (a sequential state-store dedup
+    would re-admit the dup of a rejected doc; the set-based rule stays
+    order-deterministic, one-pass, and never admits a dup of a kept
+    doc). Earlier-collider detection is bucket-min arithmetic, NOT a
+    pair self-join: per (block, band) bucket compute min(doc_id) once,
+    then a doc collides-earlier iff the min over its buckets is below
+    its own id — O(|batch bands|) with no pair materialization at all,
+    which is the trick that keeps the batch pass linear even when a
+    bucket holds thousands of mutual dups (a pair join would go
+    quadratic in exactly that hot-bucket case). Store screen plan is
+    q_dedup_incremental's: distinct store bands, one semi join, one
+    doc-level disposition join; at 100 TB the store is bucketed by
+    band_key and only batch-sized frames shuffle.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_bands = _MINHASH_K // _MINHASH_BAND
+    cut = d.agg((F.max("doc_id") / 2).alias("cut"))
+    d = d.crossJoin(F.broadcast(cut))
+    corpus_sig = _minhash_sig(d.where(F.col("doc_id") < F.col("cut")), with_block=True)
+    store = (
+        corpus_sig.select(
+            "lang",
+            "source",
+            F.posexplode(F.array(*[_band_key(b) for b in range(n_bands)])).alias(
+                "band_idx", "band_key"
+            ),
+        )
+        .distinct()
+    )
+    bsig = (
+        _minhash_sig(d.where(F.col("doc_id") >= F.col("cut")), with_block=True)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            *[_band_key(b).alias(f"band{b}") for b in range(n_bands)],
+        )
+        .localCheckpoint(eager=True)  # feeds probe AND the output frame
+    )
+    probe = bsig.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    keys = ["lang", "source", "band_idx", "band_key"]
+    hit = (
+        probe.join(store, keys, "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("in_store", F.lit(1))
+    )
+    firsts = probe.groupBy(*keys).agg(F.min("doc_id").alias("first_id"))
+    earlier = (
+        probe.join(firsts, keys)
+        .where(F.col("first_id") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("has_earlier", F.lit(1))
+    )
+    return (
+        bsig.select("doc_id", "lang", "source")
+        .join(hit, "doc_id", "left")
+        .join(earlier, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.when(F.col("in_store") == 1, "store_dup")
+            .when(F.col("has_earlier") == 1, "batch_dup")
+            .otherwise("admitted")
+            .alias("disposition"),
+        )
+    )
+
+
 _CC_MAX_ROUNDS = 20  # with pointer doubling this covers diameter ~2**20
 
 

@@ -286,6 +286,13 @@ def main() -> int:
 
         return triangles_for(_items(ldf)).agg(F.count("*").alias("n_tris"))
 
+    def bfs(ldf):
+        from data_pipeline_etl_spark.operators.warehouse import bfs_hops_for
+
+        return bfs_hops_for(_items(ldf)).agg(
+            F.count("*").alias("n_reached"), F.sum("hops").alias("hop_mass")
+        )
+
     def concurrency(vdf):
         from data_pipeline_etl_spark.streaming.batch_windows import concurrency_for
 
@@ -307,6 +314,7 @@ def main() -> int:
         "basket_aff": lambda L, O, E, D, V: basket(L),
         "pagerank": lambda L, O, E, D, V: pagerank(L),
         "triangles": lambda L, O, E, D, V: triangles(L),
+        "bfs": lambda L, O, E, D, V: bfs(L),
         "concurrency": lambda L, O, E, D, V: concurrency(V),
     }
 
@@ -368,7 +376,7 @@ def main() -> int:
     results = {"1x": base}
     base_cases = (
         "q1_groupby", "join_agg", "dedup_exact", "win_topn",
-        "basket_aff", "pagerank", "triangles",
+        "basket_aff", "pagerank", "triangles", "bfs",
     )
     for factor in factors:
         tmp = tempfile.mkdtemp(prefix=f"scaling_probe_{factor}x_")

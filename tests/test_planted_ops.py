@@ -667,3 +667,30 @@ def test_graph_bfs_planted(spark, tmp_path):
         for r in QUERIES["q_graph_bfs"](spark, sf).collect()
     }
     assert out == {10: 0, 20: 1, 30: 1, 40: 2, 50: 3}
+
+
+def test_dedup_ingest_planted(spark, tmp_path):
+    """Same plant as test_dedup_incremental_planted, now with the full
+    disposition: batch doc 4 (exact copy of corpus doc 0) -> store_dup;
+    5 and 7 duplicate EACH OTHER but nothing in the corpus -> the
+    earlier arrival 5 is admitted, 7 is batch_dup; 6 is novel ->
+    admitted."""
+    a = " ".join(_toks("a", 20))
+    novel = " ".join(_toks("n", 20))
+    rows = [
+        (0, a),
+        (1, " ".join(_toks("f1_", 15))),
+        (2, " ".join(_toks("f2_", 15))),
+        (3, " ".join(_toks("f3_", 15))),
+        (4, a),
+        (5, novel),
+        (6, " ".join(_toks("m", 20))),
+        (7, novel),
+    ]
+    sf = str(tmp_path / "planted_ingest")
+    _write_documents(spark, sf, rows)
+    out = {
+        r["doc_id"]: r["disposition"]
+        for r in QUERIES["q_dedup_ingest"](spark, sf).collect()
+    }
+    assert out == {4: "store_dup", 5: "admitted", 6: "admitted", 7: "batch_dup"}
