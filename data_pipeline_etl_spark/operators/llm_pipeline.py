@@ -353,6 +353,80 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_funnel_latency",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, s.t_signup, min(e.ts) AS t_conv
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t_signup
+      GROUP BY e.user_id, s.t_signup
+    ),
+    lat AS (
+      SELECT epoch_us(t_conv) - epoch_us(t_signup) AS us,
+             (epoch_us(t_conv) - epoch_us(t_signup)) / 1000000.0 AS sec FROM c
+    )
+    SELECT count(*) AS n_converted,
+           round(sum(us) / count(*) / 1000000.0, 6) AS avg_sec,
+           round(quantile_cont(sec, 0.5), 6) AS p50_sec,
+           round(quantile_cont(sec, 0.9), 6) AS p90_sec,
+           round(quantile_cont(sec, 0.99), 6) AS p99_sec
+    FROM lat
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: seconds from a user's FIRST
+    signup to their first purchase AFTER it, summarized as exact
+    p50/p90/p99 — the time-to-convert companion to q_funnel (which
+    counts who advances; this measures how long advancing takes, the
+    number an activation team actually tracks, tail-first).
+
+    Shape: one conditional-min aggregate builds the |users|-row signup
+    frame, one equi-join + min re-aggregate finds each user's first
+    qualifying purchase (the ts > t_signup predicate rides the join, so
+    pre-signup purchases never re-aggregate), then a single global
+    percentile over |converted| latencies — array-form percentile(), so
+    all three quantiles share one buffer/sort (the q_agg_percentile
+    measurement). Latency is integer-µs difference divided in float64 —
+    the same expression tree on both engines, so the interpolated
+    quantiles start from identical doubles and 6 dp rounding hashes.
+    """
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("ts").alias("t_conv"))
+    )
+    um = lambda col: F.unix_micros(F.col(col).cast("timestamp"))  # noqa: E731
+    # mean from the EXACT integer-µs sum (BIGINT accumulation on both
+    # engines), divided once in float64 — a double-summed avg(sec) would
+    # be an order-dependent fold across partitions (parity discipline);
+    # per-element sec = µs/1e6 feeds only the sort-based percentiles.
+    lat = c.select(
+        (um("t_conv") - um("t_signup")).alias("us"),
+        ((um("t_conv") - um("t_signup")) / 1000000.0).alias("sec"),
+    )
+    pct = F.expr("percentile(sec, array(0.5, 0.9, 0.99))")
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.sum("us") / F.count("*") / 1000000.0, 6).alias("avg_sec"),
+        F.round(pct.getItem(0), 6).alias("p50_sec"),
+        F.round(pct.getItem(1), 6).alias("p90_sec"),
+        F.round(pct.getItem(2), 6).alias("p99_sec"),
+    )
+
+
+@query(
     "q_retention",
     oracle="""
     WITH firsts AS (
