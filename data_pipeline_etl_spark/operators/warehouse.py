@@ -901,3 +901,90 @@ def bfs_hops_for(items: DataFrame) -> DataFrame:
         out.groupBy(F.col("node").alias("l_partkey"))
         .agg(F.min("hops").cast("long").alias("hops"))
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents,
+             count(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    grp AS (
+      SELECT spend_cents, max(n_orders) AS gmax FROM cust GROUP BY spend_cents
+    ),
+    pg AS (
+      SELECT spend_cents, gmax,
+             coalesce(max(gmax) OVER (ORDER BY spend_cents DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               AS pmax
+      FROM grp
+    )
+    SELECT c.o_custkey, c.spend_cents, c.n_orders
+    FROM cust c JOIN pg USING (spend_cents)
+    WHERE c.n_orders = pg.gmax AND c.n_orders > pg.pmax
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of customers over (total spend, order
+    count), both maximized: keep exactly the customers no other customer
+    dominates (>= on both dimensions, > on at least one) — the classic
+    multi-criteria OLAP operator (Börzsönyi et al.'s SKYLINE OF): "best
+    customers" when no single score combines the axes.
+
+    2D skyline reduces to a sort-and-sweep, NOT a pairwise dominance
+    join: a customer survives iff its order count (a) equals its exact-
+    spend group's max — an equal-spend neighbor with more orders
+    dominates — and (b) strictly exceeds every higher-spend group's max
+    — ties on BOTH dims survive together, since neither side has the
+    required strict edge. The sweep's running max is the two-phase
+    distributed prefix scan (q_time_concurrency's shape on the MAX
+    monoid instead of SUM): spend groups partition into fixed-width
+    buckets for parallel local prefix maxes; per-bucket maxes — the only
+    single-partition step, |buckets| rows — turn into exclusive bucket
+    offsets; greatest(local, offset) reassembles the exact global
+    prefix. floor() bucketing is order-compatible, so bucket boundaries
+    never split an equal-spend group.
+
+    Parity discipline: spend is summed in EXACT integer cents (each
+    price rounds to cents first, BIGINT accumulation) — a float-summed
+    spend would be an order-dependent fold used as a JOIN KEY, the worst
+    place for a 1-ulp wobble; -1 stands in for the empty prefix (counts
+    are >= 1, so the comparison is unaffected).
+    """
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(cents).alias("spend_cents"), F.count("*").alias("n_orders")
+    )
+    grp = cust.groupBy("spend_cents").agg(F.max("n_orders").alias("gmax"))
+    # two-phase prefix max over spend groups (desc): bucketed local sweep
+    # + |buckets|-row offset frame, exact equivalent of the global window
+    wl = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("spend_cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = grp.withColumn("bkt", F.floor(F.col("spend_cents") / 1000000)).withColumn(
+        "lmax", F.max("gmax").over(wl)
+    )
+    tot = local.groupBy("bkt").agg(F.max("gmax").alias("bmax"))
+    wo = Window.orderBy(F.desc("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select("bkt", F.max("bmax").over(wo).alias("omax"))
+    pg = local.join(F.broadcast(off), "bkt").select(
+        "spend_cents",
+        "gmax",
+        F.greatest(
+            F.coalesce(F.col("lmax"), F.lit(-1)), F.coalesce(F.col("omax"), F.lit(-1))
+        ).alias("pmax"),
+    )
+    return (
+        cust.join(pg, "spend_cents")
+        .where((F.col("n_orders") == F.col("gmax")) & (F.col("n_orders") > F.col("pmax")))
+        .select("o_custkey", "spend_cents", "n_orders")
+    )

@@ -694,3 +694,38 @@ def test_dedup_ingest_planted(spark, tmp_path):
         for r in QUERIES["q_dedup_ingest"](spark, sf).collect()
     }
     assert out == {4: "store_dup", 5: "admitted", 6: "admitted", 7: "batch_dup"}
+
+
+def test_skyline_planted(spark, tmp_path):
+    """Hand-built frontier: c4/c5 tie on BOTH dims (30000 cents, 1
+    order) -> both kept; c3 (20000, 2) kept; c6 (5000, 3) kept on order
+    count. c1 (10000, 1) is dominated inside its own spend group by c2
+    (10000, 2), and c2 is dominated by c3 (higher spend, equal orders)
+    -> both dropped."""
+    orders = {
+        1: [100.00],
+        2: [50.00, 50.00],
+        3: [100.00, 100.00],
+        4: [300.00],
+        5: [300.00],
+        6: [16.66, 16.67, 16.67],
+    }
+    rows = []
+    ok = 1
+    for ck, prices in orders.items():
+        for p in prices:
+            rows.append((ok, ck, "O", float(p), "2024-01-01", "1-URGENT"))
+            ok += 1
+    sf = str(tmp_path / "planted_skyline")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    out = {
+        r["o_custkey"]: (r["spend_cents"], r["n_orders"])
+        for r in QUERIES["q_skyline"](spark, sf).collect()
+    }
+    assert out == {3: (20000, 2), 4: (30000, 1), 5: (30000, 1), 6: (5000, 3)}
