@@ -660,3 +660,61 @@ def q_dq_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("k") == 1).alias("is_unique"),
         )
     )
+
+
+@query(
+    "q_profile_benford",
+    oracle="""
+    WITH d AS (
+      SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+               AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    n AS (SELECT count(*) AS total FROM d)
+    SELECT digit,
+           count(*) AS n_orders,
+           round(count(*) / CAST(total AS DOUBLE), 6) AS obs_share,
+           round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_share
+    FROM d CROSS JOIN n
+    GROUP BY digit, total
+    """,
+)
+def q_profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen on order totals: observed
+    leading-digit shares next to the log10(1 + 1/d) expectation — the
+    classic fabricated-/synthetic-data tell for financial columns (real
+    multiplicative amounts lean toward small leading digits; invented or
+    uniformly generated ones don't). A corpus-health dashboard runs this
+    per source feed; a share drifting from the curve flags the feed, not
+    the row.
+
+    One map-side digit projection + one 9-group aggregate; the total is
+    a broadcast one-row frame. Deviation is reported PER DIGIT rather
+    than folded into a single chi-square so the output carries no
+    cross-row float accumulation to hash-diverge on — the fold, if
+    wanted, is 9-term driver arithmetic downstream. obs_share divides
+    two exact integers and benford_share is a per-row log10 — identical
+    operand pairs on both engines, 6 dp absorbing the 1-ulp log wobble.
+    """
+    o = table(spark, sf_dir, "orders")
+    d = o.where(F.col("o_totalprice") >= 1).select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1).alias(
+            "digit"
+        )
+    )
+    n = d.agg(F.count("*").alias("total"))
+    return (
+        d.crossJoin(F.broadcast(n))
+        .groupBy("digit", "total")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("total").cast("double"), 6).alias(
+                "obs_share"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit").cast("double")), 6).alias(
+                "benford_share"
+            ),
+        )
+    )
