@@ -331,3 +331,28 @@ def test_asof_nearest_single_window_pass(spark):
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_prefix_scan_windows_are_bucket_partitioned(spark):
+    """The two-phase prefix-scan queries never run a corpus-sized keyless
+    window: the data-sized running sum/max is PARTITIONED by the day/
+    spend bucket, and the only keyless windows order over the bucket
+    frame itself (|days| / |spend buckets| rows — calendar/price-range
+    bounded, not corpus bounded). A regression to a single global window
+    would show up here as a keyless spec ordering over t / spend_cents."""
+    import re as _re
+
+    for name, part_first in (
+        ("q_time_concurrency", "bkt"),
+        ("q_skyline", "bkt"),
+    ):
+        plan = _optimized(QUERIES[name](spark, SF_DIR)).replace("\n", " ")
+        specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, plan
+        partitioned = [s for s in specs if not _re.match(r"\w+#\d+L? (ASC|DESC)", s)]
+        keyless = [s for s in specs if _re.match(r"\w+#\d+L? (ASC|DESC)", s)]
+        # the corpus-sized sweep exists and is bucket-partitioned
+        assert any(s.startswith(part_first + "#") for s in partitioned), specs
+        # every keyless window orders over the bucket frame only
+        for s in keyless:
+            assert s.startswith(part_first + "#"), s
