@@ -988,3 +988,100 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_orders") == F.col("gmax")) & (F.col("n_orders") > F.col("pmax")))
         .select("o_custkey", "spend_cents", "n_orders")
     )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP)
+               AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    sizes AS (
+      SELECT cohort_month, count(*) AS cohort_size FROM firsts GROUP BY cohort_month
+    ),
+    act AS (
+      SELECT f.cohort_month,
+             datediff('month', f.cohort_month,
+                      CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP))
+               AS m_offset,
+             o.o_custkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    agg AS (
+      SELECT cohort_month, CAST(m_offset AS BIGINT) AS m_offset,
+             count(DISTINCT o_custkey) AS n_active,
+             CAST(sum(cents) AS BIGINT) AS rev_cents
+      FROM act GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_month, m_offset, n_active, rev_cents,
+             CAST(sum(rev_cents) OVER (PARTITION BY cohort_month ORDER BY m_offset
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_rev_cents
+      FROM agg
+    )
+    SELECT c.cohort_month, c.m_offset, c.n_active, c.rev_cents, c.cum_rev_cents,
+           round(c.cum_rev_cents / 100.0 / s.cohort_size, 6) AS ltv_per_customer
+    FROM cum c JOIN sizes s USING (cohort_month)
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by first-order
+    month, revenue accumulated per cohort across month offsets, and the
+    running LTV-per-customer each cohort has reached by offset m — the
+    revenue twin of q_retention (which counts who comes back; this
+    prices what they spend when they do). The curve a growth team reads
+    to see whether newer cohorts monetize faster or slower than old
+    ones at the same age.
+
+    Shape: one groupBy builds the |customers|-row cohort frame, one
+    equi-join tags every order with its cohort, one (cohort, offset)
+    aggregate — count(DISTINCT custkey) rides the same shuffle — then a
+    cumulative window PARTITIONED by cohort (keyed, bounded by ~months
+    per cohort: never the keyless global-window trap). Month offsets on
+    month-TRUNCATED timestamps are exact integers on both engines
+    (months_between of truncated months has no fractional part; DuckDB
+    datediff('month') counts the same boundaries). Revenue accumulates
+    in exact integer cents (the q_skyline discipline) so the cumsum is
+    order-independent; the single float division happens once at the
+    end, on identical operands.
+    """
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    sizes = firsts.groupBy("cohort_month").agg(F.count("*").alias("cohort_size"))
+    act = o.join(firsts, "o_custkey").select(
+        "cohort_month",
+        F.months_between(
+            F.date_trunc("month", "o_orderdate"), F.col("cohort_month")
+        )
+        .cast("long")
+        .alias("m_offset"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    agg = act.groupBy("cohort_month", "m_offset").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("m_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = agg.withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
+    return cum.join(sizes, "cohort_month").select(
+        "cohort_month",
+        "m_offset",
+        "n_active",
+        "rev_cents",
+        "cum_rev_cents",
+        F.round(
+            F.col("cum_rev_cents") / 100.0 / F.col("cohort_size"), 6
+        ).alias("ltv_per_customer"),
+    )

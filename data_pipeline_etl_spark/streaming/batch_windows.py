@@ -1534,3 +1534,59 @@ def q_stream_concurrency_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concurrency_from_intervals(
         spark.table(qname).localCheckpoint(eager=False)
     )
+
+
+@query(
+    "q_time_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    lat AS (
+      SELECT event_type, gap_us, gap_us / 1000000.0 AS gap_sec
+      FROM g WHERE gap_us IS NOT NULL
+    )
+    SELECT event_type,
+           count(*) AS n_gaps,
+           round(sum(gap_us) / count(*) / 1000000.0, 6) AS avg_gap_sec,
+           round(quantile_cont(gap_sec, 0.5), 6) AS p50_gap_sec,
+           round(quantile_cont(gap_sec, 0.99), 6) AS p99_gap_sec,
+           round(max(gap_sec), 6) AS max_gap_sec
+    FROM lat GROUP BY event_type
+    """,
+)
+def q_time_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type: median / p99 /
+    max seconds between consecutive events of the same type — the
+    arrival-process profile behind every freshness SLO (q_dq_freshness
+    checks the LAST gap; this characterizes ALL of them, and p99 is
+    what you set the alert threshold from so the pager fires on real
+    stalls, not the routine tail).
+
+    One lag window per event_type (keyed shuffle — |types| partitions
+    of ordered scans, never keyless), then a per-type aggregate. Gaps
+    are integer µs from the lag; the mean divides the exact BIGINT sum
+    once (q_funnel_latency's discipline), per-element seconds feed only
+    the sort-based percentiles, and (ts, event_id) ordering pins
+    equal-timestamp neighbors cross-engine.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type", (um - F.lag(um).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    lat = g.select("event_type", "gap_us", (F.col("gap_us") / 1000000.0).alias("gap_sec"))
+    pct = F.expr("percentile(gap_sec, array(0.5, 0.99))")
+    return lat.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.sum("gap_us") / F.count("*") / 1000000.0, 6).alias("avg_gap_sec"),
+        F.round(pct.getItem(0), 6).alias("p50_gap_sec"),
+        F.round(pct.getItem(1), 6).alias("p99_gap_sec"),
+        F.round(F.max("gap_sec"), 6).alias("max_gap_sec"),
+    )
