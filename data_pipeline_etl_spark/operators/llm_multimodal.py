@@ -192,3 +192,59 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("feat", lambda v: F.round(v, 6).cast("string")), ","
         ).alias("feat_csv"),
     )
+
+
+# rows-only: the dHash is computed from DECODED BMP pixels (RIFF/DIB
+# parse + integer-luma gradient bits) — no cross-engine SQL oracle can
+# decode the container. Determinism pinned in tests/test_rows_only.py;
+# near-dup/distinct semantics planted in tests/test_planted_ops.py.
+@query("q_multimodal_phash")
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual hash — the multimodal member of the
+    dedup family: every image asset gets a 56-bit dHash (integer-luma
+    horizontal gradient bits over the DECODED pixels, not the bytes —
+    re-encoded / metadata-touched copies that defeat q_multimodal_binmeta's
+    md5 still collide here), plus its 4x14-bit band keys and the size of
+    its exact-hash group. Hamming-0 dedup is the groupBy on phash;
+    hamming<=k near-dup at corpus scale is the SAME band-bucket
+    candidate topology as q_dedup_lsh_candidates — a pair must agree on
+    some 14-bit band, so the band columns ARE the index delta a
+    production image-dedup store appends (mirroring q_dedup_incremental's
+    contract, swapped from MinHash bands to phash bands).
+
+    Scale shape: payloads are built AND hashed executor-side over Arrow
+    batches (mapInPandas — bytes never touch the driver); the image
+    filter runs before the encode so audio/video rows never pay the
+    codec; the only shuffles downstream of hashing carry (doc_id, 14-hex
+    string) rows — hash-sized, never pixel-sized.
+    """
+    from data_pipeline_etl_spark.streaming import multimodal
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    hashed = multimodal.phash_assets(multimodal.make_real_assets(d))
+    counts = hashed.groupBy("phash").agg(F.count("*").alias("n_same_hash"))
+    bits = F.conv(F.col("phash"), 16, 10).cast("long")
+    return (
+        hashed.join(counts, "phash")
+        .select(
+            "doc_id",
+            "phash",
+            *[
+                F.lower(
+                    F.lpad(
+                        F.conv(
+                            (
+                                F.shiftright(bits, 14 * i).bitwiseAND(F.lit(0x3FFF))
+                            ).cast("string"),
+                            10,
+                            16,
+                        ),
+                        4,
+                        "0",
+                    )
+                ).alias(f"band{i}")
+                for i in range(4)
+            ],
+            "n_same_hash",
+        )
+    )

@@ -496,3 +496,44 @@ def resize_features(features: DataFrame, out_dim: int = 4) -> DataFrame:
         / block,
     )
     return features.select("asset_id", "media_type", pooled.alias("feat_small"))
+
+
+def dhash_image(payload: bytes) -> int:
+    """56-bit difference hash (dHash) of a decoded BMP: integer luma
+    (299R + 587G + 114B — scaled BT.601, no floats so there are no
+    rounding ties), one bit per horizontally adjacent pixel pair
+    (1 = right pixel brighter), rows concatenated MSB-first. Near-
+    identical images (small pixel deltas) keep the same bits wherever
+    the luma gradient's margin exceeds the perturbation; structurally
+    different images flip ~half the bits."""
+    px = decode_bmp(payload).astype(np.int64)
+    luma = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+    bits = 0
+    h, w = luma.shape
+    for y in range(h):
+        for x in range(w - 1):
+            bits = (bits << 1) | (1 if luma[y, x + 1] > luma[y, x] else 0)
+    return bits
+
+
+PHASH_SCHEMA = "doc_id BIGINT, n_bytes BIGINT, phash STRING"
+
+
+def phash_assets(assets: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hashing over image payloads — the same
+    mapInPandas flow as extract_features, emitting the 14-hex dHash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "phash": payloads.map(
+                        lambda b: format(dhash_image(bytes(b)), "014x")
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(run, PHASH_SCHEMA)

@@ -729,3 +729,24 @@ def test_skyline_planted(spark, tmp_path):
         for r in QUERIES["q_skyline"](spark, sf).collect()
     }
     assert out == {3: (20000, 2), 4: (30000, 1), 5: (30000, 1), 6: (5000, 3)}
+
+
+def test_multimodal_phash_planted(spark, tmp_path):
+    """Image near-dup on DECODED pixels: docs 0/3/6 are image assets
+    (doc_id % 3 == 0) whose 8x8 BMPs come straight from the 192 text
+    bytes. Doc 0 is a strong left-to-right luma ramp (margin 12 per
+    channel step >> any 1-char edit); doc 3 perturbs ONE character by
+    +1 -> same dHash (near-dup found despite different payload md5);
+    doc 6 reverses the ramp -> every gradient bit flips -> distinct."""
+    ramp = "".join(chr(32 + 12 * x) * 3 for _ in range(8) for x in range(8))
+    near = chr(ord(ramp[0]) + 1) + ramp[1:]
+    rows = [(0, ramp), (3, near), (6, ramp[::-1]), (1, "audio doc"), (2, "video doc")]
+    sf = str(tmp_path / "planted_phash")
+    _write_documents(spark, sf, rows)
+    out = {
+        r["doc_id"]: (r["phash"], r["n_same_hash"])
+        for r in QUERIES["q_multimodal_phash"](spark, sf).collect()
+    }
+    assert set(out) == {0, 3, 6}  # only image assets hash
+    assert out[0][0] == out[3][0] and out[0][1] == out[3][1] == 2
+    assert out[6][0] != out[0][0] and out[6][1] == 1

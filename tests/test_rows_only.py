@@ -98,3 +98,18 @@ def test_minhash_lsh_demo_deterministic(spark):
     second = _rows(QUERIES["q_dedup_minhash"](spark, SF_DIR))
     assert first == second
     assert first, "demo produced no candidate pairs — fixture changed?"
+
+
+def test_multimodal_phash_deterministic(spark):
+    """dHash output is a pure function of the fixture text bytes: two
+    full runs produce identical (doc_id, phash, bands, group size) rows,
+    and every phash/band is fixed-width lowercase hex."""
+    import re
+
+    first = _rows(QUERIES["q_multimodal_phash"](spark, SF_DIR))
+    second = _rows(QUERIES["q_multimodal_phash"](spark, SF_DIR))
+    assert first == second and len(first) > 0
+    for r in QUERIES["q_multimodal_phash"](spark, SF_DIR).collect():
+        assert re.fullmatch(r"[0-9a-f]{14}", r["phash"])
+        for i in range(4):
+            assert re.fullmatch(r"[0-9a-f]{4}", r[f"band{i}"])
