@@ -148,3 +148,37 @@ def test_training_shard_export_manifest(spark, tmp_path):
         f.seek(20)
         f.write(b"X" if b != b"X" else b"Y")
     assert not sinks.validate_training_shards(spark, out)
+
+
+def test_corrupt_record_quarantine_routes_bad_lines(spark, tmp_path):
+    """Landing-zone dead-letter routing: PERMISSIVE JSON read with
+    columnNameOfCorruptRecord parses good lines into typed columns and
+    carries each malformed line BYTE-EXACT in the corrupt column; the
+    quarantine split writes bad lines to a dead-letter sink for replay
+    while good rows continue — the no-job-failure ingest contract.
+    (The .cache() is Spark's documented requirement for referencing
+    only the corrupt column in a filter.)"""
+    import pathlib
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    good = ['{"id": 1, "v": "a"}', '{"id": 2, "v": "b"}', '{"id": 3, "v": "c"}']
+    bad = ['{"id": 4, "v": ', "not json at all"]
+    pathlib.Path(src, "part-0.jsonl").write_text(
+        "\n".join([good[0], good[1], bad[0], good[2], bad[1]]) + "\n"
+    )
+    df = (
+        spark.read.schema("id BIGINT, v STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(src))
+        .cache()
+    )
+    ok = df.where(F.col("_corrupt_record").isNull())
+    dead = df.where(F.col("_corrupt_record").isNotNull())
+    dl = str(tmp_path / "dead_letter")
+    dead.select("_corrupt_record").write.parquet(dl)
+    assert sorted(r["id"] for r in ok.collect()) == [1, 2, 3]
+    back = [r["_corrupt_record"] for r in spark.read.parquet(dl).collect()]
+    assert sorted(back) == sorted(bad)
+    df.unpersist()
