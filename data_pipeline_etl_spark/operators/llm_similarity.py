@@ -1933,3 +1933,160 @@ def q_sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.col("rn").cast("long"))
         .select("q_id", "vec_id", "cos_sim", "rn")
     )
+
+
+@query(
+    "q_sim_ivf_pq",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS cell, embedding AS c FROM embeddings WHERE vec_id < {_IVF_K}
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM (SELECT v.vec_id, s.cell, {_D2_SQL} AS d2
+              FROM (SELECT vec_id, embedding AS e FROM embeddings) v
+              CROSS JOIN seeds s)
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, cell FROM (
+        SELECT q_id, cell,
+               row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) AS rn
+        FROM (SELECT v.vec_id AS q_id, s.cell, {_D2_SQL} AS d2
+              FROM (SELECT vec_id, embedding AS e FROM embeddings
+                    WHERE vec_id < 3) v
+              CROSS JOIN seeds s)
+      ) WHERE rn <= {_MP_NPROBE}
+    ),
+    cb AS (
+      SELECT vec_id - 8 AS code, embedding AS cbe
+      FROM embeddings WHERE vec_id BETWEEN 8 AND 15
+    ),
+    enc AS (
+      SELECT e.vec_id,
+             (min(struct_pack(d := {_l2sq_sql('e.embedding', 'cbe', 1, 16)}, c := code))).c AS c0,
+             (min(struct_pack(d := {_l2sq_sql('e.embedding', 'cbe', 17, 16)}, c := code))).c AS c1,
+             (min(struct_pack(d := {_l2sq_sql('e.embedding', 'cbe', 33, 16)}, c := code))).c AS c2,
+             (min(struct_pack(d := {_l2sq_sql('e.embedding', 'cbe', 49, 16)}, c := code))).c AS c3
+      FROM embeddings e CROSS JOIN cb GROUP BY e.vec_id
+    ),
+    lut AS (
+      SELECT q.vec_id AS q_id, code,
+             {_l2sq_sql('q.embedding', 'cbe', 1, 16)} AS qd0,
+             {_l2sq_sql('q.embedding', 'cbe', 17, 16)} AS qd1,
+             {_l2sq_sql('q.embedding', 'cbe', 33, 16)} AS qd2,
+             {_l2sq_sql('q.embedding', 'cbe', 49, 16)} AS qd3
+      FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 3
+    ),
+    scored AS (
+      SELECT p.q_id, enc.vec_id,
+             round(l0.qd0 + l1.qd1 + l2.qd2 + l3.qd3, 6) AS adc_dist
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN enc ON enc.vec_id = a.vec_id
+      JOIN lut l0 ON l0.q_id = p.q_id AND l0.code = enc.c0
+      JOIN lut l1 ON l1.q_id = p.q_id AND l1.code = enc.c1
+      JOIN lut l2 ON l2.q_id = p.q_id AND l2.code = enc.c2
+      JOIN lut l3 ON l3.q_id = p.q_id AND l3.code = enc.c3
+      WHERE enc.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id, adc_dist, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT q_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the composed production ANN index (Jégou et al., TPAMI
+    2011; the FAISS IVF+PQ default): IVF coarse cells prune WHICH
+    vectors are scored (nprobe=2 cells per query, q_sim_ivf_multiprobe's
+    probe plan), PQ codes shrink WHAT is scored (4 bytes per vector,
+    q_sim_pq_adc's ADC lookup plan). The two indexes the module builds
+    separately, finally welded into one query path — candidates =
+    probed cells only, per-candidate cost = 4 LUT joins + a fixed-order
+    4-term add, no full-width vector math after the probe step.
+
+    Scale shape: assignment and PQ encoding are both one-time BUILD
+    passes (cell id becomes the partition column, codes are the stored
+    payload — the corpus's full-width embeddings are never read at
+    query time); per query the k-cell probe ranking and the 8x4 LUT
+    are driver-trivial broadcasts. The only corpus-sized work left at
+    query time is the hash join of (probe cells) against the encoded,
+    partition-pruned candidate rows. Parity: every distance is the
+    module's sequential float64 fold; (d2, cell) pins the probe order,
+    min(struct) pins code assignment, (adc_dist, vec_id) pins ranks.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(e, c, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    assign = (
+        emb.select("vec_id", F.col("embedding").alias("e"))
+        .crossJoin(F.broadcast(seeds))
+        .select("vec_id", "cell", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    pw = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        emb.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("e"))
+        .crossJoin(F.broadcast(seeds))
+        .select("q_id", "cell", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= _MP_NPROBE)
+        .select("q_id", "cell")
+    )
+    cb = emb.where(F.col("vec_id").between(8, 15)).select(
+        (F.col("vec_id") - 8).alias("code"), F.col("embedding").alias("cbe")
+    )
+    starts = [1 + m * _PQ_SUB for m in range(_PQ_M)]
+    enc = pq_codes_for(emb, cb)
+    lut = (
+        emb.where(F.col("vec_id") < 3)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "code",
+            *[
+                _l2sq_spark("embedding", "cbe", s, _PQ_SUB).alias(f"qd{m}")
+                for m, s in enumerate(starts)
+            ],
+        )
+    )
+    cand = probes.join(assign, "cell").select("q_id", "vec_id").join(enc, "vec_id")
+    scored = cand.join(
+        F.broadcast(lut.select("q_id", F.col("code").alias("c0"), "qd0")),
+        ["q_id", "c0"],
+    )
+    for m in range(1, _PQ_M):
+        scored = scored.join(
+            F.broadcast(
+                lut.select("q_id", F.col("code").alias(f"c{m}"), f"qd{m}")
+            ),
+            ["q_id", f"c{m}"],
+        )
+    scored = scored.where(F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        F.round(
+            F.col("qd0") + F.col("qd1") + F.col("qd2") + F.col("qd3"), 6
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .withColumn("rn", F.col("rn").cast("long"))
+        .select("q_id", "vec_id", "adc_dist", "rn")
+    )
