@@ -1085,3 +1085,82 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_rev_cents") / 100.0 / F.col("cohort_size"), 6
         ).alias("ltv_per_customer"),
     )
+
+
+@query(
+    "q_abc_analysis",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(rev_cents) AS total_cents FROM p),
+    c AS (
+      SELECT l_partkey, rev_cents,
+             sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+      FROM p
+    )
+    SELECT l_partkey, rev_cents,
+           round(cum_cents / CAST(total_cents AS DOUBLE), 6) AS cum_share,
+           CASE WHEN cum_cents / CAST(total_cents AS DOUBLE) <= 0.8 THEN 'A'
+                WHEN cum_cents / CAST(total_cents AS DOUBLE) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c CROSS JOIN tot
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto-class) inventory analysis: parts ranked by revenue,
+    classified A while the running revenue share is within 80%, B to
+    95%, C after — the merchandising/inventory classification behind
+    "which 20% of SKUs earn 80% of revenue". The third instance of the
+    repo's two-phase distributed prefix scan (concurrency = SUM over
+    time, skyline = MAX over spend, this = SUM over rank order): local
+    cumsums inside fixed-width revenue buckets, |buckets|-row exclusive
+    offsets, broadcast reassembly — no corpus-sized keyless window even
+    though the semantics are a global running total.
+
+    Parity discipline: per-row discounted revenue rounds to EXACT cents
+    first (identical operand pair on both engines, then BIGINT
+    accumulation — the q_skyline key rule), the running total orders by
+    (rev_cents DESC, l_partkey) so equal-revenue parts accumulate in a
+    pinned order, and the one double division per row divides identical
+    exact integers. Class thresholds compare the same division result,
+    so the CASE branches identically.
+    """
+    from pyspark.sql import Window
+
+    l = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    p = l.groupBy("l_partkey").agg(F.sum(cents).alias("rev_cents"))
+    tot = p.agg(F.sum("rev_cents").alias("total_cents"))
+    wl = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("rev_cents"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = p.withColumn("bkt", F.floor(F.col("rev_cents") / 1000000)).withColumn(
+        "lsum", F.sum("rev_cents").over(wl)
+    )
+    btot = local.groupBy("bkt").agg(F.sum("rev_cents").alias("bsum"))
+    wo = Window.orderBy(F.desc("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    off = btot.select(
+        "bkt", F.coalesce(F.sum("bsum").over(wo), F.lit(0)).alias("osum")
+    )
+    share = (F.col("lsum") + F.col("osum")) / F.col("total_cents").cast("double")
+    return (
+        local.join(F.broadcast(off), "bkt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "rev_cents",
+            F.round(share, 6).alias("cum_share"),
+            F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+                "abc_class"
+            ),
+        )
+    )

@@ -566,3 +566,104 @@ def test_join_interval_matches_bruteforce(spark, tmp_path):
         for r in QUERIES["q_join_interval"](spark, sf).collect()
     }
     assert got == expected
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # orders per customer proxy
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SETTINGS
+def test_skyline_matches_bruteforce_pareto(spark, tmp_path_factory, pts):
+    """q_skyline == the O(n²) Pareto definition on arbitrary point sets:
+    keep p iff no q has spend >= p.spend AND orders >= p.orders with one
+    strict. Customers are synthesized so customer k has pts[k][1] orders
+    of a price that lands spend at pts[k][0] dollars total."""
+    rows = []
+    ok = 1
+    for ck, (spend, n) in enumerate(pts):
+        per = spend * 100 // n / 100.0  # cents-exact per-order price
+        rem = round(spend * 100 - round(per * 100) * (n - 1))
+        for i in range(n - 1):
+            rows.append((ok, ck, "O", per, "2024-01-01", "1-URGENT")); ok += 1
+        rows.append((ok, ck, "O", rem / 100.0, "2024-01-01", "1-URGENT")); ok += 1
+    sf = str(tmp_path_factory.mktemp("prop_skyline"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/orders.parquet")
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    got = {
+        r["o_custkey"]: (r["spend_cents"], r["n_orders"])
+        for r in QUERIES["q_skyline"](spark, sf).collect()
+    }
+    all_pts = {ck: (spend * 100, n) for ck, (spend, n) in enumerate(pts)}
+    expected = {
+        ck
+        for ck, (s, n) in all_pts.items()
+        if not any(
+            (s2 >= s and n2 >= n and (s2 > s or n2 > n))
+            for ck2, (s2, n2) in all_pts.items()
+            if ck2 != ck
+        )
+    }
+    assert set(got) == expected, (got, all_pts)
+    for ck in expected:
+        assert got[ck] == all_pts[ck]
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # user
+            st.integers(min_value=0, max_value=40),  # hour offset over ~2 days
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_concurrency_matches_bruteforce_sweep(spark, tmp_path_factory, evs):
+    """q_time_concurrency == the O(n²) definition at every boundary:
+    n_active(t) = #(user,day) intervals with start <= t <= end, where
+    the interval is that user's [min ts, max ts] within the day."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, (base + datetime.timedelta(hours=h)).strftime("%Y-%m-%d %H:%M:%S"), u,
+         "view", 1.0)
+        for i, (u, h) in enumerate(evs)
+    ]
+    sf = str(tmp_path_factory.mktemp("prop_conc"))
+    from tests.test_planted_ops import _write_events
+
+    _write_events(spark, sf, rows)
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    got = {
+        r["t"]: r["n_active"]
+        for r in QUERIES["q_time_concurrency"](spark, sf).collect()
+    }
+    ivals = {}
+    for u, h in evs:
+        t = base + datetime.timedelta(hours=h)
+        key = (u, t.date())
+        s, e = ivals.get(key, (t, t))
+        ivals[key] = (min(s, t), max(e, t))
+    bounds = {t for s, e in ivals.values() for t in (s, e)}
+    assert set(got) == bounds
+    for t in bounds:
+        expect = sum(1 for s, e in ivals.values() if s <= t <= e)
+        assert got[t] == expect, (t, got[t], expect)
