@@ -345,6 +345,7 @@ def test_prefix_scan_windows_are_bucket_partitioned(spark):
     for name, part_first in (
         ("q_time_concurrency", "bkt"),
         ("q_skyline", "bkt"),
+        ("q_abc_analysis", "bkt"),
     ):
         plan = _optimized(QUERIES[name](spark, SF_DIR)).replace("\n", " ")
         specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
