@@ -2064,7 +2064,11 @@ def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
-    cand = probes.join(assign, "cell").select("q_id", "vec_id").join(enc, "vec_id")
+    # corpus side stays put; the |q| x nprobe probe list broadcasts (at
+    # scale this join is the partition prune on the cell column)
+    cand = assign.join(F.broadcast(probes), "cell").select("q_id", "vec_id").join(
+        enc, "vec_id"
+    )
     scored = cand.join(
         F.broadcast(lut.select("q_id", F.col("code").alias("c0"), "qd0")),
         ["q_id", "c0"],
