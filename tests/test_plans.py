@@ -96,6 +96,7 @@ def test_no_python_udf_in_builtin_queries(spark):
         "q_dedup_minhash",
         "q_multimodal_decode",
         "q_multimodal_decode_real",
+        "q_multimodal_phash",  # dHash over decoded pixels — mapInPandas by design
     }
     offenders = []
     for name, fn in QUERIES.items():
