@@ -750,3 +750,75 @@ def test_multimodal_phash_planted(spark, tmp_path):
     assert set(out) == {0, 3, 6}  # only image assets hash
     assert out[0][0] == out[3][0] and out[0][1] == out[3][1] == 2
     assert out[6][0] != out[0][0] and out[6][1] == 1
+
+
+def test_dedup_cluster_chain_transitivity(spark, tmp_path):
+    """Connected components must merge a CHAIN: J(0,1) = 18/22 = 0.818
+    and J(1,2) = 18/22 = 0.818 clear the 0.8 pair threshold, while
+    J(0,2) = 16/24 = 0.667 does not — docs 0 and 2 are never a pair,
+    yet transitivity puts all three in cluster 0. Doc 3 shares nothing
+    and keeps its own id as a singleton."""
+    t = _toks("t", 20)
+    rows = [
+        (0, " ".join(t)),
+        (1, " ".join(t[:18] + ["u1", "u2"])),
+        (2, " ".join(t[:16] + ["u1", "u2", "u3", "u4"])),
+        (3, " ".join(_toks("v", 10))),
+    ]
+    sf = str(tmp_path / "planted_cluster")
+    _write_documents(spark, sf, rows)
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["q_dedup_cluster"](spark, sf).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+def test_dedup_survivor_planted(spark, tmp_path):
+    """Survivorship rules on token-set fingerprint groups: docs 0/1
+    share the SET {a0,a1,a2} (1 repeats tokens, so it's longer) ->
+    keep the longest (doc 1), drop 0; docs 3/4 tie exactly on length
+    -> keep the lower id (3); the unique doc 2 forms no group and is
+    absent from the report."""
+    rows = [
+        (0, "a0 a1 a2"),
+        (1, "a0 a1 a2 a0 a1 a2 a0"),
+        (2, " ".join(_toks("z", 6))),
+        (3, "b0 b1"),
+        (4, "b1 b0"),  # same set, same n_chars as doc 3
+    ]
+    sf = str(tmp_path / "planted_survivor")
+    _write_documents(spark, sf, rows)
+    out = {
+        r["doc_id"]: (r["group_size"], r["keep"])
+        for r in QUERIES["q_dedup_survivor"](spark, sf).collect()
+    }
+    assert out == {0: (2, False), 1: (2, True), 3: (2, True), 4: (2, False)}
+
+
+def test_rank_fusion_prefers_consistency(spark, tmp_path):
+    """RRF's defining behavior: query 0 = (1,0); candidate 100 = (10,0)
+    is cosine rank 1 but L2 rank 3 (huge magnitude), 101 = (0.9,0.1) is
+    cosine rank 2 AND L2 rank 1, 102 = (0,1) trails both. Fused scores
+    (k=60): 101 = 1/62+1/61 beats 100 = 1/61+1/63 beats 102 = 1/63+1/62
+    — the consistently-good candidate outranks the single-metric
+    winner, which no single ranking produces."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (100, [10.0, 0.0, 0.0, 0.0], 0),
+        (101, [0.9, 0.1, 0.0, 0.0], 0),
+        (102, [0.0, 1.0, 0.0, 0.0], 0),
+    ]
+    sf = str(tmp_path / "planted_rrf")
+    spark.createDataFrame(
+        [(int(v), [float(x) for x in e], int(l)) for v, e, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    out = [
+        r["vec_id"]
+        for r in QUERIES["q_sim_rank_fusion"](spark, sf)
+        .where(F.col("q_id") == 0)
+        .orderBy("fused_rank")
+        .collect()
+    ]
+    assert out == [101, 100, 102]
