@@ -795,7 +795,13 @@ def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-level disposition join; at 100 TB the store is bucketed by
     band_key and only batch-sized frames shuffle.
     """
-    d = table(spark, sf_dir, "documents")
+    return ingest_disposition_for(table(spark, sf_dir, "documents"))
+
+
+def ingest_disposition_for(d: DataFrame) -> DataFrame:
+    """q_dedup_ingest's plan over any (doc_id, lang, source, text) frame
+    — shared by the declared query and scripts/scaling_probe.py so the
+    probe measures the exact declared plan shape."""
     n_bands = _MINHASH_K // _MINHASH_BAND
     cut = d.agg((F.max("doc_id") / 2).alias("cut"))
     d = d.crossJoin(F.broadcast(cut))

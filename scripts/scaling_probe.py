@@ -143,6 +143,8 @@ def main() -> int:
             dc.crossJoin(reps)
             .select(
                 (F.col("doc_id") + F.col("rep") * max_did).alias("doc_id"),
+                "lang",
+                "source",
                 F.array_join(
                     F.expr("transform(split(text, ' '), t -> concat('r', rep, '_', t))"),
                     " ",
@@ -286,6 +288,19 @@ def main() -> int:
 
         return triangles_for(_items(ldf)).agg(F.count("*").alias("n_tris"))
 
+    def ingest(ddf):
+        from data_pipeline_etl_spark.operators.llm_dedup import (
+            ingest_disposition_for,
+        )
+
+        # summarize dispositions; per-replica token prefixes mean
+        # cross-half collisions shrink as N grows (an honest new-content
+        # corpus), so this row measures the signature-build + semi/anti
+        # join machinery — the collision-rate dial is the LSH rows' job
+        return ingest_disposition_for(ddf).groupBy("disposition").agg(
+            F.count("*").alias("n")
+        )
+
     def bfs(ldf):
         from data_pipeline_etl_spark.operators.warehouse import bfs_hops_for
 
@@ -315,6 +330,7 @@ def main() -> int:
         "pagerank": lambda L, O, E, D, V: pagerank(L),
         "triangles": lambda L, O, E, D, V: triangles(L),
         "bfs": lambda L, O, E, D, V: bfs(L),
+        "ingest": lambda L, O, E, D, V: ingest(D),
         "concurrency": lambda L, O, E, D, V: concurrency(V),
     }
 
