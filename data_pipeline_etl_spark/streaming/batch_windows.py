@@ -1590,3 +1590,77 @@ def q_time_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pct.getItem(1), 6).alias("p99_gap_sec"),
         F.round(F.max("gap_sec"), 6).alias("max_gap_sec"),
     )
+
+
+@query(
+    "q_events_burst",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*) AS n_days,
+             sum(n) AS s1,
+             sum(n * n) AS s2
+      FROM daily GROUP BY event_type
+    ),
+    z AS (
+      SELECT d.event_type, d.day, d.n,
+             s1 / CAST(n_days AS DOUBLE) AS mu,
+             sqrt((s2 - s1 * (s1 / CAST(n_days AS DOUBLE))) /
+                  CAST(n_days - 1 AS DOUBLE)) AS sd
+      FROM daily d JOIN stats s ON d.event_type = s.event_type
+      WHERE s.n_days > 1
+    )
+    SELECT event_type, day, n,
+           round(mu, 6) AS mean_n,
+           round((n - mu) / sd, 6) AS z
+    FROM z
+    WHERE sd > 0 AND n > mu + 2 * sd
+    """,
+)
+def q_events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-burst detector: days where an event type's volume exceeds
+    its own mean by more than 2 standard deviations — the rate-anomaly
+    twin of q_anomaly_zscore (which screens VALUES; this screens
+    FREQUENCY over time, the shape bot storms, retry loops, and
+    replayed batches show up as).
+
+    Parity discipline: the per-type moments come from EXACT integer
+    sums (counts are BIGINTs, so sum(n) and sum(n·n) are precise on
+    both engines — never a float-accumulated stddev whose partition
+    order could wobble); mean/variance are then single divisions of
+    identical operands, so the 2σ threshold and the 6 dp-rounded z
+    branch identically. Shape: one (type, day) aggregate (map-side
+    combine), one |types|-row stats aggregate broadcast back — two
+    shuffles total, output bounded by flagged days.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n_days").cast("double")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * mu) / (F.col("n_days") - 1).cast("double")
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .where(F.col("n_days") > 1)
+        .select("event_type", "day", "n", mu.alias("mu"), sd.alias("sd"))
+        .where((F.col("sd") > 0) & (F.col("n") > F.col("mu") + 2 * F.col("sd")))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round("mu", 6).alias("mean_n"),
+            F.round((F.col("n") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+        )
+    )

@@ -822,3 +822,27 @@ def test_rank_fusion_prefers_consistency(spark, tmp_path):
         .collect()
     ]
     assert out == [101, 100, 102]
+
+
+def test_events_burst_planted(spark, tmp_path):
+    """'view' runs 10 quiet days of 5 events then one 50-event spike:
+    mean 100/11 ~ 9.09, sd ~ 13.57, threshold ~ 36.2 -> exactly the
+    spike day is flagged. 'click' is perfectly uniform (sd = 0) and
+    must produce no row, not a divide-by-zero."""
+    rows = []
+    eid = 0
+    for d in range(10):  # quiet views
+        for i in range(5):
+            rows.append((eid, f"2024-01-{d+1:02d} 0{i}:00:00", 1, "view", 1.0)); eid += 1
+    for i in range(50):  # spike day 11
+        rows.append((eid, f"2024-01-11 {i % 24:02d}:{i % 60:02d}:00", 1, "view", 1.0)); eid += 1
+    for d in range(5):  # uniform clicks
+        for i in range(7):
+            rows.append((eid, f"2024-02-{d+1:02d} 0{i}:00:00", 2, "click", 1.0)); eid += 1
+    sf = str(tmp_path / "planted_burst")
+    _write_events(spark, sf, rows)
+    out = QUERIES["q_events_burst"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_type"] == "view" and r["n"] == 50
+    assert r["day"].day == 11 and r["z"] > 2
