@@ -1416,3 +1416,67 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_containers"),
         F.round(F.max("c"), 6).alias("max_containment"),
     )
+
+
+@query(
+    "q_dedup_degree",
+    oracle="""
+    WITH sets AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sets a JOIN sets b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))
+            / (len(a.toks) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks))) >= 0.8
+    ),
+    deg AS (
+      SELECT doc_id, count(*) AS degree FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b AS doc_id FROM pairs
+      ) GROUP BY doc_id
+    )
+    SELECT CAST(coalesce(g.degree, 0) AS BIGINT) AS degree,
+           count(*) AS n_docs
+    FROM documents d LEFT JOIN deg g ON d.doc_id = g.doc_id
+    GROUP BY 1
+    """,
+)
+def q_dedup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph degree histogram: how many docs have 0, 1, 2, …
+    near-duplicates (Jaccard >= 0.8 pairs, the q_sim_jaccard graph) —
+    the corpus-health diagnostic read BEFORE running dedup at scale: a
+    heavy tail here predicts giant connected components (one boilerplate
+    template duplicated 10⁶ times becomes a 10⁶-degree hub whose cluster
+    materializes 10¹² candidate pairs under any pairwise scheme), and is
+    the signal to tighten bands / split blocks first. Degree-0 mass is
+    the fraction of the corpus dedup will never touch — the number that
+    sizes the savings estimate.
+
+    Shape: pair endpoints re-keyed and counted (map-side combine), one
+    left join against the doc spine for the zero-degree mass, one
+    |degrees|-row histogram aggregate. The pair frame is the same
+    blocked inverted-index join every dedup op here shares — nothing
+    new materializes beyond it.
+    """
+    d = table(spark, sf_dir, "documents")
+    pairs = _inverted_index_jaccard(_unigram_elements(d), 0.8).select(
+        "doc_a", "doc_b"
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        d.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .select(F.coalesce("degree", F.lit(0)).cast("long").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_docs"))
+    )
