@@ -846,3 +846,56 @@ def test_events_burst_planted(spark, tmp_path):
     r = out[0]
     assert r["event_type"] == "view" and r["n"] == 50
     assert r["day"].day == 11 and r["z"] > 2
+
+
+def test_abc_analysis_boundary_classes(spark, tmp_path):
+    """Class boundaries are INCLUSIVE (share <= 0.8 -> A, <= 0.95 -> B):
+    parts with revenue 80/15/5 land exactly on the 0.80 and 0.95
+    cumulative marks and must classify A, B, C respectively; a fourth
+    zero-ish part (0 revenue impossible — use a distinct tail) keeps C."""
+    # one lineitem per part, price*(1-disc) chosen to hit exact shares
+    rows = [
+        (1, 10, 1, 1, 1.0, 80.0, 0.0, 0.0, "N", "O", "2024-01-01"),
+        (2, 20, 1, 1, 1.0, 15.0, 0.0, 0.0, "N", "O", "2024-01-01"),
+        (3, 30, 1, 1, 1.0, 5.0, 0.0, 0.0, "N", "O", "2024-01-01"),
+    ]
+    sf = str(tmp_path / "planted_abc")
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")).write.parquet(
+        f"{sf}/lineitem.parquet"
+    )
+    out = {
+        r["l_partkey"]: (r["cum_share"], r["abc_class"])
+        for r in QUERIES["q_abc_analysis"](spark, sf).collect()
+    }
+    assert out == {10: (0.8, "A"), 20: (0.95, "B"), 30: (1.0, "C")}
+
+
+def test_cohort_ltv_planted(spark, tmp_path):
+    """Hand-checkable LTV curve: customer 1 first orders in Jan ($10),
+    returns in Mar ($20) -> cohort 2024-01 rows at offsets 0 and 2 with
+    cumulative 10.00 then 30.00; customer 2 (also Jan, $5, never
+    returns) makes cohort_size 2, so ltv_per_customer halves."""
+    rows = [
+        (1, 1, "O", 10.0, "2024-01-05", "1-URGENT"),
+        (2, 1, "O", 20.0, "2024-03-20", "1-URGENT"),
+        (3, 2, "O", 5.0, "2024-01-15", "1-URGENT"),
+    ]
+    sf = str(tmp_path / "planted_ltv")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    out = {
+        r["m_offset"]: (r["n_active"], r["rev_cents"], r["cum_rev_cents"],
+                        r["ltv_per_customer"])
+        for r in QUERIES["q_cohort_ltv"](spark, sf).collect()
+    }
+    assert out == {0: (2, 1500, 1500, 7.5), 2: (1, 2000, 3500, 17.5)}
