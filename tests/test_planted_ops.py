@@ -899,3 +899,50 @@ def test_cohort_ltv_planted(spark, tmp_path):
         for r in QUERIES["q_cohort_ltv"](spark, sf).collect()
     }
     assert out == {0: (2, 1500, 1500, 7.5), 2: (1, 2000, 3500, 17.5)}
+
+
+def test_mix_temperature_boosts_rare_source(spark, tmp_path):
+    """Temperature tau=0.7 on a 90/10 token split: p^tau renormalized
+    gives the rare source mix_frac 0.1^0.7/(0.9^0.7+0.1^0.7) ~ 0.17682
+    (a 1.77x boost over its raw share) while the dominant source is
+    damped below 1 — the defining rebalancing behavior."""
+    rows = []
+    did = 0
+    for _ in range(9):
+        rows.append((did, " ".join(f"t{i}" for i in range(10)), "en", "s_big")); did += 1
+    rows.append((did, " ".join(f"u{i}" for i in range(10)), "en", "s_small"))
+    sf = str(tmp_path / "planted_mixt")
+    spark.createDataFrame(
+        [(int(i), t, l, s, len(t)) for i, t, l, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["source"]: (r["p_raw"], r["mix_frac"], r["boost"])
+        for r in QUERIES["q_mix_temperature"](spark, sf).collect()
+    }
+    assert out["s_small"][0] == pytest.approx(0.1, abs=1e-6)
+    assert out["s_small"][1] == pytest.approx(0.176818, abs=1e-4)
+    assert out["s_small"][2] == pytest.approx(1.76818, abs=1e-3)
+    assert out["s_big"][2] < 1.0
+    assert out["s_big"][1] + out["s_small"][1] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_containment_catches_embedded_subset(spark, tmp_path):
+    """The asymmetric case containment exists for: doc 0's 10 tokens are
+    all inside doc 1's 100 -> containment 10/min(10,100) = 1.0 flags
+    the pair, while Jaccard 10/100 = 0.1 misses it entirely
+    (q_sim_jaccard returns no pair at the 0.8 bar). Disjoint doc 2 is
+    absent from the containment report."""
+    rows = [
+        (0, " ".join(_toks("t", 10))),
+        (1, " ".join(_toks("t", 100))),
+        (2, " ".join(_toks("z", 10))),
+    ]
+    sf = str(tmp_path / "planted_contain")
+    _write_documents(spark, sf, rows)
+    out = {
+        r["doc_id"]: (r["n_containers"], r["max_containment"])
+        for r in QUERIES["q_dedup_containment"](spark, sf).collect()
+    }
+    assert out == {0: (1, 1.0), 1: (1, 1.0)}
+    assert QUERIES["q_sim_jaccard"](spark, sf).count() == 0
