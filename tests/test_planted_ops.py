@@ -946,3 +946,51 @@ def test_containment_catches_embedded_subset(spark, tmp_path):
     }
     assert out == {0: (1, 1.0), 1: (1, 1.0)}
     assert QUERIES["q_sim_jaccard"](spark, sf).count() == 0
+
+
+def test_gaps_islands_planted(spark, tmp_path):
+    """User 1's sequence view,view,view,click,view,view has exactly one
+    qualifying streak (the leading 3 views — the trailing 2 views are
+    an island of 2 and must NOT count); user 2's 4 clicks interrupted
+    by nothing form one streak of 4. Interruption by another type, not
+    elapsed time, is what breaks an island."""
+    rows = [
+        (0, "2024-01-01 01:00:00", 1, "view", 1.0),
+        (1, "2024-01-01 02:00:00", 1, "view", 1.0),
+        (2, "2024-01-01 03:00:00", 1, "view", 1.0),
+        (3, "2024-01-01 04:00:00", 1, "click", 1.0),
+        (4, "2024-01-01 05:00:00", 1, "view", 1.0),
+        (5, "2024-01-01 06:00:00", 1, "view", 1.0),
+        (6, "2024-01-02 01:00:00", 2, "click", 1.0),
+        (7, "2024-01-02 02:00:00", 2, "click", 1.0),
+        (8, "2024-01-02 03:00:00", 2, "click", 1.0),
+        (9, "2024-01-02 04:00:00", 2, "click", 1.0),
+    ]
+    sf = str(tmp_path / "planted_islands")
+    _write_events(spark, sf, rows)
+    out = {
+        (r["user_id"], r["event_type"]): (r["streak_len"], r["streak_start"].hour)
+        for r in QUERIES["q_win_gaps_islands"](spark, sf).collect()
+    }
+    assert out == {(1, "view"): (3, 1), (2, "click"): (4, 1)}
+
+
+def test_editdist_planted(spark, tmp_path):
+    """Levenshtein over the 100-char prefix within (source, length
+    bucket) blocks: docs 0/1 differ by one substituted character ->
+    dist 1; doc 2 sits in a different length bucket (n_chars 250 vs
+    ~40) so the pair is never formed, even though its prefix would be
+    comparable — blocking is part of the contract."""
+    base = "the quick brown fox jumps over the dog"
+    rows = [
+        (0, base),
+        (1, base.replace("quick", "quack")),
+        (2, base + " " + "x" * 210),
+    ]
+    sf = str(tmp_path / "planted_edit")
+    _write_documents(spark, sf, rows)
+    out = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in QUERIES["q_dedup_editdist"](spark, sf).collect()
+    }
+    assert out == {(0, 1): 1}
