@@ -994,3 +994,40 @@ def test_editdist_planted(spark, tmp_path):
         for r in QUERIES["q_dedup_editdist"](spark, sf).collect()
     }
     assert out == {(0, 1): 1}
+
+
+def test_pack_bins_planted(spark, tmp_path):
+    """Running-offset packing into 512-token bins: three 300-token 'en'
+    docs get offsets 0/300/600 -> docs 1 and 2 share bin 0 (600 tokens,
+    overflowing the budget is allowed — the bin is defined by the START
+    offset), doc 3 opens bin 1."""
+    rows = [(i, " ".join(f"t{j}" for j in range(300))) for i in range(3)]
+    sf = str(tmp_path / "planted_pack")
+    _write_documents(spark, sf, rows)
+    out = {
+        r["bin_id"]: (r["n_docs"], r["bin_tokens"])
+        for r in QUERIES["q_pack_bins"](spark, sf).collect()
+    }
+    assert out == {0: (2, 600), 1: (1, 300)}
+
+
+def test_attribution_planted(spark, tmp_path):
+    """Last-touch rules: purchase at 10:00 credits the most recent
+    preceding non-purchase ('click' at 09:00, not the older 'view');
+    a purchase with NO preceding touch in 7 days credits 'direct';
+    a touch 8 days old is outside the lookback -> also 'direct'."""
+    rows = [
+        (0, "2024-01-01 08:00:00", 1, "view", 0.0),
+        (1, "2024-01-01 09:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 10:00:00", 1, "purchase", 100.0),
+        (3, "2024-02-01 10:00:00", 2, "purchase", 50.0),
+        (4, "2024-03-01 00:00:00", 3, "view", 0.0),
+        (5, "2024-03-09 00:00:01", 3, "purchase", 25.0),
+    ]
+    sf = str(tmp_path / "planted_attr")
+    _write_events(spark, sf, rows)
+    out = {
+        r["channel"]: (r["n_purchases"], r["attributed_revenue"])
+        for r in QUERIES["q_events_attribution"](spark, sf).collect()
+    }
+    assert out == {"click": (1, 100.0), "direct": (2, 75.0)}
