@@ -1031,3 +1031,21 @@ def test_attribution_planted(spark, tmp_path):
         for r in QUERIES["q_events_attribution"](spark, sf).collect()
     }
     assert out == {"click": (1, 100.0), "direct": (2, 75.0)}
+
+
+def test_langid_planted(spark, tmp_path):
+    """Marker-vote argmax: doc 0 carries two 'en' markers vs one 'de'
+    -> en; doc 1 hits only 'zh' markers -> zh; doc 2 hits nothing ->
+    zero scores everywhere, alphabetical tiebreak picks 'de'."""
+    rows = [
+        (0, "the a table nothing else here"),
+        (1, "spark stream something"),
+        (2, "completely unmarked words only"),
+    ]
+    sf = str(tmp_path / "planted_langid")
+    _write_documents(spark, sf, rows)
+    out = {
+        r["doc_id"]: (r["lang_guess"], r["score"])
+        for r in QUERIES["q_text_langid"](spark, sf).collect()
+    }
+    assert out == {0: ("en", 2), 1: ("zh", 2), 2: ("de", 0)}
