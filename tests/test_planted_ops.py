@@ -1049,3 +1049,35 @@ def test_langid_planted(spark, tmp_path):
         for r in QUERIES["q_text_langid"](spark, sf).collect()
     }
     assert out == {0: ("en", 2), 1: ("zh", 2), 2: ("de", 0)}
+
+
+def test_scd2_planted(spark, tmp_path):
+    """SCD-2 build rules: customer 1 orders twice on Jan 1 (the LATER
+    orderkey's price 20.0 wins the day — same-day collapse), again on
+    Feb 1 -> two state rows: [Jan1, Feb1) at 20.0 (not current) and
+    [Feb1, 2099) at 30.0 (current). Single-order customer 2 is one
+    open-ended current row."""
+    rows = [
+        (1, 1, "O", 10.0, "2024-01-01", "1-URGENT"),
+        (2, 1, "O", 20.0, "2024-01-01", "1-URGENT"),
+        (3, 1, "O", 30.0, "2024-02-01", "1-URGENT"),
+        (4, 2, "O", 5.0, "2024-01-15", "1-URGENT"),
+    ]
+    sf = str(tmp_path / "planted_scd2")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    out = {
+        (r["o_custkey"], r["valid_from"].month): (
+            r["state_price"], r["valid_to"].year, r["is_current"])
+        for r in QUERIES["q_scd2"](spark, sf).collect()
+    }
+    assert out == {
+        (1, 1): (20.0, 2024, False),
+        (1, 2): (30.0, 2099, True),
+        (2, 1): (5.0, 2099, True),
+    }
