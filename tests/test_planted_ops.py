@@ -1081,3 +1081,28 @@ def test_scd2_planted(spark, tmp_path):
         (1, 2): (30.0, 2099, True),
         (2, 1): (5.0, 2099, True),
     }
+
+
+def test_sessionize_gap_boundary(spark, tmp_path):
+    """The 8 h gap rule is strictly-greater: events exactly 8 h apart
+    stay in ONE session (00:00 -> 08:00 -> 16:00 = one 16 h session),
+    while 8 h + 1 s splits (user 2: 00:00 then 08:00:01 = two
+    sessions)."""
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "view", 1.0),
+        (1, "2024-01-01 08:00:00", 1, "view", 2.0),
+        (2, "2024-01-01 16:00:00", 1, "view", 3.0),
+        (3, "2024-01-02 00:00:00", 2, "view", 1.0),
+        (4, "2024-01-02 08:00:01", 2, "view", 1.0),
+    ]
+    sf = str(tmp_path / "planted_sess")
+    _write_events(spark, sf, rows)
+    out = {
+        (r["user_id"], r["session_no"]): (r["n_events"], r["duration_us"])
+        for r in QUERIES["q_sessionize"](spark, sf).collect()
+    }
+    assert out == {
+        (1, 1): (3, 16 * 3600 * 1_000_000),
+        (2, 1): (1, 0),
+        (2, 2): (1, 0),
+    }
