@@ -1664,3 +1664,60 @@ def q_events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n") - F.col("mu")) / F.col("sd"), 6).alias("z"),
         )
     )
+
+
+@query(
+    "q_time_drawdown",
+    oracle="""
+    WITH cum AS (
+      SELECT user_id, ts, event_id,
+             sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, cum_value,
+             max(cum_value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM cum
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           round(max(peak), 4) AS peak_value,
+           round(max(peak - cum_value), 4) AS max_drawdown
+    FROM c GROUP BY user_id
+    """,
+)
+def q_time_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: the largest peak-to-trough fall of the
+    running value total over the event stream — the risk statistic
+    behind "how far below its best has this account/metric sunk", also
+    the canonical composed-window exercise (a running MAX **of** a
+    running SUM in one pass).
+
+    Both cumulative frames are ROWS-bounded over the same
+    (ts, event_id)-pinned per-user order, so the float sums are
+    SEQUENTIAL in a deterministic order on both engines — the one
+    situation where an order-dependent double fold is hash-safe (the
+    module's parity discipline; a groupBy SUM would not be). The two
+    windows and the final per-user aggregate all share the single
+    user_id shuffle; nothing here is keyless.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    e = table(spark, sf_dir, "events")
+    c = e.select(
+        "user_id",
+        F.sum("value").over(w).alias("cum_value"),
+        F.max(F.sum("value").over(w)).over(w).alias("peak"),
+    )
+    return c.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.max("peak"), 4).alias("peak_value"),
+        F.round(F.max(F.col("peak") - F.col("cum_value")), 4).alias("max_drawdown"),
+    )

@@ -1106,3 +1106,23 @@ def test_sessionize_gap_boundary(spark, tmp_path):
         (2, 1): (1, 0),
         (2, 2): (1, 0),
     }
+
+
+def test_drawdown_planted(spark, tmp_path):
+    """Hand-checkable drawdown: user 1's values +10, -4, +2, -7, +20
+    give cumulative 10, 6, 8, 1, 21 -> peak 21, max drawdown
+    10 - 1 = 9 (the later higher peak must NOT rewrite history).
+    Monotone user 2 has drawdown 0."""
+    vals1 = [10.0, -4.0, 2.0, -7.0, 20.0]
+    rows = [
+        (i, f"2024-01-01 0{i}:00:00", 1, "view", v) for i, v in enumerate(vals1)
+    ] + [
+        (10 + i, f"2024-01-02 0{i}:00:00", 2, "view", 5.0) for i in range(3)
+    ]
+    sf = str(tmp_path / "planted_dd")
+    _write_events(spark, sf, rows)
+    out = {
+        r["user_id"]: (r["n_events"], r["peak_value"], r["max_drawdown"])
+        for r in QUERIES["q_time_drawdown"](spark, sf).collect()
+    }
+    assert out == {1: (5, 21.0, 9.0), 2: (3, 15.0, 0.0)}
