@@ -1126,3 +1126,45 @@ def test_drawdown_planted(spark, tmp_path):
         for r in QUERIES["q_time_drawdown"](spark, sf).collect()
     }
     assert out == {1: (5, 21.0, 9.0), 2: (3, 15.0, 0.0)}
+
+
+def test_embed_quantize_planted(spark, tmp_path):
+    """Scalar 8-bit quantization endpoints: over a corpus with global
+    range [0, 2], value 0 -> code 0, the max 2.0 -> floor(255) clamped
+    = 255, mid 1.0 -> floor(127.5) = 127 (floor, never round — no
+    half-way ambiguity across engines)."""
+    rows = [
+        (0, [0.0, 1.0, 2.0, 0.5], 0),
+        (1, [2.0, 0.0, 0.0, 0.0], 0),
+    ]
+    sf = str(tmp_path / "planted_quant")
+    spark.createDataFrame(
+        [(int(v), [float(x) for x in e], int(l)) for v, e, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    out = {
+        r["vec_id"]: r["codes"]
+        for r in QUERIES["q_embed_quantize"](spark, sf).collect()
+    }
+    assert out[0] == "0,127,255,63"
+    assert out[1] == "255,0,0,0"
+
+
+def test_retention_planted(spark, tmp_path):
+    """Cohort day-offset counts: user 1 is active on its cohort day and
+    day +2 (two events that day still count once per (user, day)? no —
+    retention counts DISTINCT user-day pairs); user 2 shares the cohort
+    day only. Expect offset 0 -> 2 actives, offset 2 -> 1."""
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "view", 1.0),
+        (1, "2024-01-03 10:00:00", 1, "view", 1.0),
+        (2, "2024-01-03 11:00:00", 1, "click", 1.0),
+        (3, "2024-01-01 12:00:00", 2, "view", 1.0),
+    ]
+    sf = str(tmp_path / "planted_ret")
+    _write_events(spark, sf, rows)
+    out = {
+        r["day_offset"]: r["n_active"]
+        for r in QUERIES["q_retention"](spark, sf).collect()
+    }
+    assert out == {0: 2, 2: 1}
