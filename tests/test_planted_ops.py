@@ -1168,3 +1168,22 @@ def test_retention_planted(spark, tmp_path):
         for r in QUERIES["q_retention"](spark, sf).collect()
     }
     assert out == {0: 2, 2: 1}
+
+
+def test_moving_median_planted(spark, tmp_path):
+    """Trailing-7 median mechanics on one feed with values
+    1, 100, 3, 5: row 1 -> 1 (window of one), row 2 -> (1+100)/2 = 50.5
+    (even count interpolates), row 3 -> 3 (odd count picks middle —
+    the 100 spike does NOT drag it the way a mean would), row 4 ->
+    (3+5)/2 = 4."""
+    vals = [1.0, 100.0, 3.0, 5.0]
+    rows = [
+        (i, f"2024-01-01 0{i}:00:00", 1, "view", v) for i, v in enumerate(vals)
+    ]
+    sf = str(tmp_path / "planted_med")
+    _write_events(spark, sf, rows)
+    out = {
+        r["event_id"]: r["med7"]
+        for r in QUERIES["q_win_moving_median"](spark, sf).collect()
+    }
+    assert out == {0: 1.0, 1: 50.5, 2: 3.0, 3: 4.0}
