@@ -1164,3 +1164,78 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_orders_gini",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS r
+      FROM cust
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(cents) AS s0, sum(r * cents) AS s1 FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(s0 AS BIGINT) AS total_cents,
+           round((2.0 * s1 - (n + 1.0) * s0) / (n * CAST(s0 AS DOUBLE)), 6)
+             AS gini
+    FROM s
+    """,
+)
+def q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-spend concentration — the inequality
+    scalar that pairs with q_abc_analysis's classification (ABC says
+    WHICH customers carry the revenue; Gini says HOW concentrated it is,
+    0 = uniform, ->1 = one whale). The rank formula
+    G = (2·Σ rᵢxᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) needs each spend's GLOBAL
+    rank — the fourth instance of the two-phase prefix scan, this time
+    on the COUNT monoid: per-bucket local row_numbers in parallel, a
+    |buckets|-row cumulative-count offset frame, rank = local + offset.
+    Tied spends take custkey-ordered unique ranks, which leaves the
+    Σ rᵢxᵢ term invariant (equal x across any permutation of tied
+    ranks), so the statistic is tie-order-independent even though the
+    ranks aren't.
+
+    Parity: spends in exact integer cents; rank·cents products
+    accumulate as BIGINTs (bounded ~1e17 at fixture scales — at true
+    corpus scale promote S1 to DECIMAL(38), same plan); the single
+    float division happens once on identical operands.
+    """
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cust = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    wl = Window.partitionBy("bkt").orderBy("cents", "o_custkey")
+    local = cust.withColumn("bkt", F.floor(F.col("cents") / 1000000)).withColumn(
+        "lr", F.row_number().over(wl)
+    )
+    tot = local.groupBy("bkt").agg(F.count("*").alias("bn"))
+    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select(
+        "bkt", F.coalesce(F.sum("bn").over(wo), F.lit(0)).alias("prior")
+    )
+    ranked = local.join(F.broadcast(off), "bkt").select(
+        "cents", (F.col("lr") + F.col("prior")).alias("r")
+    )
+    return ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s0"),
+        F.sum(F.col("r") * F.col("cents")).alias("s1"),
+    ).select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("s0").cast("long").alias("total_cents"),
+        F.round(
+            (2.0 * F.col("s1") - (F.col("n") + 1.0) * F.col("s0"))
+            / (F.col("n") * F.col("s0").cast("double")),
+            6,
+        ).alias("gini"),
+    )

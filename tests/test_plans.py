@@ -347,6 +347,7 @@ def test_prefix_scan_windows_are_bucket_partitioned(spark):
         ("q_time_concurrency", "bkt"),
         ("q_skyline", "bkt"),
         ("q_abc_analysis", "bkt"),
+        ("q_orders_gini", "bkt"),
     ):
         plan = _optimized(QUERIES[name](spark, SF_DIR)).replace("\n", " ")
         specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)

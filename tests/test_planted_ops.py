@@ -1187,3 +1187,31 @@ def test_moving_median_planted(spark, tmp_path):
         for r in QUERIES["q_win_moving_median"](spark, sf).collect()
     }
     assert out == {0: 1.0, 1: 50.5, 2: 3.0, 3: 4.0}
+
+
+def test_gini_planted(spark, tmp_path):
+    """Textbook endpoints: four equal spenders -> Gini 0.0; extreme
+    concentration (three ~zero spenders — 0-value orders are impossible
+    with real prices, so 1 cent — and one whale) -> Gini near the
+    (n-1)/n = 0.75 maximum for n=4."""
+    def orders(spec):
+        rows, ok = [], 1
+        for ck, price in spec:
+            rows.append((ok, ck, "O", price, "2024-01-01", "1-URGENT")); ok += 1
+        return rows
+
+    for name, spec, expect, tol in (
+        ("equal", [(1, 25.0), (2, 25.0), (3, 25.0), (4, 25.0)], 0.0, 1e-9),
+        ("whale", [(1, 0.01), (2, 0.01), (3, 0.01), (4, 9999.99)], 0.75, 1e-4),
+    ):
+        sf = str(tmp_path / f"planted_gini_{name}")
+        spark.createDataFrame(
+            orders(spec),
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+            f"{sf}/orders.parquet"
+        )
+        r = QUERIES["q_orders_gini"](spark, sf).collect()[0]
+        assert r["n_customers"] == 4
+        assert r["gini"] == pytest.approx(expect, abs=tol), name
