@@ -1215,3 +1215,29 @@ def test_gini_planted(spark, tmp_path):
         r = QUERIES["q_orders_gini"](spark, sf).collect()[0]
         assert r["n_customers"] == 4
         assert r["gini"] == pytest.approx(expect, abs=tol), name
+
+
+def test_dedup_bloom_planted(spark, tmp_path):
+    """Cross-tier leakage: tier-B doc 1 (src10) repeats tier-A doc 0's
+    exact 16-token chunk at a CHUNK-ALIGNED offset -> flagged with
+    n_leaked = 1 (its second, novel chunk contributes nothing). Doc 2
+    (src11) contains 15 of the same tokens shifted off the boundary ->
+    its chunk digest differs -> NOT flagged: chunking is aligned by
+    contract, the screen catches block-verbatim reuse, not fuzzy
+    overlap (that is the containment/jaccard family's job)."""
+    c = _toks("c", 16)
+    rows = [
+        (0, " ".join(c), "src0"),
+        (1, " ".join(c + _toks("m", 16)), "src10"),
+        (2, " ".join(["x"] + c[:15]), "src11"),
+    ]
+    sf = str(tmp_path / "planted_bloom")
+    spark.createDataFrame(
+        [(int(i), t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: (r["source"], r["n_leaked"])
+        for r in QUERIES["q_dedup_bloom"](spark, sf).collect()
+    }
+    assert out == {1: ("src10", 1)}
