@@ -1241,3 +1241,27 @@ def test_dedup_bloom_planted(spark, tmp_path):
         for r in QUERIES["q_dedup_bloom"](spark, sf).collect()
     }
     assert out == {1: ("src10", 1)}
+
+
+def test_boilerplate_planted(spark, tmp_path):
+    """CCNet-style chunk scrub: a 16-token footer shared by 3 docs is
+    boilerplate (>= 3 distinct docs) and is stripped from each; the
+    16-token body chunks are unique and survive, so each of docs 0-2
+    keeps exactly its body chunk and doc 3 — footer-only — vanishes
+    from the output entirely."""
+    import hashlib
+
+    footer = _toks("f", 16)
+    bodies = [_toks(f"b{i}_", 16) for i in range(3)]
+    rows = [(i, " ".join(bodies[i] + footer)) for i in range(3)]
+    rows.append((3, " ".join(footer)))
+    sf = str(tmp_path / "planted_bp")
+    _write_documents(spark, sf, rows)
+    out = {
+        r["doc_id"]: (r["n_kept"], r["clean_md5"])
+        for r in QUERIES["q_text_boilerplate"](spark, sf).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    for i in range(3):
+        body_md5 = hashlib.md5(" ".join(bodies[i]).encode()).hexdigest()
+        assert out[i] == (1, body_md5), i
