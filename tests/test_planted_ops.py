@@ -1265,3 +1265,29 @@ def test_boilerplate_planted(spark, tmp_path):
     for i in range(3):
         body_md5 = hashlib.md5(" ".join(bodies[i]).encode()).hexdigest()
         assert out[i] == (1, body_md5), i
+
+
+def test_snapshot_diff_planted(spark, tmp_path):
+    """The three change classes land on hand-picked keys: 0 is in both
+    snapshots with the mod-11 price drift -> update (old 50, new 150);
+    4 is filtered out of the old snapshot -> insert; 6 is filtered out
+    of the new -> delete; 1 is in both and unchanged -> absent."""
+    rows = [
+        (0, 1, "O", 50.0, "2024-01-01", "1-URGENT"),
+        (1, 1, "O", 60.0, "2024-01-01", "1-URGENT"),
+        (4, 1, "O", 70.0, "2024-01-01", "1-URGENT"),
+        (6, 1, "O", 80.0, "2024-01-01", "1-URGENT"),
+    ]
+    sf = str(tmp_path / "planted_diff")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    out = {
+        r["o_orderkey"]: r["change_type"]
+        for r in QUERIES["q_snapshot_diff"](spark, sf).collect()
+    }
+    assert out == {0: "update", 4: "insert", 6: "delete"}
