@@ -73,17 +73,12 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # (All r4/r5 entries pruned at r6 open: CORRECTNESS_r05.json graded every
 # one of them green post-touch, so each had expired by its own rule.)
 _FORCE_FRONT: dict[str, int] = {
-    # (r7 entries pruned at r9 open: CORRECTNESS_r08 graded q_dedup_cluster,
-    # q_sim_neardup, q_sim_pairs_lsh green post-touch — all expired.)
-    # round-9 touches:
-    # q_sim_mmr: first-selection argmax re-keyed to raw rel (ADVICE r8 #1);
-    # q_time_autocorr: zero-variance NaN-vs-NULL guard (ADVICE r8 #2);
-    # q_profile_psi: formula tree extracted into psi_from_counts (shared
-    # with the new q_stream_psi_live) — value-preserving refactor, but
-    # the touched-query discipline re-grades regardless:
-    "q_sim_mmr": 9,
-    "q_time_autocorr": 9,
-    "q_profile_psi": 9,
+    # (r9 entries pruned at r10 open: CORRECTNESS_r09 graded q_sim_mmr,
+    # q_time_autocorr, q_profile_psi green post-touch — all expired.)
+    # round-10 touches:
+    # q_text_bpe_merge: merge made token-aware (ADVICE r9 #1 — boundary-
+    # crossing string replace corrupted multi-round merge tables):
+    "q_text_bpe_merge": 10,
 }
 
 
