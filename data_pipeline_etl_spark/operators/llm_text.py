@@ -1020,15 +1020,35 @@ def _bpe_pairs(seq_df: DataFrame) -> DataFrame:
 
 
 def _bpe_merge(seq_df: DataFrame, best: DataFrame) -> DataFrame:
-    """Apply one BPE merge: rewrite every adjacent (a, b) into the fused
-    symbol ab across the whole vocab (left-to-right non-overlapping, the
-    textbook merge semantics of ``str.replace``)."""
+    """Apply one BPE merge: fuse every adjacent whole-symbol (a, b) pair
+    into ab across the vocab, left-to-right non-overlapping.
+
+    Whole-symbol discipline: a bare ``replace(seq, 'a b', 'ab')`` also
+    binds where 'a' is merely the SUFFIX of a longer symbol (or 'b' a
+    prefix) — once round 1 mints multi-char symbols, merging (a, b)
+    would corrupt 'ta b' into the single symbol 'tab' and silently drop
+    the true (ta, b) pair from later rounds. Instead of a token-array
+    fold (slow path), keep the one-replace plan shape but make matches
+    whole-symbol by construction: double the separators and pad both
+    ends so every symbol is flanked by spaces it does not share, match
+    ' a  b ' (which can only bind at real symbol boundaries), then
+    collapse the doubling. Greedy left-to-right non-overlap survives
+    the transform: 'a a a' + (a,a) -> 'aa a', 'a a a a' -> 'aa aa',
+    exactly the textbook Sennrich merge. The DuckDB oracle mirrors the
+    identical pad/replace/collapse so both engines agree by the same
+    left-to-right scan, not by sharing a bug (tests/test_planted_ops.py
+    pins the {ab, tab, ta} boundary-collision corpus)."""
+    padded = F.concat(
+        F.lit(" "), F.replace(F.col("seq"), F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    pat = F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" "))
+    fused = F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" "))
     return seq_df.crossJoin(F.broadcast(best.select("a", "b"))).select(
         "w",
         "freq",
-        F.replace(
-            F.col("seq"), F.concat_ws(" ", "a", "b"), F.concat("a", "b")
-        ).alias("seq"),
+        F.trim(F.replace(F.replace(padded, pat, fused), F.lit("  "), F.lit(" "))).alias(
+            "seq"
+        ),
     )
 
 
@@ -1054,7 +1074,11 @@ def _bpe_merge(seq_df: DataFrame, best: DataFrame) -> DataFrame:
     ),
     b1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
     seq2 AS (
-      SELECT s.w, s.freq, replace(s.seq, b1.a || ' ' || b1.b, b1.a || b1.b) AS seq
+      SELECT s.w, s.freq,
+             trim(replace(replace(
+               ' ' || replace(s.seq, ' ', '  ') || ' ',
+               ' ' || b1.a || '  ' || b1.b || ' ',
+               ' ' || b1.a || b1.b || ' '), '  ', ' ')) AS seq
       FROM seq1 s, b1
     ),
     p2 AS (
@@ -1066,7 +1090,11 @@ def _bpe_merge(seq_df: DataFrame, best: DataFrame) -> DataFrame:
     ),
     b2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
     seq3 AS (
-      SELECT s.w, s.freq, replace(s.seq, b2.a || ' ' || b2.b, b2.a || b2.b) AS seq
+      SELECT s.w, s.freq,
+             trim(replace(replace(
+               ' ' || replace(s.seq, ' ', '  ') || ' ',
+               ' ' || b2.a || '  ' || b2.b || ' ',
+               ' ' || b2.a || b2.b || ' '), '  ', ' ')) AS seq
       FROM seq2 s, b2
     ),
     p3 AS (
@@ -1099,10 +1127,11 @@ def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the merge is one broadcast of a 1-row pair into a string rewrite.
     At 100 TB the vocab frame is millions of rows while the corpus is
     trillions — rounds never rescan the corpus. Symbol sequences are
-    space-separated strings (not arrays): the merge is then a single
-    ``replace`` with textbook left-to-right non-overlap semantics,
-    identical on both engines, and re-splitting per round keeps pair
-    extraction a flat codegen expression.
+    space-separated strings (not arrays): the merge is a whole-symbol
+    ``replace`` (separator-doubled so ' a  b ' can only bind at real
+    symbol boundaries — see ``_bpe_merge``) with textbook left-to-right
+    non-overlap semantics, identical on both engines, and re-splitting
+    per round keeps pair extraction a flat codegen expression.
 
     Determinism: ties in pair frequency break on (a, b) lexicographic
     order on both engines; counts are exact BIGINTs, so no float

@@ -487,6 +487,27 @@ def test_bpe_merge_planted(spark, tmp_path):
     assert out == {1: ("a", "a", 6), 2: ("a", "b", 4), 3: ("aa", "ab", 3)}
 
 
+def test_bpe_merge_symbol_boundary_planted(spark, tmp_path):
+    """The merge must be whole-symbol: a naive string replace of
+    'a b'->'ab' matches across symbol boundaries once round 1 mints a
+    multi-char symbol ending in 'a'.
+
+    Corpus {ab:6, tab:3, ta:10}:
+    r1: (t,a)=3+10=13 beats (a,b)=6+3=9 -> seqs 'a b', 'ta b', 'ta'.
+    r2: (a,b)=6 beats (ta,b)=3 -> merge (a,b). A boundary-crossing
+        replace would ALSO corrupt 'ta b' into one symbol 'tab' here,
+        erasing the true round-3 pair.
+    r3: (ta,b)=3 must survive.
+    """
+    sf = str(tmp_path / "planted_bpe_boundary")
+    _write_documents(spark, sf, [(0, " ".join(["ab"] * 6 + ["tab"] * 3 + ["ta"] * 10))])
+    out = {
+        r["merge_rank"]: (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in QUERIES["q_text_bpe_merge"](spark, sf).collect()
+    }
+    assert out == {1: ("t", "a", 13), 2: ("a", "b", 6), 3: ("ta", "b", 3)}
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
