@@ -54,12 +54,27 @@ def export_training_shards(df: DataFrame, out_dir: str, key: str, n_shards: int)
     every shard is one task writing one file — no small-file spray.
 
     The manifest carries, per shard: row count, total JSONL chars, and
-    an ORDER-INDEPENDENT content fingerprint (``bit_xor`` of per-line
-    xxhash64 — commutative, so parallel writers/readers need no sort,
-    and no overflow under ANSI arithmetic, unlike a SUM of hashes).
+    an ORDER-INDEPENDENT, MULTIPLICITY-AWARE content fingerprint
+    (``bit_xor`` of ``xxhash64(line, n)`` over distinct lines with
+    their within-shard counts — commutative, so parallel writers and
+    readers need no sort, and no overflow under ANSI arithmetic, unlike
+    a SUM of hashes). Hashing the count alongside the line closes the
+    plain-XOR blind spot where any line present an even number of times
+    cancels itself out of the fingerprint: dropping one copy of a
+    duplicated line changes that line's ``n`` and therefore the XOR.
     Everything is computed executor-side from the same ``to_json``
     bytes the writer emits; only |shards| manifest rows exist anywhere.
+
+    ``df`` must not already carry a ``shard`` column: the sharding
+    column is injected under that name, and silently overwriting a
+    user column would make the written files (partition column dropped)
+    permanently disagree with the manifest's ``to_json`` lines.
     """
+    if "shard" in df.columns:
+        raise ValueError(
+            "export_training_shards: input already has a 'shard' column; "
+            "rename it — the export injects its own deterministic shard id"
+        )
     cols = list(df.columns)
     sharded = df.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards)).cast("int")
@@ -71,17 +86,23 @@ def export_training_shards(df: DataFrame, out_dir: str, key: str, n_shards: int)
         .json(out_dir + "/data")
     )
     line = F.to_json(F.struct(*[F.col(c) for c in cols]))
-    manifest = (
-        sharded.select("shard", line.alias("line"))
-        .groupBy("shard")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(F.length("line")).alias("n_chars"),
-            F.expr("bit_xor(xxhash64(line))").alias("fingerprint"),
-        )
-    )
+    manifest = _shard_manifest(sharded.select("shard", line.alias("line")))
     manifest.coalesce(1).write.mode("overwrite").json(out_dir + "/_manifest")
     return manifest
+
+
+def _shard_manifest(lines: DataFrame) -> DataFrame:
+    """Per-shard (n_rows, n_chars, fingerprint) from a (shard, line)
+    frame. Two-level aggregate: the per-(shard, line) count rides into
+    the fingerprint hash so duplicate lines cannot cancel under XOR;
+    both groupBys partial-aggregate map-side, so at 100 TB only
+    distinct-line rows shuffle, then |shards| rows."""
+    per_line = lines.groupBy("shard", "line").agg(F.count("*").alias("n"))
+    return per_line.groupBy("shard").agg(
+        F.sum("n").alias("n_rows"),
+        F.sum(F.length("line").cast("long") * F.col("n")).alias("n_chars"),
+        F.expr("bit_xor(xxhash64(line, n))").alias("fingerprint"),
+    )
 
 
 def validate_training_shards(spark: SparkSession, out_dir: str) -> bool:
@@ -89,7 +110,9 @@ def validate_training_shards(spark: SparkSession, out_dir: str) -> bool:
     compare to the stored one — the post-export integrity gate (and the
     pre-training gate on the consumer side). A lost line, a truncated
     file, or a flipped byte changes count/chars/fingerprint for exactly
-    one shard.
+    one shard — including a dropped copy of a duplicated line (the
+    fingerprint hashes each distinct line WITH its multiplicity, so
+    even-count duplicates cannot XOR-cancel).
 
     Reads the shards as RAW TEXT, not JSON: the manifest fingerprints
     the writer's exact bytes (``to_json`` output), so a byte-level
@@ -103,11 +126,7 @@ def validate_training_shards(spark: SparkSession, out_dir: str) -> bool:
         .alias("shard"),
         F.col("value").alias("line"),
     )
-    recomputed = back.groupBy("shard").agg(
-        F.count("*").alias("n_rows"),
-        F.sum(F.length("line")).alias("n_chars"),
-        F.expr("bit_xor(xxhash64(line))").alias("fingerprint"),
-    )
+    recomputed = _shard_manifest(back)
     stored = spark.read.json(out_dir + "/_manifest").select(
         F.col("shard").cast("int").alias("shard"),
         F.col("n_rows").cast("long").alias("n_rows"),

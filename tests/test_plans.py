@@ -343,6 +343,24 @@ def test_prefix_scan_windows_are_bucket_partitioned(spark):
     would show up here as a keyless spec ordering over t / spend_cents."""
     import re as _re
 
+    def _balanced_specs(plan: str) -> list[str]:
+        # capture the FULL windowspecdefinition(...) span with a paren
+        # counter — a regex stopping at the first ')' truncates as soon
+        # as the spec nests any expression (e.g. date_trunc in a
+        # partition key), silently misclassifying instead of failing
+        out = []
+        marker = "windowspecdefinition("
+        i = plan.find(marker)
+        while i != -1:
+            j, depth = i + len(marker), 1
+            while depth:
+                assert j < len(plan), plan[i : i + 200]
+                depth += {"(": 1, ")": -1}.get(plan[j], 0)
+                j += 1
+            out.append(plan[i + len(marker) : j - 1])
+            i = plan.find(marker, j)
+        return out
+
     for name, part_first in (
         ("q_time_concurrency", "bkt"),
         ("q_skyline", "bkt"),
@@ -350,7 +368,7 @@ def test_prefix_scan_windows_are_bucket_partitioned(spark):
         ("q_orders_gini", "bkt"),
     ):
         plan = _optimized(QUERIES[name](spark, SF_DIR)).replace("\n", " ")
-        specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        specs = _balanced_specs(plan)
         assert specs, plan
         partitioned = [s for s in specs if not _re.match(r"\w+#\d+L? (ASC|DESC)", s)]
         keyless = [s for s in specs if _re.match(r"\w+#\d+L? (ASC|DESC)", s)]

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_pipeline_etl_spark.sources import sinks
@@ -148,6 +149,45 @@ def test_training_shard_export_manifest(spark, tmp_path):
         f.seek(20)
         f.write(b"X" if b != b"X" else b"Y")
     assert not sinks.validate_training_shards(spark, out)
+
+
+def test_training_shard_fingerprint_multiplicity(spark, tmp_path):
+    """The fingerprint is multiplicity-aware: swapping one copy of a
+    duplicated line for a second copy of another SAME-LENGTH line keeps
+    n_rows, n_chars, and a plain per-line XOR all unchanged — only the
+    count-salted hash catches it. Also: a pre-existing 'shard' column
+    is rejected instead of silently overwritten."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(
+        F.lit(0).alias("k"),
+        F.when(F.col("id") < 2, F.lit("aaaa")).otherwise(F.lit("bbbb")).alias("v"),
+    )  # one shard holds lines {A, A, B, B}
+    out = str(tmp_path / "dupshards")
+    sinks.export_training_shards(df, out, key="k", n_shards=1)
+    assert sinks.validate_training_shards(spark, out)
+    victim = glob.glob(os.path.join(out, "data", "shard=0", "part-*"))[0]
+    crc = os.path.join(
+        os.path.dirname(victim), "." + os.path.basename(victim) + ".crc"
+    )
+    os.remove(crc)
+    with open(victim) as f:
+        lines = f.read().splitlines()
+    a = next(l for l in lines if "aaaa" in l)
+    b = next(l for l in lines if "bbbb" in l)
+    lines.remove(a)
+    lines.append(b)  # {A, B, B, B}: counts/chars/plain-XOR all preserved
+    with open(victim, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    assert not sinks.validate_training_shards(spark, out)
+
+    with pytest.raises(ValueError, match="shard"):
+        sinks.export_training_shards(
+            df.withColumn("shard", F.lit(1)), str(tmp_path / "x"), key="k", n_shards=1
+        )
 
 
 def test_corrupt_record_quarantine_routes_bad_lines(spark, tmp_path):
