@@ -865,6 +865,150 @@ def ingest_disposition_for(d: DataFrame) -> DataFrame:
     )
 
 
+def _store_compact_oracle() -> str:
+    sigs = ",\n           ".join(
+        f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(_MINHASH_K)
+    )
+    n_bands = _MINHASH_K // _MINHASH_BAND
+    band_cols = ",\n           ".join(
+        "md5({}) AS band{}".format(
+            " || ".join(
+                f"mh{i}" for i in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND)
+            ),
+            b,
+        )
+        for b in range(n_bands)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, lang, source, {b} AS band_idx, band{b} AS band_key FROM bsig"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT doc_id, lang, source,
+           {sigs}
+      FROM (SELECT doc_id, lang, source,
+                   unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents)
+      GROUP BY doc_id, lang, source
+    ),
+    bsig AS (
+      SELECT doc_id, lang, source,
+           {band_cols}
+      FROM sig
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    thr AS (SELECT max(doc_id) / 2 AS cut FROM documents),
+    bmin AS (
+      SELECT lang, source, band_idx, band_key, min(doc_id) AS first_id
+      FROM bands GROUP BY 1, 2, 3, 4
+    ),
+    blockers AS (
+      SELECT b.doc_id, min(m.first_id) AS blocker_id
+      FROM bands b
+      JOIN bmin m
+        ON b.lang = m.lang AND b.source = m.source
+       AND b.band_idx = m.band_idx AND b.band_key = m.band_key
+      WHERE m.first_id < b.doc_id
+      GROUP BY b.doc_id
+    )
+    SELECT s.doc_id, s.lang, s.source,
+           CASE WHEN s.doc_id < t.cut THEN 'store' ELSE 'delta' END AS origin,
+           CASE WHEN bl.blocker_id IS NULL THEN 'kept' ELSE 'evicted' END
+             AS status,
+           bl.blocker_id
+    FROM bsig s CROSS JOIN thr t
+    LEFT JOIN blockers bl ON s.doc_id = bl.doc_id
+    """
+
+
+@query("q_dedup_store_compact", oracle=_store_compact_oracle())
+def q_dedup_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-store COMPACTION — the third leg of the ingest-dedup
+    loop (q_dedup_incremental screens a batch against the store;
+    q_dedup_ingest writes the disposition audit; this op periodically
+    rewrites the accreted store itself). Ingest appends per-doc band
+    rows round after round, and because the screen is append-time-only,
+    redundant entries accumulate: docs admitted in different rounds can
+    band-collide with each other once both sides' deltas have landed.
+    Compaction merges the historical store with the newest delta (here:
+    the deterministic arrival-order halves of the fixture corpus, same
+    cut as q_dedup_incremental) and applies survivorship: within every
+    (lang, source, band_idx, band_key) bucket the EARLIEST arrival
+    (min doc_id) wins, and a doc survives iff NO band bucket holds an
+    earlier doc. Output is the full audit the rewrite job emits — one
+    row per store doc with its origin ('store' half vs 'delta' half),
+    kept/evicted status, and for evicted docs the blocker (the earliest
+    colliding doc over all its buckets, the row a lineage UI points at);
+    the kept rows ARE the compacted store.
+
+    Survivorship is bucket-min arithmetic, never a pair join (the
+    q_dedup_ingest trick): per-bucket min(doc_id), then per-doc
+    min-of-mins below its own id — linear in |store bands| even when a
+    hot bucket holds thousands of mutual dups. Compaction reads ONLY
+    signatures: at 100 TB the store is a band-bucketed table orders of
+    magnitude smaller than the corpus, the bucket-min aggregate
+    partial-combines map-side on the store's own bucketing, and the
+    corpus text is never rescanned (the fixture rebuilds sigs from text
+    only because no materialized store ships with the test data —
+    production swaps ``_minhash_sig`` for a store scan).
+    """
+    return store_compact_for(table(spark, sf_dir, "documents"))
+
+
+def store_compact_for(d: DataFrame) -> DataFrame:
+    """Frame-parameterized body of q_dedup_store_compact over any
+    (doc_id, lang, source, text) frame (scaling-probe hook)."""
+    n_bands = _MINHASH_K // _MINHASH_BAND
+    cut = d.agg((F.max("doc_id") / 2).alias("cut"))
+    tagged = (
+        _minhash_sig(d, with_block=True)
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            *[_band_key(b).alias(f"band{b}") for b in range(n_bands)],
+            F.when(F.col("doc_id") < F.col("cut"), "store")
+            .otherwise("delta")
+            .alias("origin"),
+        )
+        .localCheckpoint(eager=True)  # feeds the bucket pass AND the output
+    )
+    bands = tagged.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    keys = ["lang", "source", "band_idx", "band_key"]
+    bmin = bands.groupBy(*keys).agg(F.min("doc_id").alias("first_id"))
+    blockers = (
+        bands.join(bmin, keys)
+        .where(F.col("first_id") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min("first_id").alias("blocker_id"))
+    )
+    return (
+        tagged.select("doc_id", "lang", "source", "origin")
+        .join(blockers, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "origin",
+            F.when(F.col("blocker_id").isNull(), "kept")
+            .otherwise("evicted")
+            .alias("status"),
+            "blocker_id",
+        )
+    )
+
+
 _CC_MAX_ROUNDS = 20  # with pointer doubling this covers diameter ~2**20
 
 
@@ -992,7 +1136,13 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph is orders of magnitude smaller than the corpus. The oracle
     computes the same unique fixpoint via a recursive CTE.
     """
-    d = table(spark, sf_dir, "documents")
+    return dedup_clusters_for(table(spark, sf_dir, "documents"))
+
+
+def dedup_clusters_for(d: DataFrame) -> DataFrame:
+    """Frame-parameterized body of q_dedup_cluster (doc_id, cluster_id
+    per input doc) so scripts/scaling_probe.py can measure the
+    pair-build + pointer-doubling slope on replicated corpora."""
     pairs = _inverted_index_jaccard(_unigram_elements(d), 0.8).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

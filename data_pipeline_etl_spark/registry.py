@@ -79,6 +79,10 @@ _FORCE_FRONT: dict[str, int] = {
     # q_text_bpe_merge: merge made token-aware (ADVICE r9 #1 — boundary-
     # crossing string replace corrupted multi-round merge tables):
     "q_text_bpe_merge": 10,
+    # q_dedup_cluster: body extracted into dedup_clusters_for so the
+    # scaling probe can parameterize the frame — value-preserving, but
+    # the touched-query discipline re-grades regardless:
+    "q_dedup_cluster": 10,
 }
 
 

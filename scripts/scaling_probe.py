@@ -308,6 +308,20 @@ def main() -> int:
             F.count("*").alias("n_reached"), F.sum("hops").alias("hop_mass")
         )
 
+    def cluster(ddf):
+        from data_pipeline_etl_spark.operators.llm_dedup import dedup_clusters_for
+
+        # summarize labels (cluster/doc counts) — the label frame is
+        # corpus-sized and Arrow transfer must stay out of the measure.
+        # Per-replica token prefixes keep within-replica dup structure
+        # (so pair density per replica is constant) and forbid
+        # cross-replica edges: components grow in COUNT, not diameter —
+        # the honest corpus-growth model for the CC convergence loop.
+        return dedup_clusters_for(ddf).agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+        )
+
     def concurrency(vdf):
         from data_pipeline_etl_spark.streaming.batch_windows import concurrency_for
 
@@ -331,6 +345,7 @@ def main() -> int:
         "triangles": lambda L, O, E, D, V: triangles(L),
         "bfs": lambda L, O, E, D, V: bfs(L),
         "ingest": lambda L, O, E, D, V: ingest(D),
+        "dedup_cluster": lambda L, O, E, D, V: cluster(D),
         "concurrency": lambda L, O, E, D, V: concurrency(V),
     }
 

@@ -1312,3 +1312,26 @@ def test_snapshot_diff_planted(spark, tmp_path):
         for r in QUERIES["q_snapshot_diff"](spark, sf).collect()
     }
     assert out == {0: "update", 4: "insert", 6: "delete"}
+
+
+def test_store_compact_planted(spark, tmp_path):
+    """Hand-derivable survivorship over the arrival-order halves:
+    cut = max(4)/2 = 2, so store = {1}, delta = {2, 3, 4}. Docs 1, 2, 3
+    share identical text (identical signature -> all four band buckets
+    collide): 1 is bucket-min everywhere -> kept; 2 and 3 evict with
+    blocker 1 (min over colliding bucket mins). Doc 4 is all-unique ->
+    kept with NULL blocker."""
+    dup = " ".join(_toks("d", 12))
+    rows = [(1, dup), (2, dup), (3, dup), (4, " ".join(_toks("u", 12)))]
+    sf = str(tmp_path / "planted_compact")
+    _write_documents(spark, sf, rows)
+    out = {
+        r["doc_id"]: (r["origin"], r["status"], r["blocker_id"])
+        for r in QUERIES["q_dedup_store_compact"](spark, sf).collect()
+    }
+    assert out == {
+        1: ("store", "kept", None),
+        2: ("delta", "evicted", 1),
+        3: ("delta", "evicted", 1),
+        4: ("delta", "kept", None),
+    }
