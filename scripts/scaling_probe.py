@@ -322,6 +322,16 @@ def main() -> int:
             F.count_distinct("cluster_id").alias("n_clusters"),
         )
 
+    def compact(ddf):
+        from data_pipeline_etl_spark.operators.llm_dedup import store_compact_for
+
+        # summarize kept/evicted by origin — the audit frame is
+        # store-sized; the measurement targets the signature build +
+        # bucket-min survivorship machinery
+        return store_compact_for(ddf).groupBy("origin", "status").agg(
+            F.count("*").alias("n")
+        )
+
     def concurrency(vdf):
         from data_pipeline_etl_spark.streaming.batch_windows import concurrency_for
 
@@ -346,6 +356,7 @@ def main() -> int:
         "bfs": lambda L, O, E, D, V: bfs(L),
         "ingest": lambda L, O, E, D, V: ingest(D),
         "dedup_cluster": lambda L, O, E, D, V: cluster(D),
+        "store_compact": lambda L, O, E, D, V: compact(D),
         "concurrency": lambda L, O, E, D, V: concurrency(V),
     }
 

@@ -377,3 +377,17 @@ def test_prefix_scan_windows_are_bucket_partitioned(spark):
         # every keyless window orders over the bucket frame only
         for s in keyless:
             assert s.startswith(part_first + "#"), s
+
+
+def test_store_compact_bucket_min_no_pair_join(spark):
+    """Compaction survivorship is bucket-min arithmetic: the only joins
+    are the bands->bucket-min lookup and the doc-level blocker attach —
+    a pair self-join (doc x doc within a bucket) would go quadratic in
+    hot buckets and would surface as an extra join/exchange or a
+    nested-loop node here."""
+    plan = _plan(QUERIES["q_dedup_store_compact"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # sig groupBy is behind the localCheckpoint barrier; after it only
+    # the bucket-min aggregate and the per-doc blocker min shuffle
+    assert plan.count("Exchange hashpartitioning") <= 3, plan

@@ -1335,3 +1335,81 @@ def test_store_compact_planted(spark, tmp_path):
         3: ("delta", "evicted", 1),
         4: ("delta", "kept", None),
     }
+
+
+def test_time_interp_planted(spark, tmp_path):
+    """Hand-derivable hourly interpolation with all three documented
+    edges: a grid point BEFORE the first observation (00:00 -> dropped),
+    interior points linearly interpolated between brackets, a grid
+    point landing EXACTLY on the last observation (kept at the observed
+    value despite having no following neighbor), and duplicate-ts
+    observations collapsed with min() (02:30 has values 30 and 50 ->
+    bracket uses 30).
+
+    obs: 00:30 v=10, 02:30 v=min(30,50)=30, 03:00 v=100.
+    grid 01:00: 10 + 20 * (30/120) = 15;  02:00: 10 + 20 * (90/120) = 25.
+    """
+    rows = [
+        (1, "2024-01-10 00:30:00", 1, "m", 10.0),
+        (2, "2024-01-10 02:30:00", 1, "m", 30.0),
+        (3, "2024-01-10 02:30:00", 2, "m", 50.0),
+        (4, "2024-01-10 03:00:00", 1, "m", 100.0),
+    ]
+    sf = str(tmp_path / "planted_interp")
+    _write_events(spark, sf, rows)
+    out = {
+        str(r["gts"]): r["v_interp"]
+        for r in QUERIES["q_time_interp"](spark, sf).collect()
+    }
+    assert out == {
+        "2024-01-10 01:00:00": 15.0,
+        "2024-01-10 02:00:00": 25.0,
+        "2024-01-10 03:00:00": 100.0,
+    }
+
+
+def test_funnel_stage_order_planted(spark, tmp_path):
+    """Stage ORDER is what the funnel counts, not event presence:
+    u1 signup<click<purchase -> advances everywhere; u2 clicks BEFORE
+    signing up -> counts for signup only; u3's first purchase precedes
+    the click -> click_after yes, purchase_after no; u4 never signs up."""
+    rows = [
+        (1, "2024-01-10 01:00:00", 1, "signup", 0.0),
+        (2, "2024-01-10 02:00:00", 1, "click", 0.0),
+        (3, "2024-01-10 03:00:00", 1, "purchase", 0.0),
+        (4, "2024-01-10 01:00:00", 2, "click", 0.0),
+        (5, "2024-01-10 02:00:00", 2, "signup", 0.0),
+        (6, "2024-01-10 01:00:00", 3, "signup", 0.0),
+        (7, "2024-01-10 02:00:00", 3, "purchase", 0.0),
+        (8, "2024-01-10 03:00:00", 3, "click", 0.0),
+        (9, "2024-01-10 01:00:00", 4, "click", 0.0),
+    ]
+    sf = str(tmp_path / "planted_funnel")
+    _write_events(spark, sf, rows)
+    r = QUERIES["q_funnel"](spark, sf).collect()[0]
+    assert (r["n_users"], r["n_signup"], r["n_click_after"],
+            r["n_purchase_after"]) == (4, 3, 2, 1)
+
+
+def test_text_chunk_boundary_planted(spark, tmp_path):
+    """Chunk-boundary arithmetic: exactly 16 tokens -> ONE full chunk
+    (not a trailing empty one), 17 -> a second chunk holding 1 token,
+    1 token -> one 1-token chunk; chunk hashes cover the exact slices."""
+    import hashlib
+
+    t16 = _toks("a", 16)
+    t17 = _toks("b", 17)
+    rows = [(0, " ".join(t16)), (1, " ".join(t17)), (2, "solo")]
+    sf = str(tmp_path / "planted_chunk")
+    _write_documents(spark, sf, rows)
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_md5"])
+        for r in QUERIES["q_text_chunk"](spark, sf).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out == {
+        (0, 0): (16, md5(" ".join(t16))),
+        (1, 0): (16, md5(" ".join(t17[:16]))),
+        (1, 1): (1, md5(t17[16])),
+        (2, 0): (1, md5("solo")),
+    }
