@@ -1413,3 +1413,150 @@ def test_text_chunk_boundary_planted(spark, tmp_path):
         (1, 1): (1, md5(t17[16])),
         (2, 0): (1, md5("solo")),
     }
+
+
+def test_scd2_planted(spark, tmp_path):
+    """Same-day ties collapse to the LAST order (highest o_orderkey)
+    before effectivity is built; valid_to chains to the next change and
+    the current row gets the 2099 sentinel."""
+    rows = [
+        (1, 1, "O", 10.0, "2024-01-01", "1-URGENT"),  # day1, overridden...
+        (2, 1, "O", 20.0, "2024-01-01", "1-URGENT"),  # ...by same-day k=2
+        (3, 1, "O", 30.0, "2024-02-01", "1-URGENT"),  # day2 -> current
+    ]
+    sf = str(tmp_path / "planted_scd2")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    out = sorted(
+        (str(r["valid_from"])[:10], str(r["valid_to"])[:10],
+         r["state_price"], r["is_current"])
+        for r in QUERIES["q_scd2"](spark, sf).collect()
+    )
+    assert out == [
+        ("2024-01-01", "2024-02-01", 20.0, False),
+        ("2024-02-01", "2099-12-31", 30.0, True),
+    ]
+
+
+def test_ohlc_tiebreak_planted(spark, tmp_path):
+    """Open/close resolve by (ts, event_id) struct extremum: two events
+    share the opening timestamp (lower event_id wins open) and two share
+    the closing timestamp (higher event_id wins close)."""
+    rows = [
+        (1, "2024-01-10 01:00:00", 1, "t", 5.0),
+        (2, "2024-01-10 01:00:00", 1, "t", 9.0),
+        (3, "2024-01-10 02:00:00", 1, "t", 7.0),
+        (4, "2024-01-10 02:00:00", 1, "t", 2.0),
+    ]
+    sf = str(tmp_path / "planted_ohlc")
+    _write_events(spark, sf, rows)
+    recs = QUERIES["q_time_ohlc"](spark, sf).collect()
+    assert len(recs) == 1
+    r = recs[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n"]) == (
+        5.0, 9.0, 2.0, 2.0, 4,
+    )
+
+
+def test_drawdown_planted(spark, tmp_path):
+    """cum 10,5,25,-5 under peak 10,10,25,25 -> max drawdown 30 at the
+    trough; a strictly-rising user must report drawdown 0, not NULL."""
+    rows = [
+        (1, "2024-01-10 01:00:00", 1, "a", 10.0),
+        (2, "2024-01-10 02:00:00", 1, "a", -5.0),
+        (3, "2024-01-10 03:00:00", 1, "a", 20.0),
+        (4, "2024-01-10 04:00:00", 1, "a", -30.0),
+        (5, "2024-01-10 01:00:00", 2, "a", 1.0),
+        (6, "2024-01-10 02:00:00", 2, "a", 2.0),
+    ]
+    sf = str(tmp_path / "planted_drawdown")
+    _write_events(spark, sf, rows)
+    out = {
+        r["user_id"]: (r["n_events"], r["peak_value"], r["max_drawdown"])
+        for r in QUERIES["q_time_drawdown"](spark, sf).collect()
+    }
+    assert out == {1: (4, 25.0, 30.0), 2: (2, 3.0, 0.0)}
+
+
+def test_tfidf_ubiquitous_term_planted(spark, tmp_path):
+    """A token in EVERY doc has smoothed idf ln((N+1)/(N+1)) = 0, so its
+    tfidf is 0 regardless of term frequency — it must rank BELOW any
+    doc-specific term and surface with an exact 0.0 score."""
+    import math
+
+    rows = [(0, "common common rare0 rare0 rare0"), (1, "common rare1")]
+    sf = str(tmp_path / "planted_tfidf")
+    _write_documents(spark, sf, rows)
+    out = {
+        (r["doc_id"], r["rn"]): (r["tok"], r["tfidf"])
+        for r in QUERIES["q_text_tfidf"](spark, sf).collect()
+    }
+    idf = round(math.log(3.0 / 2.0), 6)
+    assert out == {
+        (0, 1): ("rare0", round(3 * math.log(3.0 / 2.0), 6)),
+        (0, 2): ("common", 0.0),
+        (1, 1): ("rare1", idf),
+        (1, 2): ("common", 0.0),
+    }
+
+
+def test_attribution_planted(spark, tmp_path):
+    """Last-touch attribution edges on hand-built journeys: the newest
+    non-purchase touch wins (u4's click supersedes the older view), an
+    intervening purchase is NOT a touch (u5's second purchase still
+    credits the day-1 click), the 7-day lookback is INCLUSIVE at
+    exactly 7 days (u6), a stale 9-day touch falls to direct (u2), and
+    a touchless purchase is direct (u3)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0),
+        (2, "2024-01-02 00:00:00", 1, "purchase", 100.0),
+        (3, "2024-01-01 00:00:00", 2, "view", 0.0),
+        (4, "2024-01-10 00:00:00", 2, "purchase", 50.0),
+        (5, "2024-01-05 00:00:00", 3, "purchase", 30.0),
+        (6, "2024-01-01 00:00:00", 4, "view", 0.0),
+        (7, "2024-01-02 00:00:00", 4, "purchase", 10.0),
+        (8, "2024-01-03 00:00:00", 4, "click", 0.0),
+        (9, "2024-01-04 00:00:00", 4, "purchase", 20.0),
+        (10, "2024-01-01 00:00:00", 5, "click", 0.0),
+        (11, "2024-01-02 00:00:00", 5, "purchase", 1.0),
+        (12, "2024-01-03 00:00:00", 5, "purchase", 2.0),
+        (13, "2024-01-01 00:00:00", 6, "click", 0.0),
+        (14, "2024-01-08 00:00:00", 6, "purchase", 5.0),
+    ]
+    sf = str(tmp_path / "planted_attr")
+    _write_events(spark, sf, rows)
+    out = {
+        r["channel"]: (r["n_purchases"], r["attributed_revenue"])
+        for r in QUERIES["q_events_attribution"](spark, sf).collect()
+    }
+    assert out == {
+        "click": (5, 128.0),
+        "view": (1, 10.0),
+        "direct": (2, 80.0),
+    }
+
+
+def test_gaps_islands_planted(spark, tmp_path):
+    """A A A B A A yields exactly one reported island: the opening
+    3-streak (the trailing 2-run and the singleton B stay under the
+    >=3 cut, and the B gap must split the runs)."""
+    rows = [
+        (1, "2024-01-10 01:00:00", 1, "A", 0.0),
+        (2, "2024-01-10 02:00:00", 1, "A", 0.0),
+        (3, "2024-01-10 03:00:00", 1, "A", 0.0),
+        (4, "2024-01-10 04:00:00", 1, "B", 0.0),
+        (5, "2024-01-10 05:00:00", 1, "A", 0.0),
+        (6, "2024-01-10 06:00:00", 1, "A", 0.0),
+    ]
+    sf = str(tmp_path / "planted_islands")
+    _write_events(spark, sf, rows)
+    recs = QUERIES["q_win_gaps_islands"](spark, sf).collect()
+    assert len(recs) == 1
+    r = recs[0]
+    assert (r["user_id"], r["event_type"], r["streak_len"],
+            str(r["streak_start"])) == (1, "A", 3, "2024-01-10 01:00:00")
