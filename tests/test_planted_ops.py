@@ -1560,3 +1560,62 @@ def test_gaps_islands_planted(spark, tmp_path):
     r = recs[0]
     assert (r["user_id"], r["event_type"], r["streak_len"],
             str(r["streak_start"])) == (1, "A", 3, "2024-01-10 01:00:00")
+
+
+def test_distinct_rolling_coverage_planted(spark, tmp_path):
+    """The coverage-interval rewrite must count each user AT MOST ONCE
+    per target day: u1 (active d1 and d3) and u3 (active d1 and d2)
+    both fall twice inside d3's / d2's 7-day window but count once;
+    only OBSERVED days are emitted, and u2's d10 activity sits outside
+    every earlier window."""
+    rows = [
+        (1, "2024-01-01 05:00:00", 1, "a", 0.0),
+        (2, "2024-01-03 05:00:00", 1, "a", 0.0),
+        (3, "2024-01-10 05:00:00", 2, "a", 0.0),
+        (4, "2024-01-01 06:00:00", 3, "a", 0.0),
+        (5, "2024-01-02 06:00:00", 3, "a", 0.0),
+    ]
+    sf = str(tmp_path / "planted_roll7")
+    _write_events(spark, sf, rows)
+    out = {
+        str(r["day"])[:10]: r["actives_7d"]
+        for r in QUERIES["q_win_distinct_rolling"](spark, sf).collect()
+    }
+    assert out == {
+        "2024-01-01": 2,  # u1, u3
+        "2024-01-02": 2,  # u1 (d1 covers), u3 — once despite d1+d2
+        "2024-01-03": 2,  # u1 — once despite d1+d3 — and u3 (d2 covers)
+        "2024-01-10": 1,  # u2 only; every other activity is > 6 days old
+    }
+
+
+def test_skyline_tie_planted(spark, tmp_path):
+    """Pareto-frontier tie semantics: c1/c2 tie on BOTH dims and must
+    survive together; c3 ties c1's spend with fewer orders (dominated);
+    c5 ties c1's order count at lower spend (dominated); c4's higher
+    spend survives with fewer orders."""
+    orders = {  # custkey -> list of prices
+        1: [40.0, 30.0, 30.0],      # 100.00 / 3  -> skyline
+        2: [50.0, 25.0, 25.0],      # 100.00 / 3  -> skyline (tie with c1)
+        3: [60.0, 40.0],            # 100.00 / 2  -> dominated by c1
+        4: [150.0, 50.0],           # 200.00 / 2  -> skyline (max spend)
+        5: [20.0, 20.0, 10.0],      # 50.00  / 3  -> dominated by c1
+    }
+    rows, k = [], 0
+    for ck, prices in orders.items():
+        for p in prices:
+            k += 1
+            rows.append((k, ck, "O", p, "2024-01-01", "1-URGENT"))
+    sf = str(tmp_path / "planted_skyline")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    out = {
+        r["o_custkey"]: (r["spend_cents"], r["n_orders"])
+        for r in QUERIES["q_skyline"](spark, sf).collect()
+    }
+    assert out == {1: (10000, 3), 2: (10000, 3), 4: (20000, 2)}
