@@ -1619,3 +1619,71 @@ def test_skyline_tie_planted(spark, tmp_path):
         for r in QUERIES["q_skyline"](spark, sf).collect()
     }
     assert out == {1: (10000, 3), 2: (10000, 3), 4: (20000, 2)}
+
+
+def test_changepoint_planted(spark, tmp_path):
+    """u1 steps 1.0 -> 5.0 at the exact midpoint of 20 events: the
+    argmax split must land on rn=10 with mean_shift 4.0. u2 is flat, so
+    every admissible split ties at 0 and the EARLIEST (rn=5) wins."""
+    rows = []
+    eid = 0
+    for i in range(20):
+        eid += 1
+        rows.append((eid, f"2024-01-10 {i + 1:02d}:00:00", 1, "m",
+                     1.0 if i < 10 else 5.0))
+        eid += 1
+        rows.append((eid, f"2024-01-10 {i + 1:02d}:00:00", 2, "m", 2.0))
+    sf = str(tmp_path / "planted_cpt")
+    _write_events(spark, sf, rows)
+    out = {
+        r["user_id"]: (str(r["split_ts"]), r["n"], r["mean_shift"])
+        for r in QUERIES["q_time_changepoint"](spark, sf).collect()
+    }
+    assert out == {
+        1: ("2024-01-10 10:00:00", 20, 4.0),
+        2: ("2024-01-10 05:00:00", 20, 0.0),
+    }
+
+
+def test_events_burst_planted(spark, tmp_path):
+    """Type 't': 9 one-event days + one 11-event day -> only the burst
+    day clears mu + 2*sd, at a hand-computable z. Type 'solo' (one day,
+    n_days=1) and type 'flat' (two identical days, sd=0) must both be
+    guarded out rather than dividing by zero."""
+    import math
+
+    rows, eid = [], 0
+    for day in range(1, 10):  # 9 quiet days
+        eid += 1
+        rows.append((eid, f"2024-01-{day:02d} 01:00:00", 1, "t", 0.0))
+    for k in range(11):  # the burst day
+        eid += 1
+        rows.append((eid, f"2024-01-10 {k + 1:02d}:00:00", 1, "t", 0.0))
+    eid += 1
+    rows.append((eid, "2024-01-01 01:00:00", 2, "solo", 0.0))
+    for day in (1, 2):
+        eid += 1
+        rows.append((eid, f"2024-01-{day:02d} 01:00:00", 3, "flat", 0.0))
+    sf = str(tmp_path / "planted_burst")
+    _write_events(spark, sf, rows)
+    recs = QUERIES["q_events_burst"](spark, sf).collect()
+    assert len(recs) == 1
+    r = recs[0]
+    # mu = 20/10 = 2; sd = sqrt((s2 - s1*mu) / 9) = sqrt((130 - 40) / 9)
+    sd = math.sqrt(10.0)
+    assert (r["event_type"], str(r["day"])[:10], r["n"]) == ("t", "2024-01-10", 11)
+    assert r["mean_n"] == 2.0 and r["z"] == round((11 - 2.0) / sd, 6)
+
+
+def test_text_repetition_planted(spark, tmp_path):
+    """'a b a b a b' has 5 bigrams over 2 types -> dup fraction 0.6 and
+    top-bigram mass 0.6; an all-unique 2-token doc scores (0, 1.0); a
+    1-token doc has no bigrams and must drop out entirely."""
+    rows = [(0, "a b a b a b"), (1, "x y"), (2, "solo")]
+    sf = str(tmp_path / "planted_rep")
+    _write_documents(spark, sf, rows)
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["dup_bigram_frac"], r["top_bigram_frac"])
+        for r in QUERIES["q_text_repetition"](spark, sf).collect()
+    }
+    assert out == {0: (5, 0.6, 0.6), 1: (1, 0.0, 1.0)}
