@@ -1687,3 +1687,54 @@ def test_text_repetition_planted(spark, tmp_path):
         for r in QUERIES["q_text_repetition"](spark, sf).collect()
     }
     assert out == {0: (5, 0.6, 0.6), 1: (1, 0.0, 1.0)}
+
+
+def test_pagerank_planted(spark, tmp_path):
+    """3-iteration damped PageRank on a hand-built path graph 1-2-3
+    (orders {1,2} and {2,3}) checked against an independent plain-Python
+    power iteration — the center node must accumulate rank from both
+    leaves and every pr_rel must match the reference at 6 dp."""
+    items = [(101, 1), (101, 2), (102, 2), (102, 3)]
+    sf = str(tmp_path / "planted_pr")
+    spark.createDataFrame(
+        items, "l_orderkey long, l_partkey long"
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    out = {
+        r["l_partkey"]: r["pr_rel"]
+        for r in QUERIES["q_graph_pagerank"](spark, sf).collect()
+    }
+    # independent reference: uniform start, d=0.85, 3 iterations
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    deg = {1: 1.0, 2: 2.0, 3: 1.0}
+    pr = {v: 1.0 / 3.0 for v in (1, 2, 3)}
+    for _ in range(3):
+        c = {v: 0.0 for v in pr}
+        for s, d in edges:
+            c[d] += pr[s] / deg[s]
+        pr = {v: 0.15 / 3.0 + 0.85 * c[v] for v in pr}
+    assert out == {v: round(pr[v] * 3.0, 6) for v in pr}
+    assert out[2] > out[1] == out[3]
+
+
+def test_triangles_sparsify_planted(spark, tmp_path):
+    """Exactly one oriented triangle survives: parts {1,2,3} co-occur in
+    three orders (every pair at count 3, inside everyone's top-2); the
+    weak 2-4 edge (count 1) is OUTSIDE the top-2 of BOTH endpoints
+    (2 keeps 1,3; 4 keeps its stronger partners 5,6) so no spurious
+    triangle forms, and the 4-5/4-6 star is triangle-free."""
+    orders = {
+        101: [1, 2, 3], 102: [1, 2, 3], 103: [1, 2, 3],
+        201: [4, 5], 202: [4, 5],
+        301: [4, 6], 302: [4, 6],
+        401: [2, 4],
+    }
+    items = [(ok, pk) for ok, parts in orders.items() for pk in parts]
+    sf = str(tmp_path / "planted_tri")
+    spark.createDataFrame(
+        items, "l_orderkey long, l_partkey long"
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    recs = [
+        (r["part_a"], r["part_b"], r["part_c"])
+        for r in QUERIES["q_graph_triangles"](spark, sf).collect()
+    ]
+    assert recs == [(1, 2, 3)]
