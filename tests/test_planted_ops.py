@@ -1738,3 +1738,76 @@ def test_triangles_sparsify_planted(spark, tmp_path):
         for r in QUERIES["q_graph_triangles"](spark, sf).collect()
     ]
     assert recs == [(1, 2, 3)]
+
+
+def test_text_kl_planted(spark, tmp_path):
+    """KL(P_lang || Q_corpus) on a 5-token corpus, checked against an
+    independent plain-Python computation: en = {a:2, b:1}, de = {a:1,
+    c:1}, global = {a:3, b:1, c:1} — both slices diverge, and every
+    slice token exists globally so no log(0) path is reachable."""
+    import math
+
+    rows = []
+    rows_def = [(0, "a a b", "en"), (1, "a c", "de")]
+    for i, (did, text, lang) in enumerate(rows_def):
+        rows.append((did, text, lang, "src0", len(text)))
+    sf = str(tmp_path / "planted_kl")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["lang"]: (r["n_terms"], r["kl"])
+        for r in QUERIES["q_text_kl"](spark, sf).collect()
+    }
+    gt, g = 5, {"a": 3, "b": 1, "c": 1}
+    def kl(counts):
+        nl = sum(counts.values())
+        return round(sum((n / nl) * math.log((n * gt) / (nl * g[t]))
+                         for t, n in counts.items()), 6)
+    assert out == {"en": (2, kl({"a": 2, "b": 1})),
+                   "de": (2, kl({"a": 1, "c": 1}))}
+
+
+def test_ndcg_planted(spark, tmp_path):
+    """nDCG@10 on 5 hand-placed 2-d vectors with a cross-label decoy:
+    v4 (label 1) sits closest to v0/v1 (label 0), pushing their one
+    relevant hit to rank 2 (nDCG = 1/log2(3)); label-1 queries see
+    their second relevant doc at rank >= 3; IDCG truncates at n_rel,
+    not 10. Expected values come from an independent Python rerank."""
+    import math
+
+    vecs = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.9, 0.1]),
+        (2, 1, [0.0, 1.0]),
+        (3, 1, [0.1, 0.9]),
+        (4, 1, [0.95, 0.05]),
+    ]
+    sf = str(tmp_path / "planted_ndcg")
+    spark.createDataFrame(
+        vecs, "vec_id long, label int, embedding array<float>"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    out = {
+        r["q_id"]: (r["n_rel"], r["ndcg_at_10"])
+        for r in QUERIES["q_sim_ndcg"](spark, sf).collect()
+    }
+    import struct
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+    V = {i: [f32(x) for x in e] for i, _, e in vecs}
+    L = {i: l for i, l, _ in vecs}
+    cos = lambda a, b: round(  # noqa: E731
+        sum(x * y for x, y in zip(V[a], V[b]))
+        / (math.sqrt(sum(x * x for x in V[a])) * math.sqrt(sum(x * x for x in V[b]))),
+        6,
+    )
+    expected = {}
+    for qi in V:
+        ranked = sorted((c for c in V if c != qi), key=lambda c: (-cos(qi, c), c))
+        rels = [1.0 if L[c] == L[qi] else 0.0 for c in ranked[:10]]
+        n_rel = sum(1 for c in V if c != qi and L[c] == L[qi])
+        dcg = sum(r / math.log2(i + 2) for i, r in enumerate(rels))
+        idcg = sum(1.0 / math.log2(i + 2) for i in range(min(10, n_rel)))
+        expected[qi] = (n_rel, round(dcg / idcg, 6))
+    assert out == expected
+    assert expected[0][1] == round(1 / math.log2(3), 6)  # the decoy cost
