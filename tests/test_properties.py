@@ -667,3 +667,57 @@ def test_concurrency_matches_bruteforce_sweep(spark, tmp_path_factory, evs):
     for t in bounds:
         expect = sum(1 for s, e in ivals.values() if s <= t <= e)
         assert got[t] == expect, (t, got[t], expect)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["t0", "t1", "t2", "t3"]), min_size=1, max_size=4),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_store_compact_matches_bruteforce(spark, texts):
+    """Bucket-min survivorship must agree with the brute-force rule on
+    any corpus: a doc is evicted iff SOME earlier doc shares a
+    (band_idx, band_key) bucket, and its blocker is the SMALLEST such
+    doc — verified against a direct pairwise Python reference (no
+    bucket-min shortcut), including origin tagging by the max/2 cut."""
+    import hashlib
+
+    from data_pipeline_etl_spark.operators.llm_dedup import (
+        _MINHASH_BAND,
+        _MINHASH_K,
+        store_compact_for,
+    )
+
+    ids = [3 + 10 * i for i in range(len(texts))]
+    df = spark.createDataFrame(
+        [(d, " ".join(t), "en", "s0") for d, t in zip(ids, texts)],
+        "doc_id LONG, text STRING, lang STRING, source STRING",
+    )
+    out = {
+        r["doc_id"]: (r["origin"], r["status"], r["blocker_id"])
+        for r in store_compact_for(df).collect()
+    }
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    def bands(toks):
+        mhs = [min(md5(f"{i}:{t}") for t in set(toks)) for i in range(_MINHASH_K)]
+        nb = _MINHASH_K // _MINHASH_BAND
+        return {
+            (b, md5("".join(mhs[b * _MINHASH_BAND:(b + 1) * _MINHASH_BAND])))
+            for b in range(nb)
+        }
+
+    bk = {d: bands(t) for d, t in zip(ids, texts)}
+    cut = max(ids) / 2
+    expected = {}
+    for d in ids:
+        coll = [e for e in ids if e < d and bk[e] & bk[d]]
+        expected[d] = (
+            "store" if d < cut else "delta",
+            "evicted" if coll else "kept",
+            min(coll) if coll else None,
+        )
+    assert out == expected
