@@ -1811,3 +1811,61 @@ def test_ndcg_planted(spark, tmp_path):
         expected[qi] = (n_rel, round(dcg / idcg, 6))
     assert out == expected
     assert expected[0][1] == round(1 / math.log2(3), 6)  # the decoy cost
+
+
+def test_join_salted_planted(spark, tmp_path):
+    """The salted join must be row-for-row identical to the plain equi
+    join on a hand-skewed fixture: hot user 1 (5 events) spreads over
+    salt buckets WITHOUT duplication (the replicated small side matches
+    each event exactly once), u3 has no customer row and drops out."""
+    ev = [
+        (1, "2024-01-01 01:00:00", 1, "a", 1.0),
+        (2, "2024-01-01 02:00:00", 1, "a", 2.0),
+        (3, "2024-01-01 03:00:00", 1, "a", 3.0),
+        (4, "2024-01-01 04:00:00", 1, "b", 4.0),
+        (5, "2024-01-01 05:00:00", 1, "b", 5.0),
+        (6, "2024-01-01 06:00:00", 2, "a", 10.0),
+        (7, "2024-01-01 07:00:00", 3, "a", 100.0),
+    ]
+    sf = str(tmp_path / "planted_salt")
+    _write_events(spark, sf, ev)
+    spark.createDataFrame(
+        [(1, "n1"), (2, "n2")], "c_custkey long, c_name string"
+    ).write.parquet(f"{sf}/customer.parquet")
+    out = {
+        r["event_type"]: (r["n"], r["total_value"])
+        for r in QUERIES["q_join_salted"](spark, sf).collect()
+    }
+    assert out == {"a": (4, 16.0), "b": (2, 9.0)}
+
+
+def test_rfm_segment_planted(spark, tmp_path):
+    """Five customers laid out so each lands in its own quintile on all
+    three axes (freq 1..5, monetary 100..500, staleness 0..4 days):
+    customer i must score exactly 'i-i-i' under the interpolated
+    threshold cuts (e.g. q0.2 of [1..5] = 1.8, so freq 2 clears one
+    cut and scores 2)."""
+    import datetime
+
+    base = datetime.date(2024, 3, 10)
+    rows, k = [], 0
+    for i in range(1, 6):  # customer i: i orders of 100 on day base-(i-1)
+        d = (base - datetime.timedelta(days=i - 1)).isoformat()
+        for _ in range(i):
+            k += 1
+            rows.append((k, i, "O", 100.0, d, "1-URGENT"))
+    sf = str(tmp_path / "planted_rfm")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    out = {
+        r["o_custkey"]: (r["r_days"], r["freq"], r["monetary_cents"], r["segment"])
+        for r in QUERIES["q_rfm_segment"](spark, sf).collect()
+    }
+    assert out == {
+        i: (i - 1, i, i * 10000, f"{i}-{i}-{i}") for i in range(1, 6)
+    }
