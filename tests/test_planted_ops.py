@@ -1869,3 +1869,41 @@ def test_rfm_segment_planted(spark, tmp_path):
     assert out == {
         i: (i - 1, i, i * 10000, f"{i}-{i}-{i}") for i in range(1, 6)
     }
+
+
+def test_seasonal_dow_planted(spark, tmp_path):
+    """ISO weekday convention pin: 2024-01-01 is Monday (dow 1) and
+    2024-01-07 Sunday (dow 7) — a 0-based or Sunday-first mapping would
+    land the rows on the wrong dow. Indices: means 2 vs 4 against an
+    overall mean of 3."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "t", 2.0),  # Monday
+        (2, "2024-01-07 10:00:00", 1, "t", 4.0),  # Sunday
+    ]
+    sf = str(tmp_path / "planted_dow")
+    _write_events(spark, sf, rows)
+    out = {
+        r["dow"]: (r["n"], r["dow_avg"], r["seasonal_idx"])
+        for r in QUERIES["q_time_seasonal_dow"](spark, sf).collect()
+    }
+    assert out == {1: (1, 2.0, 0.666667), 7: (1, 4.0, 1.333333)}
+
+
+def test_zipf_slope_planted(spark, tmp_path):
+    """regr_slope(ln n, ln rank) on freqs {a:4, b:2, c:1} (ranks 1,2,3)
+    checked against an independent plain-Python OLS fit."""
+    import math
+
+    rows = [(0, "a a a a b b c")]
+    sf = str(tmp_path / "planted_zipf")
+    _write_documents(spark, sf, rows)
+    recs = QUERIES["q_text_zipf"](spark, sf).collect()
+    assert len(recs) == 1
+    xs = [math.log(r) for r in (1, 2, 3)]
+    ys = [math.log(n) for n in (4, 2, 1)]
+    mx, my = sum(xs) / 3, sum(ys) / 3
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert recs[0]["n_vocab"] == 3
+    assert abs(recs[0]["zipf_slope"] - slope) < 1e-5
