@@ -413,17 +413,41 @@ def _band_key(b: int):
     )
 
 
-def _minhash_oracle() -> str:
-    sigs = ",\n           ".join(
+# Shared DuckDB oracle fragments mirroring _minhash_sig/_band_key — one
+# definition so a band-shape or tokenizer change lands everywhere at once
+# (a missed copy would surface as a flaky parity hash mismatch, not a
+# clean failure).
+def _sig_cols_sql() -> str:
+    """The k salted-md5 min signature columns (mirrors ``_minhash_sig``)."""
+    return ",\n           ".join(
         f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(_MINHASH_K)
     )
-    bands = ",\n           ".join(
-        "md5({}) AS band{}".format(
-            " || ".join(f"mh{i}" for i in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND)),
-            b,
-        )
+
+
+def _band_expr_sql(b: int) -> str:
+    """Band ``b``'s md5-over-signature-slice key (mirrors ``_band_key``)."""
+    return "md5({})".format(
+        " || ".join(f"mh{i}" for i in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND))
+    )
+
+
+def _band_cols_sql() -> str:
+    return ",\n           ".join(
+        f"{_band_expr_sql(b)} AS band{b}" for b in range(_MINHASH_K // _MINHASH_BAND)
+    )
+
+
+def _band_rows_sql() -> str:
+    """Unpivot of the ``bsig`` CTE's band columns into (band_idx, band_key)."""
+    return "\n      UNION ALL ".join(
+        f"SELECT doc_id, lang, source, {b} AS band_idx, band{b} AS band_key FROM bsig"
         for b in range(_MINHASH_K // _MINHASH_BAND)
     )
+
+
+def _minhash_oracle() -> str:
+    sigs = _sig_cols_sql()
+    bands = _band_cols_sql()
     cols = ", ".join(f"mh{i}" for i in range(_MINHASH_K))
     return f"""
     WITH sig AS (
@@ -459,16 +483,10 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_candidates_oracle() -> str:
-    sigs = ",\n           ".join(
-        f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(_MINHASH_K)
-    )
+    sigs = _sig_cols_sql()
     band_rows = "\n      UNION ALL ".join(
-        "SELECT doc_id, lang, source, {b} AS band_idx, md5({expr}) AS band_key FROM sig".format(
-            b=b,
-            expr=" || ".join(
-                f"mh{i}" for i in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND)
-            ),
-        )
+        f"SELECT doc_id, lang, source, {b} AS band_idx, "
+        f"{_band_expr_sql(b)} AS band_key FROM sig"
         for b in range(_MINHASH_K // _MINHASH_BAND)
     )
     est = " + ".join(
@@ -571,23 +589,10 @@ def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_oracle() -> str:
-    sigs = ",\n           ".join(
-        f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(_MINHASH_K)
-    )
+    sigs = _sig_cols_sql()
     n_bands = _MINHASH_K // _MINHASH_BAND
-    band_cols = ",\n           ".join(
-        "md5({}) AS band{}".format(
-            " || ".join(
-                f"mh{i}" for i in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND)
-            ),
-            b,
-        )
-        for b in range(n_bands)
-    )
-    band_rows = "\n      UNION ALL ".join(
-        f"SELECT doc_id, lang, source, {b} AS band_idx, band{b} AS band_key FROM bsig"
-        for b in range(n_bands)
-    )
+    band_cols = _band_cols_sql()
+    band_rows = _band_rows_sql()
     out_bands = ", ".join(f"band{b}" for b in range(n_bands))
     return f"""
     WITH sig AS (
@@ -699,23 +704,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ingest_oracle() -> str:
-    sigs = ",\n           ".join(
-        f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(_MINHASH_K)
-    )
-    n_bands = _MINHASH_K // _MINHASH_BAND
-    band_cols = ",\n           ".join(
-        "md5({}) AS band{}".format(
-            " || ".join(
-                f"mh{i}" for i in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND)
-            ),
-            b,
-        )
-        for b in range(n_bands)
-    )
-    band_rows = "\n      UNION ALL ".join(
-        f"SELECT doc_id, lang, source, {b} AS band_idx, band{b} AS band_key FROM bsig"
-        for b in range(n_bands)
-    )
+    sigs = _sig_cols_sql()
+    band_cols = _band_cols_sql()
+    band_rows = _band_rows_sql()
     return f"""
     WITH sig AS (
       SELECT doc_id, lang, source,
@@ -866,23 +857,9 @@ def ingest_disposition_for(d: DataFrame) -> DataFrame:
 
 
 def _store_compact_oracle() -> str:
-    sigs = ",\n           ".join(
-        f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(_MINHASH_K)
-    )
-    n_bands = _MINHASH_K // _MINHASH_BAND
-    band_cols = ",\n           ".join(
-        "md5({}) AS band{}".format(
-            " || ".join(
-                f"mh{i}" for i in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND)
-            ),
-            b,
-        )
-        for b in range(n_bands)
-    )
-    band_rows = "\n      UNION ALL ".join(
-        f"SELECT doc_id, lang, source, {b} AS band_idx, band{b} AS band_key FROM bsig"
-        for b in range(n_bands)
-    )
+    sigs = _sig_cols_sql()
+    band_cols = _band_cols_sql()
+    band_rows = _band_rows_sql()
     return f"""
     WITH sig AS (
       SELECT doc_id, lang, source,

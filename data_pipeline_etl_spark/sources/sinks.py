@@ -70,7 +70,9 @@ def export_training_shards(df: DataFrame, out_dir: str, key: str, n_shards: int)
     user column would make the written files (partition column dropped)
     permanently disagree with the manifest's ``to_json`` lines.
     """
-    if "shard" in df.columns:
+    # case-insensitive: Spark resolves columns case-insensitively by
+    # default, so a 'Shard' column would be silently replaced too
+    if any(c.lower() == "shard" for c in df.columns):
         raise ValueError(
             "export_training_shards: input already has a 'shard' column; "
             "rename it — the export injects its own deterministic shard id"

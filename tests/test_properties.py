@@ -679,10 +679,14 @@ def test_concurrency_matches_bruteforce_sweep(spark, tmp_path_factory, evs):
 @SETTINGS
 def test_store_compact_matches_bruteforce(spark, texts):
     """Bucket-min survivorship must agree with the brute-force rule on
-    any corpus: a doc is evicted iff SOME earlier doc shares a
-    (band_idx, band_key) bucket, and its blocker is the SMALLEST such
-    doc — verified against a direct pairwise Python reference (no
-    bucket-min shortcut), including origin tagging by the max/2 cut."""
+    any corpus: a doc is evicted iff SOME earlier doc IN THE SAME
+    (lang, source) BLOCK shares a (band_idx, band_key) bucket, and its
+    blocker is the SMALLEST such doc — verified against a direct
+    pairwise Python reference (no bucket-min shortcut), including
+    origin tagging by the max/2 cut. Docs alternate between two lang
+    blocks, so identical texts land in BOTH blocks and a regression
+    that drops the block key from the bucket join (cross-block
+    eviction) fails here."""
     import hashlib
 
     from data_pipeline_etl_spark.operators.llm_dedup import (
@@ -692,8 +696,9 @@ def test_store_compact_matches_bruteforce(spark, texts):
     )
 
     ids = [3 + 10 * i for i in range(len(texts))]
+    langs = ["en" if i % 2 == 0 else "de" for i in range(len(texts))]
     df = spark.createDataFrame(
-        [(d, " ".join(t), "en", "s0") for d, t in zip(ids, texts)],
+        [(d, " ".join(t), lg, "s0") for d, t, lg in zip(ids, texts, langs)],
         "doc_id LONG, text STRING, lang STRING, source STRING",
     )
     out = {
@@ -711,10 +716,11 @@ def test_store_compact_matches_bruteforce(spark, texts):
         }
 
     bk = {d: bands(t) for d, t in zip(ids, texts)}
+    blk = dict(zip(ids, langs))
     cut = max(ids) / 2
     expected = {}
     for d in ids:
-        coll = [e for e in ids if e < d and bk[e] & bk[d]]
+        coll = [e for e in ids if e < d and blk[e] == blk[d] and bk[e] & bk[d]]
         expected[d] = (
             "store" if d < cut else "delta",
             "evicted" if coll else "kept",

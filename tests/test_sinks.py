@@ -152,11 +152,14 @@ def test_training_shard_export_manifest(spark, tmp_path):
 
 
 def test_training_shard_fingerprint_multiplicity(spark, tmp_path):
-    """The fingerprint is multiplicity-aware: swapping one copy of a
-    duplicated line for a second copy of another SAME-LENGTH line keeps
-    n_rows, n_chars, and a plain per-line XOR all unchanged — only the
-    count-salted hash catches it. Also: a pre-existing 'shard' column
-    is rejected instead of silently overwritten."""
+    """The fingerprint is multiplicity-aware: replacing BOTH copies of a
+    duplicated line with two more copies of another SAME-LENGTH line
+    ({A,A,B,B} -> {B,B,B,B}) keeps n_rows, n_chars, AND the plain
+    per-line XOR all unchanged (even counts cancel: h(A)^h(A)^h(B)^h(B)
+    = 0 = h(B)^h(B)^h(B)^h(B)) — only the count-salted hash catches it,
+    so a regression back to bit_xor(xxhash64(line)) fails here. Also: a
+    pre-existing 'shard' column is rejected (case-insensitively) instead
+    of silently overwritten."""
     import glob
     import os
 
@@ -179,15 +182,17 @@ def test_training_shard_fingerprint_multiplicity(spark, tmp_path):
     a = next(l for l in lines if "aaaa" in l)
     b = next(l for l in lines if "bbbb" in l)
     lines.remove(a)
-    lines.append(b)  # {A, B, B, B}: counts/chars/plain-XOR all preserved
+    lines.remove(a)
+    lines += [b, b]  # {B,B,B,B}: counts/chars AND plain XOR all preserved
     with open(victim, "w") as f:
         f.write("\n".join(lines) + "\n")
     assert not sinks.validate_training_shards(spark, out)
 
-    with pytest.raises(ValueError, match="shard"):
-        sinks.export_training_shards(
-            df.withColumn("shard", F.lit(1)), str(tmp_path / "x"), key="k", n_shards=1
-        )
+    for bad in ("shard", "Shard"):
+        with pytest.raises(ValueError, match="shard"):
+            sinks.export_training_shards(
+                df.withColumn(bad, F.lit(1)), str(tmp_path / "x"), key="k", n_shards=1
+            )
 
 
 def test_corrupt_record_quarantine_routes_bad_lines(spark, tmp_path):
