@@ -1907,3 +1907,50 @@ def test_zipf_slope_planted(spark, tmp_path):
     )
     assert recs[0]["n_vocab"] == 3
     assert abs(recs[0]["zipf_slope"] - slope) < 1e-5
+
+
+def test_anomaly_mad_planted(spark, tmp_path):
+    """MAD outlier screen on a 25-value stream (12x1, 12x3, one 100):
+    median 3, MAD 2, so only the 100 clears |rz| > 3.5 at a
+    hand-computable robust z. A >50%-identical stream ('flat': ten 5s
+    and one 9) has MAD 0 and the whole type must be guarded out even
+    though the 9 deviates."""
+    rows, eid = [], 0
+    for v in [1.0] * 12 + [3.0] * 12 + [100.0]:
+        eid += 1
+        rows.append((eid, "2024-01-10 01:00:00", 1, "m", v))
+    for v in [5.0] * 10 + [9.0]:
+        eid += 1
+        rows.append((eid, "2024-01-10 01:00:00", 2, "flat", v))
+    sf = str(tmp_path / "planted_mad")
+    _write_events(spark, sf, rows)
+    recs = QUERIES["q_anomaly_mad"](spark, sf).collect()
+    assert len(recs) == 1
+    r = recs[0]
+    assert (r["event_type"], r["value"]) == ("m", 100.0)
+    assert r["robust_z"] == round((100.0 - 3.0) / (1.4826 * 2.0), 6)
+
+
+def test_pivot_missing_category_planted(spark, tmp_path):
+    """A pivot category absent from a group must surface as 0 (the
+    coalesce), not NULL: priority '2-HIGH' has only 'P' orders, so its
+    n_F/n_O are zeros while '1-URGENT' has no 'P'."""
+    rows = [
+        (1, 1, "F", 10.0, "2024-01-01", "1-URGENT"),
+        (2, 1, "F", 10.0, "2024-01-01", "1-URGENT"),
+        (3, 1, "O", 10.0, "2024-01-01", "1-URGENT"),
+        (4, 1, "P", 10.0, "2024-01-01", "2-HIGH"),
+    ]
+    sf = str(tmp_path / "planted_pivot")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    out = {
+        r["o_orderpriority"]: (r["n_F"], r["n_O"], r["n_P"])
+        for r in QUERIES["q_pivot"](spark, sf).collect()
+    }
+    assert out == {"1-URGENT": (2, 1, 0), "2-HIGH": (0, 0, 1)}
