@@ -1954,3 +1954,61 @@ def test_pivot_missing_category_planted(spark, tmp_path):
         for r in QUERIES["q_pivot"](spark, sf).collect()
     }
     assert out == {"1-URGENT": (2, 1, 0), "2-HIGH": (0, 0, 1)}
+
+
+def test_pct_dist_degenerate_planted(spark, tmp_path):
+    """percent_rank's 0/0 edge: a single-row partition scores (0.0, 1.0),
+    an all-tied partition scores (0.0, 1.0) for EVERY row, and a 3-row
+    two-priority partition interpolates 0 / 0.5 with cume 1/3 then 1."""
+    rows = [
+        (1, 1, "F", 1.0, "2024-01-01", "1-URGENT"),    # singleton partition
+        (2, 1, "O", 1.0, "2024-01-01", "2-HIGH"),      # all-tied partition
+        (3, 1, "O", 1.0, "2024-01-01", "2-HIGH"),
+        (4, 1, "O", 1.0, "2024-01-01", "2-HIGH"),
+        (5, 1, "P", 1.0, "2024-01-01", "1-URGENT"),    # 1 low, 2 tied high
+        (6, 1, "P", 1.0, "2024-01-01", "2-HIGH"),
+        (7, 1, "P", 1.0, "2024-01-01", "2-HIGH"),
+    ]
+    sf = str(tmp_path / "planted_pctd")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    out = {
+        r["o_orderkey"]: (r["pct_rank"], r["cume"])
+        for r in QUERIES["q_win_pct_dist"](spark, sf).collect()
+    }
+    third = round(1 / 3, 6)
+    assert out == {
+        1: (0.0, 1.0),
+        2: (0.0, 1.0), 3: (0.0, 1.0), 4: (0.0, 1.0),
+        5: (0.0, third), 6: (0.5, 1.0), 7: (0.5, 1.0),
+    }
+
+
+def test_sample_weighted_tickets_planted(spark, tmp_path):
+    """The E-S sampling key must be the MAX of exactly w per-doc ticket
+    hashes (w = the language's ticket count: en 1, de 2, zh 3) —
+    verified against hashes recomputed in Python, so a ticket-count or
+    salt regression changes keys and fails here."""
+    import hashlib
+
+    rows = [(1, "t1", "en", "s", 2), (2, "t2", "de", "s", 2), (3, "t3", "zh", "s", 2)]
+    sf = str(tmp_path / "planted_es")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: r["skey"]
+        for r in QUERIES["q_sample_weighted"](spark, sf).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    w = {"en": 1, "de": 2, "zh": 3}
+    expected = {
+        d: max(md5(f"{d}:{t}") for t in range(1, w[lg] + 1))
+        for d, _, lg, _, _ in rows
+    }
+    assert out == expected
