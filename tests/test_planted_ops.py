@@ -2012,3 +2012,23 @@ def test_sample_weighted_tickets_planted(spark, tmp_path):
         for d, _, lg, _, _ in rows
     }
     assert out == expected
+
+
+def test_framesample_boundary_planted(spark, tmp_path):
+    """Frame-offset arithmetic at the stride boundary: exactly 64 bytes
+    is still ONE frame (offset 1), 65 bytes rolls to a second frame at
+    offset 65, a 1-byte payload samples once, and the empty-payload
+    guard emits one offset-1 frame instead of an empty sequence."""
+    rows = [(0, "x" * 64), (1, "y" * 65), (2, "z"), (3, "")]
+    sf = str(tmp_path / "planted_frames")
+    _write_documents(spark, sf, rows)
+    out = {
+        r["asset_id"]: (r["media_type"], r["n_frames"], r["last_offset"])
+        for r in QUERIES["q_multimodal_framesample"](spark, sf).collect()
+    }
+    assert out == {
+        0: ("image", 1, 1),
+        1: ("audio", 2, 65),
+        2: ("video", 1, 1),
+        3: ("image", 1, 1),
+    }
