@@ -2032,3 +2032,26 @@ def test_framesample_boundary_planted(spark, tmp_path):
         2: ("video", 1, 1),
         3: ("image", 1, 1),
     }
+
+
+def test_text_entropy_planted(spark, tmp_path):
+    """Entropy closed forms: a uniform 2-token source scores exactly
+    ln 2, a single-token source scores 0 (vocab 1, p=1 — the p*ln p
+    term vanishes rather than NaN-ing), and vocab counts distinct
+    types, not occurrences."""
+    import math
+
+    rows = [
+        (0, "a b", "en", "two", 3),
+        (1, "b a", "en", "two", 3),
+        (2, "w w w", "en", "uni", 5),
+    ]
+    sf = str(tmp_path / "planted_entropy")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["source"]: (r["vocab"], r["entropy_nats"])
+        for r in QUERIES["q_text_entropy"](spark, sf).collect()
+    }
+    assert out == {"two": (2, round(math.log(2), 6)), "uni": (1, 0.0)}
