@@ -73,16 +73,9 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # (All r4/r5 entries pruned at r6 open: CORRECTNESS_r05.json graded every
 # one of them green post-touch, so each had expired by its own rule.)
 _FORCE_FRONT: dict[str, int] = {
-    # (r9 entries pruned at r10 open: CORRECTNESS_r09 graded q_sim_mmr,
-    # q_time_autocorr, q_profile_psi green post-touch — all expired.)
-    # round-10 touches:
-    # q_text_bpe_merge: merge made token-aware (ADVICE r9 #1 — boundary-
-    # crossing string replace corrupted multi-round merge tables):
-    "q_text_bpe_merge": 10,
-    # q_dedup_cluster: body extracted into dedup_clusters_for so the
-    # scaling probe can parameterize the frame — value-preserving, but
-    # the touched-query discipline re-grades regardless:
-    "q_dedup_cluster": 10,
+    # (r10 entries pruned at r11 open: CORRECTNESS_r10 graded
+    # q_text_bpe_merge and q_dedup_cluster green post-touch — expired.)
+    # round-11 touches go here.
 }
 
 
