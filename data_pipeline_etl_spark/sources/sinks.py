@@ -41,6 +41,22 @@ def roundtrip_json(df: DataFrame, spark: SparkSession, out_dir: str) -> DataFram
     return spark.read.schema(df.schema).json(out_dir)
 
 
+# Manifest fingerprint algorithm version. v1 was plain bit_xor(xxhash64(line))
+# (even-count duplicate lines XOR-cancel); v2 salts the hash with the
+# within-shard line count, closing that blind spot. The version rides in
+# every manifest row so a validator reading a manifest written by a
+# different exporter version FAILS LOUDLY as a version mismatch instead of
+# silently reporting the data as corrupt (ADVICE r10: writer/validator
+# divergence must be distinguishable from real corruption).
+FINGERPRINT_VERSION = 2
+
+
+class ManifestVersionError(ValueError):
+    """Stored shard manifest was written by a different fingerprint
+    version — the data may be intact; re-export (or validate with the
+    matching exporter version) instead of treating this as corruption."""
+
+
 def export_training_shards(df: DataFrame, out_dir: str, key: str, n_shards: int) -> DataFrame:
     """Training-data export: write ``df`` as JSONL shards with a
     content manifest — the hand-off format an LLM training job consumes
@@ -64,6 +80,9 @@ def export_training_shards(df: DataFrame, out_dir: str, key: str, n_shards: int)
     duplicated line changes that line's ``n`` and therefore the XOR.
     Everything is computed executor-side from the same ``to_json``
     bytes the writer emits; only |shards| manifest rows exist anywhere.
+    Each row also records ``fp_version`` (= :data:`FINGERPRINT_VERSION`)
+    so validators can reject version-skewed manifests loudly instead of
+    misreading them as corruption.
 
     ``df`` must not already carry a ``shard`` column: the sharding
     column is injected under that name, and silently overwriting a
@@ -104,6 +123,7 @@ def _shard_manifest(lines: DataFrame) -> DataFrame:
         F.sum("n").alias("n_rows"),
         F.sum(F.length("line").cast("long") * F.col("n")).alias("n_chars"),
         F.expr("bit_xor(xxhash64(line, n))").alias("fingerprint"),
+        F.lit(FINGERPRINT_VERSION).alias("fp_version"),
     )
 
 
@@ -121,7 +141,32 @@ def validate_training_shards(spark: SparkSession, out_dir: str) -> bool:
     text read reproduces them with no parser in the loop — a corrupted
     line that would crash or null out a JSON parse still just changes
     one shard's fingerprint here. Distributed end-to-end: only the
-    |shards|-row comparison exists anywhere."""
+    |shards|-row comparison exists anywhere.
+
+    Version gate first: a manifest whose ``fp_version`` is absent (the
+    v1 exporter predates the field) or differs from this validator's
+    ``FINGERPRINT_VERSION`` raises :class:`ManifestVersionError` rather
+    than returning ``False`` — the data may be perfectly intact, and a
+    version skew must never masquerade as a corruption signal."""
+    stored_raw = spark.read.json(out_dir + "/_manifest")
+    if "fp_version" not in stored_raw.columns:
+        raise ManifestVersionError(
+            "shard manifest has no fp_version field (written by a pre-v2 "
+            "exporter); re-export the shards — this is a version skew, "
+            "not evidence of corruption"
+        )
+    versions = [
+        r["v"]
+        for r in stored_raw.select(
+            F.col("fp_version").cast("int").alias("v")
+        ).distinct().collect()
+    ]
+    if versions != [FINGERPRINT_VERSION]:
+        raise ManifestVersionError(
+            f"shard manifest fingerprint version {versions} != validator "
+            f"version {FINGERPRINT_VERSION}; re-export the shards — this "
+            "is a version skew, not evidence of corruption"
+        )
     back = spark.read.text(out_dir + "/data/shard=*").select(
         F.regexp_extract(F.input_file_name(), r"shard=(\d+)", 1)
         .cast("int")
@@ -129,11 +174,12 @@ def validate_training_shards(spark: SparkSession, out_dir: str) -> bool:
         F.col("value").alias("line"),
     )
     recomputed = _shard_manifest(back)
-    stored = spark.read.json(out_dir + "/_manifest").select(
+    stored = stored_raw.select(
         F.col("shard").cast("int").alias("shard"),
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("fingerprint").cast("long").alias("fingerprint"),
+        F.col("fp_version").cast("int").alias("fp_version"),
     )
     return (
         recomputed.exceptAll(stored).isEmpty()

@@ -195,6 +195,57 @@ def test_training_shard_fingerprint_multiplicity(spark, tmp_path):
             )
 
 
+def test_training_shard_manifest_version_gate(spark, tmp_path):
+    """Fingerprint version skew raises ManifestVersionError instead of
+    returning False (ADVICE r10): a manifest written by a different
+    exporter version must not masquerade as data corruption. Three
+    cases: current version validates; a manifest missing fp_version
+    (the v1 exporter predates the field) raises; a manifest with a
+    wrong fp_version value raises. The data files are untouched in all
+    three — only the manifest metadata varies."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(6).select(
+        F.lit(0).alias("k"), F.concat(F.lit("doc"), F.col("id")).alias("v")
+    )
+    out = str(tmp_path / "vshards")
+    manifest = sinks.export_training_shards(df, out, key="k", n_shards=1)
+    assert [r["fp_version"] for r in manifest.collect()] == [
+        sinks.FINGERPRINT_VERSION
+    ]
+    assert sinks.validate_training_shards(spark, out)
+
+    mpath = glob.glob(os.path.join(out, "_manifest", "part-*"))[0]
+    crc = os.path.join(
+        os.path.dirname(mpath), "." + os.path.basename(mpath) + ".crc"
+    )
+    os.remove(crc)
+    with open(mpath) as f:
+        rows = [json.loads(l) for l in f.read().splitlines()]
+
+    def rewrite(rows_out):
+        with open(mpath, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows_out) + "\n")
+
+    # v1-era manifest: field absent entirely
+    rewrite([{k: v for k, v in r.items() if k != "fp_version"} for r in rows])
+    with pytest.raises(sinks.ManifestVersionError, match="no fp_version"):
+        sinks.validate_training_shards(spark, out)
+
+    # future/foreign version: field present but mismatched
+    rewrite([{**r, "fp_version": sinks.FINGERPRINT_VERSION + 1} for r in rows])
+    with pytest.raises(sinks.ManifestVersionError, match="version"):
+        sinks.validate_training_shards(spark, out)
+
+    # restoring the true version restores a clean pass
+    rewrite(rows)
+    assert sinks.validate_training_shards(spark, out)
+
+
 def test_corrupt_record_quarantine_routes_bad_lines(spark, tmp_path):
     """Landing-zone dead-letter routing: PERMISSIVE JSON read with
     columnNameOfCorruptRecord parses good lines into typed columns and
