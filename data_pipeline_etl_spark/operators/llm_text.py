@@ -1052,67 +1052,137 @@ def _bpe_merge(seq_df: DataFrame, best: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "q_text_bpe_merge",
-    oracle=r"""
-    WITH words AS (
+def _bpe_train_oracle(k: int) -> str:
+    """Unrolled DuckDB CTE chain for a ``k``-round BPE trainer — the
+    seq1/p1/b1/seq2/... ladder the hand-written 3-round oracle used,
+    generated so the k=3 query and any k>=4 variant share one
+    byte-identical-per-round SQL shape. Each round's merge mirrors the
+    engine's separator-doubled whole-symbol replace exactly (see
+    ``_bpe_merge``), and ties break ORDER BY n DESC, a, b on both sides.
+
+    Exhaustion semantics are shared too: once every word is a single
+    symbol, p{r} is empty, b{r} is empty, and seq{r+1} (a cross join
+    against the empty b{r}) is empty — later rounds contribute zero rows
+    in BOTH engines, so the result simply has fewer than k rows."""
+    ctes = [
+        r"""words AS (
       SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
         SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
         FROM documents
       ) WHERE length(w) > 0 GROUP BY w
-    ),
-    seq1 AS (
+    )""",
+        r"""seq1 AS (
       SELECT w, freq, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq
       FROM words
-    ),
-    p1 AS (
+    )""",
+    ]
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""p{r} AS (
       SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM (
         SELECT s.freq, s.arr[g.i] AS a, s.arr[g.i + 1] AS b
-        FROM (SELECT freq, string_split(seq, ' ') AS arr FROM seq1) s,
+        FROM (SELECT freq, string_split(seq, ' ') AS arr FROM seq{r}) s,
              unnest(generate_series(1, len(s.arr) - 1)) AS g(i)
       ) GROUP BY a, b
-    ),
-    b1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
-    seq2 AS (
+    )"""
+        )
+        ctes.append(
+            f"b{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        if r < k:
+            ctes.append(
+                f"""seq{r + 1} AS (
       SELECT s.w, s.freq,
              trim(replace(replace(
                ' ' || replace(s.seq, ' ', '  ') || ' ',
-               ' ' || b1.a || '  ' || b1.b || ' ',
-               ' ' || b1.a || b1.b || ' '), '  ', ' ')) AS seq
-      FROM seq1 s, b1
-    ),
-    p2 AS (
-      SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM (
-        SELECT s.freq, s.arr[g.i] AS a, s.arr[g.i + 1] AS b
-        FROM (SELECT freq, string_split(seq, ' ') AS arr FROM seq2) s,
-             unnest(generate_series(1, len(s.arr) - 1)) AS g(i)
-      ) GROUP BY a, b
-    ),
-    b2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
-    seq3 AS (
-      SELECT s.w, s.freq,
-             trim(replace(replace(
-               ' ' || replace(s.seq, ' ', '  ') || ' ',
-               ' ' || b2.a || '  ' || b2.b || ' ',
-               ' ' || b2.a || b2.b || ' '), '  ', ' ')) AS seq
-      FROM seq2 s, b2
-    ),
-    p3 AS (
-      SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM (
-        SELECT s.freq, s.arr[g.i] AS a, s.arr[g.i + 1] AS b
-        FROM (SELECT freq, string_split(seq, ' ') AS arr FROM seq3) s,
-             unnest(generate_series(1, len(s.arr) - 1)) AS g(i)
-      ) GROUP BY a, b
-    ),
-    b3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)
-    SELECT CAST(1 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym,
-           n AS pair_count FROM b1
-    UNION ALL
-    SELECT CAST(2 AS BIGINT), a, b, n FROM b2
-    UNION ALL
-    SELECT CAST(3 AS BIGINT), a, b, n FROM b3
-    """,
-)
+               ' ' || b{r}.a || '  ' || b{r}.b || ' ',
+               ' ' || b{r}.a || b{r}.b || ' '), '  ', ' ')) AS seq
+      FROM seq{r} s, b{r}
+    )"""
+            )
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS left_sym, "
+        f"b AS right_sym, n AS pair_count FROM b{r}"
+        for r in range(1, k + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+def bpe_train_for(words: DataFrame, k: int) -> DataFrame:
+    """``k``-round Sennrich BPE trainer over a ``(w, freq)`` vocabulary
+    frame: each round counts frequency-weighted adjacent symbol pairs,
+    picks the argmax (ties lexicographic on the pair), and fuses it
+    across the vocab with the whole-symbol replace of ``_bpe_merge``.
+    Returns the merge table (merge_rank, left_sym, right_sym,
+    pair_count) — the artifact a tokenizer build persists.
+
+    BPE training is INHERENTLY sequential in k (round r's pair counts
+    depend on round r-1's rewrite), so the plan cannot fan out across
+    rounds; what must not happen is the naive alternative, where round
+    r's lineage re-embeds every earlier round's argmax subtree and the
+    plan grows EXPONENTIALLY in k. Two truncations keep it linear and
+    one-vocab-pass-per-round:
+
+    - the 1-row ``best`` frame is eagerly localCheckpoint-ed, so the
+      merge consumes a materialized constant instead of the whole
+      pair-count aggregate's plan;
+    - the rewritten vocab is lazily localCheckpoint-ed each round, so
+      round r+1's pair counting starts from round r's materialized
+      strings (one Spark job per round — the q_dedup_cluster /
+      k-means house pattern for iterative frames).
+
+    At 100 TB the corpus is touched once (callers aggregate it to the
+    (w, freq) vocab before calling); every round is then a pair-explode
+    + groupBy over the |vocab|-row frame, a |pair-types| argmax sort,
+    and a broadcast 1-row rewrite. If the vocab exhausts (every word one
+    symbol) before k rounds, later rounds yield empty frames and the
+    merge table simply ends early — same semantics as the oracle chain.
+    """
+    seq = words.select(
+        "w", "freq", F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq")
+    )
+    out = []
+    for rank in range(1, k + 1):
+        pairs = _bpe_pairs(seq)
+        best = (
+            pairs.orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            best.select(
+                F.lit(rank).cast("long").alias("merge_rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("n").alias("pair_count"),
+            )
+        )
+        if rank < k:
+            seq = _bpe_merge(seq, best).localCheckpoint(eager=False)
+    result = out[0]
+    for frame in out[1:]:
+        result = result.unionByName(frame)
+    return result
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one corpus pass both BPE trainers share: whitespace words of
+    the lowered documents text, frequency-aggregated."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+@query("q_text_bpe_merge", oracle=_bpe_train_oracle(3))
 def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary INDUCTION (the training half of byte-pair encoding;
     q_text_token_bpe is the inference half): three unrolled merge rounds,
@@ -1136,29 +1206,38 @@ def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ties in pair frequency break on (a, b) lexicographic
     order on both engines; counts are exact BIGINTs, so no float
     discipline is needed anywhere.
+
+    r11: the formerly inline 3-round unroll is now ``bpe_train_for``
+    (k parameterized, per-round lineage truncation) shared with
+    q_text_bpe_train; values are unchanged and the planted trajectory
+    tests pin the same merge tables.
     """
-    d = table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
-        .where(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count("*").alias("freq"))
-    )
-    seq = words.select(
-        "w", "freq", F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq")
-    )
-    out = []
-    for rank in (1, 2, 3):
-        pairs = _bpe_pairs(seq)
-        best = pairs.orderBy(F.desc("n"), "a", "b").limit(1)
-        out.append(
-            best.select(
-                F.lit(rank).cast("long").alias("merge_rank"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.col("n").alias("pair_count"),
-            )
-        )
-        if rank < 3:
-            seq = _bpe_merge(seq, best)
-    return out[0].unionByName(out[1]).unionByName(out[2])
+    return bpe_train_for(_bpe_vocab(spark, sf_dir), 3)
+
+
+@query("q_text_bpe_train", oracle=_bpe_train_oracle(6))
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-round BPE vocabulary training — the k>=4 generalization of
+    q_text_bpe_merge, exercising the one operator class whose cost is
+    SEQUENTIAL in its hyperparameter: merge r+1's pair statistics only
+    exist after merge r has rewritten the vocabulary, so no plan can
+    parallelize across rounds (contrast every other trainer here —
+    IVF, k-means step, MinHash — whose stages fan out).
+
+    What CAN be controlled is per-round cost and plan growth, and
+    ``bpe_train_for`` pins both: the corpus is aggregated to the
+    (word, freq) vocab ONCE, each round is one pair-explode aggregate +
+    one |pair-types| argmax + one broadcast 1-row whole-symbol rewrite
+    over the vocab frame, and per-round localCheckpoints keep the plan
+    O(1) per round instead of exponentially re-embedding earlier argmax
+    subtrees. A production tokenizer build (k ~ 30k merges) runs this
+    exact loop shape with the vocab frame cached cluster-wide; rounds
+    dominate wall-clock linearly, never the corpus rescan.
+
+    Oracle: the same seq/p/b CTE ladder as k=3, machine-unrolled to 6
+    rounds (``_bpe_train_oracle``), merge and tie-break byte-identical
+    per round. Planted tests pin a hand-derived 6-round trajectory and
+    the pre-k exhaustion path (vocab fully fused -> fewer than k rows,
+    identically on both engines).
+    """
+    return bpe_train_for(_bpe_vocab(spark, sf_dir), 6)

@@ -75,7 +75,14 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 _FORCE_FRONT: dict[str, int] = {
     # (r10 entries pruned at r11 open: CORRECTNESS_r10 graded
     # q_text_bpe_merge and q_dedup_cluster green post-touch — expired.)
-    # round-11 touches go here.
+    # round-11 touches:
+    # q_text_bpe_merge: inline 3-round unroll replaced by the shared
+    # bpe_train_for trainer (k parameterized, per-round localCheckpoint
+    # lineage truncation) and its oracle by the machine-unrolled
+    # _bpe_train_oracle(3) — value-preserving (planted trajectories +
+    # sf0.01/sf0.1 parity pin it), but touched-query discipline
+    # re-grades regardless:
+    "q_text_bpe_merge": 11,
 }
 
 

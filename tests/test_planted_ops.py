@@ -508,6 +508,50 @@ def test_bpe_merge_symbol_boundary_planted(spark, tmp_path):
     assert out == {1: ("t", "a", 13), 2: ("a", "b", 6), 3: ("ta", "b", 3)}
 
 
+def test_bpe_train_six_round_planted(spark, tmp_path):
+    """Hand-derivable SIX-round trajectory for the k=6 trainer
+    (q_text_bpe_train): corpus 'abcdefg' x4 + 'xy' x9.
+
+    r1: (x,y)=9 beats every abcdefg pair (all 4) -> 'xy' fuses to a
+        single symbol and contributes no pairs ever again.
+    r2-r6: all remaining pairs count 4, so the lexicographic tie-break
+        drives pure left-accretion: (a,b), then (ab,c) — 'ab' < 'c' —
+        then (abc,d), (abcd,e), (abcde,f). A merge that failed
+        whole-symbol discipline, a wrong tie-break, or a lineage bug
+        re-deriving an earlier round's argmax would each break a
+        specific rank here."""
+    sf = str(tmp_path / "planted_bpe6")
+    _write_documents(spark, sf, [(0, " ".join(["abcdefg"] * 4 + ["xy"] * 9))])
+    out = {
+        r["merge_rank"]: (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in QUERIES["q_text_bpe_train"](spark, sf).collect()
+    }
+    assert out == {
+        1: ("x", "y", 9),
+        2: ("a", "b", 4),
+        3: ("ab", "c", 4),
+        4: ("abc", "d", 4),
+        5: ("abcd", "e", 4),
+        6: ("abcde", "f", 4),
+    }
+
+
+def test_bpe_train_exhaustion_planted(spark, tmp_path):
+    """Vocab exhaustion before k rounds: the {ab, tab, ta} boundary
+    corpus fully fuses after 3 merges (every word one symbol), so the
+    k=6 trainer must return exactly the 3-round merge table — rounds
+    4-6 yield empty argmax frames, not errors and not padding rows
+    (the oracle's cross-join-against-empty chain agrees; driver parity
+    covers that side)."""
+    sf = str(tmp_path / "planted_bpe_exhaust")
+    _write_documents(spark, sf, [(0, " ".join(["ab"] * 6 + ["tab"] * 3 + ["ta"] * 10))])
+    out = {
+        r["merge_rank"]: (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in QUERIES["q_text_bpe_train"](spark, sf).collect()
+    }
+    assert out == {1: ("t", "a", 13), 2: ("a", "b", 6), 3: ("ta", "b", 3)}
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
