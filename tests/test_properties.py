@@ -727,3 +727,57 @@ def test_store_compact_matches_bruteforce(spark, texts):
             min(coll) if coll else None,
         )
     assert out == expected
+
+
+@given(
+    vocab=st.dictionaries(
+        keys=st.text(alphabet="abt", min_size=1, max_size=6),
+        values=st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_bpe_train_matches_bruteforce(spark, vocab):
+    """The k-round trainer must agree with a direct Python Sennrich
+    reference (explicit token lists, no string-replace shortcut) on any
+    (word, freq) vocab: same argmax each round under the (n DESC, a, b)
+    tie-break, same greedy left-to-right non-overlapping merge
+    application, and the same early stop when the vocab fuses before k.
+    The tight 'abt' alphabet makes multi-char symbols share prefixes/
+    suffixes constantly, so a separator-discipline regression in
+    _bpe_merge (binding 'ta b' while merging (a, b)) diverges within a
+    round or two."""
+    from data_pipeline_etl_spark.operators.llm_text import bpe_train_for
+
+    K = 4
+    seqs = {w: list(w) for w in vocab}
+    expected = []
+    for _ in range(K):
+        counts: dict[tuple, int] = {}
+        for w, f in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        n = max(counts.values())
+        a, b = min(p for p, c in counts.items() if c == n)
+        expected.append((a, b, n))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+
+    df = spark.createDataFrame(list(vocab.items()), "w STRING, freq LONG")
+    got = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train_for(df, K).orderBy("merge_rank").collect()
+    ]
+    assert got == expected
