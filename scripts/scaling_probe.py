@@ -332,6 +332,25 @@ def main() -> int:
             F.count("*").alias("n")
         )
 
+    def bpe(ddf):
+        from data_pipeline_etl_spark.operators.llm_text import bpe_train_for
+
+        # k=6 trainer (the declared q_text_bpe_train shape). Per-replica
+        # token prefixes mint a fresh vocabulary per replica, so |vocab|
+        # grows ~Nx — the conservative growth model for the per-round
+        # vocab pass (real corpora grow vocab sub-linearly via Heaps'
+        # law). Output is <=6 rows; the agg keeps the one-row convention.
+        words = (
+            ddf.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+            .where(F.length("w") > 0)
+            .groupBy("w")
+            .agg(F.count("*").alias("freq"))
+        )
+        return bpe_train_for(words, 6).agg(
+            F.count("*").alias("n_merges"),
+            F.sum("pair_count").alias("merge_mass"),
+        )
+
     def concurrency(vdf):
         from data_pipeline_etl_spark.streaming.batch_windows import concurrency_for
 
@@ -357,6 +376,7 @@ def main() -> int:
         "ingest": lambda L, O, E, D, V: ingest(D),
         "dedup_cluster": lambda L, O, E, D, V: cluster(D),
         "store_compact": lambda L, O, E, D, V: compact(D),
+        "bpe_train": lambda L, O, E, D, V: bpe(D),
         "concurrency": lambda L, O, E, D, V: concurrency(V),
     }
 
