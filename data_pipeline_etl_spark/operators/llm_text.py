@@ -1113,6 +1113,107 @@ def _bpe_train_oracle(k: int) -> str:
     )
 
 
+def _bpe_apply_oracle(k: int) -> str:
+    """DuckDB CTE chain for train-then-TOKENIZE: the same seq/p ladder as
+    ``_bpe_train_oracle`` but every round's argmax is unioned with the
+    ``chr(1)`` sentinel pair (n = -1, so it wins only when no real pair
+    exists, and its merge pattern can never bind — documents words never
+    contain the reserved 0x01 byte), the merge is applied after round k
+    too, and the final select reports per-word tokenization stats from
+    seq{k+1}. The sentinel makes apply TOTAL in k: past vocab
+    exhaustion every remaining round is a no-op rewrite instead of the
+    trainer's empty-frame degeneration."""
+    ctes = [
+        r"""words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        FROM documents
+      ) WHERE length(w) > 0 GROUP BY w
+    )""",
+        r"""seq1 AS (
+      SELECT w, freq, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq
+      FROM words
+    )""",
+    ]
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""p{r} AS (
+      SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT s.freq, s.arr[g.i] AS a, s.arr[g.i + 1] AS b
+        FROM (SELECT freq, string_split(seq, ' ') AS arr FROM seq{r}) s,
+             unnest(generate_series(1, len(s.arr) - 1)) AS g(i)
+      ) GROUP BY a, b
+    )"""
+        )
+        ctes.append(
+            f"""b{r} AS (
+      SELECT a, b, n FROM (
+        SELECT a, b, n FROM p{r}
+        UNION ALL SELECT chr(1), chr(1), CAST(-1 AS BIGINT)
+      ) ORDER BY n DESC, a, b LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""seq{r + 1} AS (
+      SELECT s.w, s.freq,
+             trim(replace(replace(
+               ' ' || replace(s.seq, ' ', '  ') || ' ',
+               ' ' || b{r}.a || '  ' || b{r}.b || ' ',
+               ' ' || b{r}.a || b{r}.b || ' '), '  ', ' ')) AS seq
+      FROM seq{r} s, b{r}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT w, freq, CAST(length(w) AS BIGINT) AS n_chars,
+           CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tokens
+    FROM seq{k + 1} ORDER BY freq DESC, w LIMIT 30"""
+    )
+
+
+def bpe_apply_for(words: DataFrame, k: int) -> DataFrame:
+    """Tokenize a ``(w, freq)`` vocabulary with a k-merge BPE table
+    trained on the fly: the inference half of byte-pair encoding at the
+    vocab level, returning ``(w, freq, seq)`` where ``seq`` is the
+    space-joined token sequence after k merges.
+
+    Same per-round machinery and lineage truncations as
+    :func:`bpe_train_for`, with one addition that makes apply TOTAL in
+    k: each round's argmax is unioned with a reserved sentinel pair
+    (``\\x01``, ``\\x01``, n=-1). While real pairs exist the sentinel
+    always loses the (n DESC, a, b) sort; once the vocab is fully fused
+    it wins, and its merge pattern — two adjacent whole symbols equal to
+    the 0x01 byte, which tokenized words cannot contain — binds nowhere,
+    so remaining rounds are no-op rewrites instead of the cross-join-
+    against-empty degeneration the trainer's merge-table semantics
+    tolerate. Scale shape: tokenizing at the DISTINCT-WORD level is the
+    production layout (trillions of corpus tokens reduce to a
+    millions-row vocab; per-doc token ids come from a broadcast join of
+    doc words against this frame), so the corpus is touched once here
+    and never per round."""
+    spark = words.sparkSession
+    sentinel = spark.range(1).select(
+        F.lit("\x01").alias("a"),
+        F.lit("\x01").alias("b"),
+        F.lit(-1).cast("long").alias("n"),
+    )
+    seq = words.select(
+        "w", "freq", F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq")
+    )
+    for _ in range(k):
+        best = (
+            _bpe_pairs(seq)
+            .unionByName(sentinel)
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        seq = _bpe_merge(seq, best).localCheckpoint(eager=False)
+    return seq
+
+
 def bpe_train_for(words: DataFrame, k: int) -> DataFrame:
     """``k``-round Sennrich BPE trainer over a ``(w, freq)`` vocabulary
     frame: each round counts frequency-weighted adjacent symbol pairs,
@@ -1241,3 +1342,38 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both engines).
     """
     return bpe_train_for(_bpe_vocab(spark, sf_dir), 6)
+
+
+@query("q_text_bpe_apply", oracle=_bpe_apply_oracle(4))
+def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization with a trained merge table — the APPLY half that
+    closes the tokenizer loop (q_text_bpe_train learns the merges,
+    q_text_token_bpe approximates token counts with a regex; this query
+    tokenizes exactly): four merges trained on the corpus vocabulary,
+    then per-word token counts for the 30 highest-frequency words
+    (ties on the word), the frame a tokenizer-compression report reads.
+
+    ``n_chars`` is the pre-BPE token count (character-split baseline);
+    ``n_tokens`` the post-merge count — their ratio per word is the
+    compression the k merges bought. The vocab-level layout is the
+    at-scale design: tokenize each DISTINCT word once, broadcast-join
+    token sequences back to the corpus when per-doc ids are needed —
+    never re-run merges per document. The sentinel-pair trick in
+    ``bpe_apply_for`` makes the round count total (no exhaustion
+    footgun), mirrored byte-for-byte in the oracle's b{r} CTEs.
+
+    Determinism: exact BIGINT counts, total (freq DESC, w) order into
+    LIMIT 30 — TakeOrderedAndProject on the Spark side, no float
+    discipline needed.
+    """
+    toks = bpe_apply_for(_bpe_vocab(spark, sf_dir), 4)
+    return (
+        toks.select(
+            "w",
+            "freq",
+            F.length("w").cast("long").alias("n_chars"),
+            F.size(F.split("seq", " ")).cast("long").alias("n_tokens"),
+        )
+        .orderBy(F.desc("freq"), "w")
+        .limit(30)
+    )

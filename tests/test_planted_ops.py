@@ -552,6 +552,29 @@ def test_bpe_train_exhaustion_planted(spark, tmp_path):
     assert out == {1: ("t", "a", 13), 2: ("a", "b", 6), 3: ("ta", "b", 3)}
 
 
+def test_bpe_apply_planted(spark, tmp_path):
+    """Tokenization with the trained table (q_text_bpe_apply, k=4) on
+    the six-round trajectory corpus: merges (x,y),(a,b),(ab,c),(abc,d)
+    leave 'abcdefg' as [abcd, e, f, g] (4 tokens from 7 chars) and 'xy'
+    as one token."""
+    sf = str(tmp_path / "planted_bpe_apply")
+    _write_documents(spark, sf, [(0, " ".join(["abcdefg"] * 4 + ["xy"] * 9))])
+    rows = [tuple(r) for r in QUERIES["q_text_bpe_apply"](spark, sf).collect()]
+    assert rows == [("xy", 9, 2, 1), ("abcdefg", 4, 7, 4)]
+
+
+def test_bpe_apply_exhaustion_sentinel_planted(spark, tmp_path):
+    """Apply must be TOTAL in k: the {ab, tab, ta} corpus fuses after 3
+    merges, so round 4's argmax is the reserved sentinel pair whose
+    pattern binds nowhere — every word still comes back, fully fused to
+    one token (the trainer's cross-join-against-empty degeneration,
+    which would return ZERO rows here, must not leak into apply)."""
+    sf = str(tmp_path / "planted_bpe_apply_exhaust")
+    _write_documents(spark, sf, [(0, " ".join(["ab"] * 6 + ["tab"] * 3 + ["ta"] * 10))])
+    rows = [tuple(r) for r in QUERIES["q_text_bpe_apply"](spark, sf).collect()]
+    assert rows == [("ta", 10, 2, 1), ("ab", 6, 2, 1), ("tab", 3, 3, 1)]
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
