@@ -575,6 +575,104 @@ def test_bpe_apply_exhaustion_sentinel_planted(spark, tmp_path):
     assert rows == [("ta", 10, 2, 1), ("ab", 6, 2, 1), ("tab", 3, 3, 1)]
 
 
+def test_time_gap_stats_planted(spark, tmp_path):
+    """Hand-computed inter-arrival profile: type 'a' arrives at +0s,
+    +10s, +30s, +100s -> gaps [10, 20, 70]; exact interpolated
+    percentiles give p50 = 20 and p99 = 20 + 0.98*(70-20) = 69; the
+    mean is the exact-BIGINT 100/3 rounded at 6 dp. A type with a
+    single event has no gaps and must be absent, not a zero row."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a", 1.0),
+        (2, "2024-01-01 00:00:10", 1, "a", 1.0),
+        (3, "2024-01-01 00:00:30", 2, "a", 1.0),
+        (4, "2024-01-01 00:01:40", 2, "a", 1.0),
+        (5, "2024-01-01 00:05:00", 1, "lonely", 1.0),
+    ]
+    sf = str(tmp_path / "planted_gaps")
+    _write_events(spark, sf, rows)
+    out = {r["event_type"]: r for r in QUERIES["q_time_gap_stats"](spark, sf).collect()}
+    assert set(out) == {"a"}
+    a = out["a"]
+    assert a["n_gaps"] == 3
+    assert a["avg_gap_sec"] == round(100 / 3, 6)
+    assert a["p50_gap_sec"] == 20.0
+    assert a["p99_gap_sec"] == 69.0
+    assert a["max_gap_sec"] == 70.0
+
+
+def test_stream_session_gap_boundary_planted(spark, tmp_path):
+    """Session gap boundary is INCLUSIVE on both engines: an event
+    exactly 30:00 after its predecessor merges into the session
+    (session_window treats [start, last+gap] as reachable; the oracle
+    breaks only on gap > 30 min), while 30:01 starts a new one."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a", 1.0),
+        (2, "2024-01-01 00:30:00", 1, "a", 1.0),  # exactly at the gap: merges
+        (3, "2024-01-01 01:00:01", 1, "a", 1.0),  # 30:01 later: new session
+        (4, "2024-01-01 00:00:00", 2, "a", 1.0),
+        (5, "2024-01-01 00:30:01", 2, "a", 1.0),  # 30:01: new session
+    ]
+    sf = str(tmp_path / "planted_sess_boundary")
+    _write_events(spark, sf, rows)
+    out = sorted(
+        (r["user_id"], str(r["sess_start"]), r["n_events"], r["dur_us"])
+        for r in QUERIES["q_stream_session"](spark, sf).collect()
+    )
+    assert out == [
+        (1, "2024-01-01 00:00:00", 2, 1800_000_000),
+        (1, "2024-01-01 01:00:01", 1, 0),
+        (2, "2024-01-01 00:00:00", 1, 0),
+        (2, "2024-01-01 00:30:01", 1, 0),
+    ]
+
+
+def test_unigram_logprob_closed_form_planted(spark, tmp_path):
+    """Closed-form unigram scoring: corpus {doc0: 'x x y', doc1: 'y'}
+    gives P(x) = P(y) = 1/2, so every token contributes ln(1/2) and
+    doc0's sum is exactly 3*ln(1/2), doc1's 1*ln(1/2) — pinning the
+    vocabulary/total broadcast plumbing and the per-doc fold against
+    a by-hand probability table."""
+    import math
+
+    sf = str(tmp_path / "planted_unigram")
+    _write_documents(spark, sf, [(0, "x x y"), (1, "y")])
+    out = {r["doc_id"]: r for r in QUERIES["q_text_unigram_logprob"](spark, sf).collect()}
+    lh = math.log(0.5)
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["logprob"] == round(3 * lh, 4)
+    assert out[0]["avg_logprob"] == round(lh, 6)
+    assert out[1]["n_tokens"] == 1
+    assert out[1]["logprob"] == round(lh, 4)
+    assert out[1]["avg_logprob"] == round(lh, 6)
+
+
+def test_join_asof_planted(spark, tmp_path):
+    """As-of semantics by hand: each purchase joins its user's latest
+    PRIOR event (ties on ts break by event_id). u1's purchase sees the
+    view 5 min before it, not the click after; u2's purchase is the
+    user's first event -> NULL prev; u3 has two events at the SAME
+    timestamp and the purchase (higher event_id) must see the
+    equal-timestamp lower-id event as its predecessor."""
+    rows = [
+        (10, "2024-01-01 10:00:00", 1, "view", 1.0),
+        (11, "2024-01-01 10:05:00", 1, "purchase", 2.0),
+        (12, "2024-01-01 10:06:00", 1, "click", 3.0),
+        (20, "2024-01-01 09:00:00", 2, "purchase", 4.0),
+        (30, "2024-01-01 08:00:00", 3, "scroll", 5.0),
+        (31, "2024-01-01 08:00:00", 3, "purchase", 6.0),
+    ]
+    sf = str(tmp_path / "planted_asof")
+    _write_events(spark, sf, rows)
+    out = {
+        r["event_id"]: (str(r["prev_ts"]), r["prev_type"])
+        for r in QUERIES["q_join_asof"](spark, sf).collect()
+    }
+    assert set(out) == {11, 20, 31}
+    assert out[11] == ("2024-01-01 10:00:00", "view")
+    assert out[20] == ("None", None)
+    assert out[31] == ("2024-01-01 08:00:00", "scroll")
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
