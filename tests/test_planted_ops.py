@@ -673,6 +673,68 @@ def test_join_asof_planted(spark, tmp_path):
     assert out[31] == ("2024-01-01 08:00:00", "scroll")
 
 
+def test_win_range_frame_includes_peers_planted(spark, tmp_path):
+    """RANGE frames are value-based and include PEER rows: with prices
+    {100, 500, 500, 1400, 2000} and a [p-1000, p] frame, BOTH 500-rows
+    count 3 (each other plus 100) — a ROWS frame would give them 2 and
+    3, so this planted table distinguishes the two frame kinds by
+    hand-derivable counts."""
+    spark.createDataFrame(
+        [(k, "O", p) for k, p in [(1, 100.0), (2, 500.0), (3, 500.0),
+                                  (4, 1400.0), (5, 2000.0)]],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_range/orders.parquet")
+    out = {
+        r["o_orderkey"]: r["n_in_range"]
+        for r in QUERIES["q_win_range_frame"](spark, str(tmp_path / "planted_range")).collect()
+    }
+    assert out == {1: 1, 2: 3, 3: 3, 4: 3, 5: 2}
+
+
+def test_agg_decimal_exact_planted(spark, tmp_path):
+    """The decimal sum must survive the classic double-accumulation
+    trap: ten rows of 0.10 sum to exactly 1.00 in DECIMAL(18,2)
+    (gross_cents = 100, total_qty = 1), while a regression to a double
+    fold yields 0.9999999999999999 and truncates to 99 cents / 0 qty
+    on the bigint cast."""
+    spark.createDataFrame(
+        [("A", 0.10, 0.10)] * 10,
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_dec/lineitem.parquet")
+    rows = QUERIES["q_agg_decimal_exact"](spark, str(tmp_path / "planted_dec")).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["l_returnflag"], r["gross_cents"], r["total_qty"], r["n"]) == (
+        "A", 100, 1, 10,
+    )
+
+
+def test_profile_benford_planted(spark, tmp_path):
+    """Hand-computed first-digit table: five amounts leading with 1
+    (10.5, 150, 1200, 19, 1.2 — floor then first char), one with 9,
+    and a 0.5 that the >= 1 guard must drop. Shares are exact sixths;
+    the Benford expectations are the closed forms log10(2) and
+    log10(10/9)."""
+    import math
+
+    prices = [10.5, 150.0, 1200.0, 19.0, 1.2, 9.5, 0.5]
+    spark.createDataFrame(
+        [(i, p) for i, p in enumerate(prices)],
+        "o_orderkey long, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_ben/orders.parquet")
+    out = {
+        r["digit"]: r
+        for r in QUERIES["q_profile_benford"](spark, str(tmp_path / "planted_ben")).collect()
+    }
+    assert set(out) == {"1", "9"}
+    assert out["1"]["n_orders"] == 5
+    assert out["1"]["obs_share"] == round(5 / 6, 6)
+    assert out["1"]["benford_share"] == round(math.log10(2), 6)
+    assert out["9"]["n_orders"] == 1
+    assert out["9"]["obs_share"] == round(1 / 6, 6)
+    assert out["9"]["benford_share"] == round(math.log10(10 / 9), 6)
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
