@@ -735,6 +735,49 @@ def test_profile_benford_planted(spark, tmp_path):
     assert out["9"]["benford_share"] == round(math.log10(10 / 9), 6)
 
 
+def test_sim_centroid_planted(spark, tmp_path):
+    """Closed-form centroid + cohesion: label 'a' holds [0,0] and [2,2]
+    -> centroid [1,1], both distances sqrt(2); label 'b' is a single
+    vector, its own centroid, distance 0. Pins the posexplode/
+    reassemble plumbing and the L2 fold against by-hand geometry."""
+    import math
+
+    spark.createDataFrame(
+        [(1, "a", [0.0, 0.0]), (2, "a", [2.0, 2.0]), (3, "b", [3.0, 4.0])],
+        "vec_id long, label string, embedding array<double>",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_cent/embeddings.parquet")
+    out = {
+        r["label"]: r
+        for r in QUERIES["q_sim_centroid"](spark, str(tmp_path / "planted_cent")).collect()
+    }
+    assert out["a"]["n_vecs"] == 2
+    assert out["a"]["avg_dist"] == round(math.sqrt(2.0), 6)
+    assert out["b"]["n_vecs"] == 1
+    assert out["b"]["avg_dist"] == 0.0
+
+
+def test_time_ewma_planted(spark, tmp_path):
+    """Truncated 10-term EWMA closed forms: a constant-5 series must
+    give exactly 5.0 (weights normalize out), and a unit spike at the
+    newest point of a zero series gives 1/sum(0.7^i for i<10) — the
+    normalizer the query hard-codes. Only rows with >= 10 history
+    qualify (rn >= 10), so each 10-event user emits exactly one row."""
+    rows = []
+    eid = 0
+    for i in range(10):  # user 1: constant 5.0
+        rows.append((eid, f"2024-01-01 00:{i:02d}:00", 1, "a", 5.0))
+        eid += 1
+    for i in range(10):  # user 2: zeros then a final 1.0
+        rows.append((eid, f"2024-01-01 00:{i:02d}:00", 2, "a",
+                     1.0 if i == 9 else 0.0))
+        eid += 1
+    sf = str(tmp_path / "planted_ewma")
+    _write_events(spark, sf, rows)
+    out = {r["user_id"]: r["ewma10"] for r in QUERIES["q_time_ewma"](spark, sf).collect()}
+    norm = sum(0.7 ** i for i in range(10))
+    assert out == {1: 5.0, 2: round(1.0 / norm, 6)}
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
