@@ -396,3 +396,23 @@ def test_store_compact_bucket_min_no_pair_join(spark):
         for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
     )
     assert equi_joins == 2, (equi_joins, plan)
+
+
+def test_bpe_trainer_lineage_truncated(spark):
+    """The k-round BPE trainer's returned frame must be a union of k
+    checkpoint-backed 1-row argmax frames: all pair counting, argmax
+    sorting, and vocab rewriting ran behind the per-round
+    localCheckpoints, so the FINAL plan carries no aggregate, no sort,
+    and no source scan. A regression that drops the truncation (the
+    naive lineage re-embeds every earlier round's argmax subtree,
+    growing the plan EXPONENTIALLY in k) surfaces here as
+    HashAggregate / Sort / scan nodes and a plan that balloons with k."""
+    from data_pipeline_etl_spark.operators.llm_text import bpe_train_for
+
+    words = spark.createDataFrame(
+        [("abcd", 3), ("bcd", 2), ("cd", 5)], "w string, freq long"
+    )
+    plan = _plan(bpe_train_for(words, 4))
+    assert plan.count("Scan ExistingRDD") == 4, plan
+    for node in ("HashAggregate", "Sort", "Scan parquet", "Exchange"):
+        assert node not in plan, (node, plan)
