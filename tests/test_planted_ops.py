@@ -778,6 +778,47 @@ def test_time_ewma_planted(spark, tmp_path):
     assert out == {1: 5.0, 2: round(1.0 / norm, 6)}
 
 
+def test_text_jsd_closed_forms_planted(spark, tmp_path):
+    """Jensen-Shannon divergence closed forms between sources: identical
+    token distributions give 0; fully disjoint vocabularies give ln 2
+    (the JSD maximum in nats). Three sources -> three pairs, two of
+    them disjoint."""
+    import math
+
+    spark.createDataFrame(
+        [(0, "x y", "en", "sa", 3), (1, "x y", "en", "sb", 3),
+         (2, "z w", "en", "sc", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_jsd/documents.parquet")
+    out = {
+        (r["src_a"], r["src_b"]): r["jsd"]
+        for r in QUERIES["q_text_jsd"](spark, str(tmp_path / "planted_jsd")).collect()
+    }
+    ln2 = round(math.log(2.0), 6)
+    assert out == {("sa", "sb"): 0.0, ("sa", "sc"): ln2, ("sb", "sc"): ln2}
+
+
+def test_dedup_containment_planted(spark, tmp_path):
+    """Containment = |A∩B| / min(|A|,|B|) by hand: doc4 ('a b c') is a
+    PURE SUBSET of doc1 and doc2 (containment 1.0 each — the asymmetric
+    case Jaccard under-scores: its Jaccard with doc1 is only 0.3);
+    doc1 vs doc2 share 9 of 10 unigrams (exactly the 0.9 threshold,
+    inclusive); doc3 overlaps nothing enough and must be absent."""
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i x"),
+        (3, "a b q r s t u v w y"),
+        (4, "a b c"),
+    ]
+    sf = str(tmp_path / "planted_contain")
+    _write_documents(spark, sf, docs)
+    out = {
+        r["doc_id"]: (r["n_containers"], r["max_containment"])
+        for r in QUERIES["q_dedup_containment"](spark, sf).collect()
+    }
+    assert out == {1: (2, 1.0), 2: (2, 1.0), 4: (2, 1.0)}
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
