@@ -819,6 +819,47 @@ def test_dedup_containment_planted(spark, tmp_path):
     assert out == {1: (2, 1.0), 2: (2, 1.0), 4: (2, 1.0)}
 
 
+def test_win_ntile_uneven_tiles_planted(spark, tmp_path):
+    """ntile(4) over 6 rows must hand out the remainder to the FIRST
+    tiles ([2,2,1,1], the SQL-standard distribution), percent_rank is
+    (rank-1)/(n-1) and cume_dist rank/n — all hand-derivable on one
+    6-customer segment with distinct balances."""
+    spark.createDataFrame(
+        [(k, "SEG", float(100 * k)) for k in range(1, 7)],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_ntile/customer.parquet")
+    out = {
+        r["c_custkey"]: (r["quartile"], r["pr"], r["cd"])
+        for r in QUERIES["q_win_ntile"](spark, str(tmp_path / "planted_ntile")).collect()
+    }
+    assert out == {
+        1: (1, 0.0, round(1 / 6, 6)),
+        2: (1, 0.2, round(2 / 6, 6)),
+        3: (2, 0.4, 0.5),
+        4: (2, round(0.6, 6), round(4 / 6, 6)),
+        5: (3, 0.8, round(5 / 6, 6)),
+        6: (4, 1.0, 1.0),
+    }
+
+
+def test_pack_bins_offset_boundary_planted(spark, tmp_path):
+    """Offset-based packing by hand: token counts [500, 10, 10, 500] in
+    doc_id order give start offsets [0, 500, 510, 520] against the
+    512-token budget — the THIRD doc still starts inside bin 0 (510 <
+    512) even though it overflows it, and the fourth starts bin 1. So
+    bin 0 holds 3 docs / 520 tokens, bin 1 holds 1 / 500 (the scheme
+    bins by start offset, not by fit — deterministic and one window
+    pass, the documented trade against first-fit-decreasing)."""
+    docs = [(i, " ".join(["t"] * n)) for i, n in enumerate([500, 10, 10, 500])]
+    sf = str(tmp_path / "planted_pack")
+    _write_documents(spark, sf, docs)
+    out = {
+        r["bin_id"]: (r["n_docs"], r["bin_tokens"])
+        for r in QUERIES["q_pack_bins"](spark, sf).collect()
+    }
+    assert out == {0: (3, 520), 1: (1, 500)}
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
