@@ -860,6 +860,46 @@ def test_pack_bins_offset_boundary_planted(spark, tmp_path):
     assert out == {0: (3, 520), 1: (1, 500)}
 
 
+def test_time_drawdown_planted(spark, tmp_path):
+    """Hand-traced drawdown: values [5, -3, -4, 10] give cumulative
+    [5, 2, -2, 8], running peak [5, 5, 5, 8], so the max drawdown is
+    5 - (-2) = 7 and the final peak 8 — the recovery at the end must
+    not erase the mid-series trough."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a", 5.0),
+        (2, "2024-01-01 00:01:00", 1, "a", -3.0),
+        (3, "2024-01-01 00:02:00", 1, "a", -4.0),
+        (4, "2024-01-01 00:03:00", 1, "a", 10.0),
+    ]
+    sf = str(tmp_path / "planted_dd")
+    _write_events(spark, sf, rows)
+    rows_out = QUERIES["q_time_drawdown"](spark, sf).collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert (r["user_id"], r["n_events"], r["peak_value"], r["max_drawdown"]) == (
+        1, 4, 8.0, 7.0,
+    )
+
+
+def test_sample_hash_matches_independent_md5(spark, tmp_path):
+    """The deterministic 3/16 hash sample must select EXACTLY the rows an
+    independent md5 implementation selects (first hex digit in 0..2) —
+    pinning reproducibility across runs/partitionings against Python's
+    hashlib rather than only cross-engine agreement."""
+    import hashlib
+
+    texts = [f"sample doc number {i}" for i in range(40)]
+    sf = str(tmp_path / "planted_sample")
+    _write_documents(spark, sf, list(enumerate(texts)))
+    picked = [t for t in texts if hashlib.md5(t.encode()).hexdigest()[0] in "012"]
+    assert picked, "corpus too small to exercise the sample"
+    out = QUERIES["q_sample_hash"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_sampled"] == len(picked)
+    assert r["avg_chars"] == round(sum(len(t) for t in picked) / len(picked), 6)
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
