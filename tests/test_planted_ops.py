@@ -900,6 +900,60 @@ def test_sample_hash_matches_independent_md5(spark, tmp_path):
     assert r["avg_chars"] == round(sum(len(t) for t in picked) / len(picked), 6)
 
 
+def test_funnel_strict_ordering_planted(spark, tmp_path):
+    """Funnel stages must be STRICTLY ordered on first-occurrence times:
+    u1 completes signup->click->purchase in order; u2 clicked BEFORE
+    signing up (min click precedes signup, so no click_after credit);
+    u3's purchase landed between signup and click (before min click ->
+    no purchase_after credit, click_after still counts); u4 never
+    signed up and contributes to n_users only."""
+    rows = [
+        (1, "2024-01-01 01:00:00", 1, "signup", 1.0),
+        (2, "2024-01-01 02:00:00", 1, "click", 1.0),
+        (3, "2024-01-01 03:00:00", 1, "purchase", 1.0),
+        (4, "2024-01-01 01:00:00", 2, "click", 1.0),
+        (5, "2024-01-01 02:00:00", 2, "signup", 1.0),
+        (6, "2024-01-01 01:00:00", 3, "signup", 1.0),
+        (7, "2024-01-01 01:30:00", 3, "purchase", 1.0),
+        (8, "2024-01-01 02:00:00", 3, "click", 1.0),
+        (9, "2024-01-01 01:00:00", 4, "click", 1.0),
+        (10, "2024-01-01 02:00:00", 4, "purchase", 1.0),
+    ]
+    sf = str(tmp_path / "planted_funnel")
+    _write_events(spark, sf, rows)
+    out = QUERIES["q_funnel"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_users"], r["n_signup"], r["n_click_after"], r["n_purchase_after"]) == (
+        4, 3, 2, 1,
+    )
+
+
+def test_time_interp_linear_planted(spark, tmp_path):
+    """Linear interpolation onto the hourly grid by hand: type 'a'
+    observes 10 @00:30 and 30 @02:30, so grid points 01:00 and 02:00
+    interpolate to 15 and 25 (quarter and three-quarter of the segment)
+    while 00:00 — before any observation — is dropped, not
+    extrapolated. Type 'b' has a single observation exactly ON its only
+    grid point and must pass it through unchanged."""
+    rows = [
+        (1, "2024-01-01 00:30:00", 1, "a", 10.0),
+        (2, "2024-01-01 02:30:00", 1, "a", 30.0),
+        (3, "2024-01-01 01:00:00", 1, "b", 7.0),
+    ]
+    sf = str(tmp_path / "planted_interp")
+    _write_events(spark, sf, rows)
+    out = {
+        (r["event_type"], str(r["gts"])): r["v_interp"]
+        for r in QUERIES["q_time_interp"](spark, sf).collect()
+    }
+    assert out == {
+        ("a", "2024-01-01 01:00:00"): 15.0,
+        ("a", "2024-01-01 02:00:00"): 25.0,
+        ("b", "2024-01-01 01:00:00"): 7.0,
+    }
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
