@@ -954,6 +954,60 @@ def test_time_interp_linear_planted(spark, tmp_path):
     }
 
 
+def test_retention_cohort_planted(spark, tmp_path):
+    """Cohort retention by hand: u1 and u2 cohort on Jan 1 (day-0 count
+    2); u1 returns on Jan 3 (offset 2) and again on Jan 20 — past the
+    7-day horizon, so that visit must vanish; u3 cohorts on Jan 2 with
+    a day-1 return. Same-day repeat visits count once (DISTINCT)."""
+    rows = [
+        (1, "2024-01-01 09:00:00", 1, "a", 1.0),
+        (2, "2024-01-01 17:00:00", 1, "a", 1.0),  # same-day repeat: no double count
+        (3, "2024-01-03 09:00:00", 1, "a", 1.0),
+        (4, "2024-01-20 09:00:00", 1, "a", 1.0),  # offset 19 > 7: dropped
+        (5, "2024-01-01 12:00:00", 2, "a", 1.0),
+        (6, "2024-01-02 08:00:00", 3, "a", 1.0),
+        (7, "2024-01-03 08:00:00", 3, "a", 1.0),
+    ]
+    sf = str(tmp_path / "planted_retention")
+    _write_events(spark, sf, rows)
+    out = {
+        (str(r["cohort_day"])[:10], r["day_offset"]): r["n_active"]
+        for r in QUERIES["q_retention"](spark, sf).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+        ("2024-01-02", 1): 1,
+    }
+
+
+def test_dq_kanon_planted(spark, tmp_path):
+    """k-anonymity screen by hand: a 5-member quasi-identifier group is
+    safe (k >= 5, absent); a 2-member group and two singletons report
+    with is_unique set correctly — including a NEGATIVE balance whose
+    bucket must floor to -1 (floor division, not truncation toward
+    zero)."""
+    rows = (
+        [(1, "SEG", 100.0 + i) for i in range(5)]   # k=5: absent
+        + [(2, "SEG", 100.0), (2, "SEG", 200.0)]     # k=2
+        + [(3, "SEG", 1500.0)]                       # k=1, bucket 1
+        + [(4, "SEG", -500.0)]                       # k=1, bucket -1
+    )
+    spark.createDataFrame(
+        rows, "c_nationkey long, c_mktsegment string, c_acctbal double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_kanon/customer.parquet")
+    out = {
+        (r["c_nationkey"], r["bal_bucket"]): (r["k"], r["is_unique"])
+        for r in QUERIES["q_dq_kanon"](spark, str(tmp_path / "planted_kanon")).collect()
+    }
+    assert out == {
+        (2, 0): (2, False),
+        (3, 1): (1, True),
+        (4, -1): (1, True),
+    }
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
