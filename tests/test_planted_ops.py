@@ -1008,6 +1008,55 @@ def test_dq_kanon_planted(spark, tmp_path):
     }
 
 
+def test_event_transitions_planted(spark, tmp_path):
+    """First-order transition counts by hand: u1 walks a->b->a, u2 walks
+    a->b, so the Markov table is exactly {(a,b): 2, (b,a): 1} — each
+    user's final event has no successor and must contribute nothing."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a", 1.0),
+        (2, "2024-01-01 00:01:00", 1, "b", 1.0),
+        (3, "2024-01-01 00:02:00", 1, "a", 1.0),
+        (4, "2024-01-01 00:00:00", 2, "a", 1.0),
+        (5, "2024-01-01 00:01:00", 2, "b", 1.0),
+    ]
+    sf = str(tmp_path / "planted_trans")
+    _write_events(spark, sf, rows)
+    out = {
+        (r["event_type"], r["next_type"]): r["n"]
+        for r in QUERIES["q_event_transitions"](spark, sf).collect()
+    }
+    assert out == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_win_firstlast_full_frame_planted(spark, tmp_path):
+    """first/last/nth over the FULL partition frame: with prices
+    [10, 20, 30] in date order every row must see last_price = 30 —
+    the classic default-frame trap (RANGE UNBOUNDED PRECEDING..CURRENT
+    ROW) would make each row's last_value its own price. A single-order
+    customer gets first = last and a NULL second."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [
+            (1, 101, dt.date(2024, 1, 1), 10.0),
+            (1, 102, dt.date(2024, 1, 2), 20.0),
+            (1, 103, dt.date(2024, 1, 3), 30.0),
+            (2, 201, dt.date(2024, 1, 1), 99.0),
+        ],
+        "o_custkey long, o_orderkey long, o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_fl/orders.parquet")
+    out = {
+        r["o_orderkey"]: (r["first_price"], r["last_price"], r["second_price"])
+        for r in QUERIES["q_win_firstlast"](spark, str(tmp_path / "planted_fl")).collect()
+    }
+    assert out == {
+        101: (10.0, 30.0, 20.0),
+        102: (10.0, 30.0, 20.0),
+        103: (10.0, 30.0, 20.0),
+        201: (99.0, 99.0, None),
+    }
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
