@@ -1057,6 +1057,57 @@ def test_win_firstlast_full_frame_planted(spark, tmp_path):
     }
 
 
+def test_anomaly_zscore_planted(spark, tmp_path):
+    """One planted outlier among twelve constant readings: only the
+    spike's |z| clears 3 (hand value cross-checked against Python's
+    sample stdev), and the twelve inliers — each well inside a sigma —
+    must not appear."""
+    import statistics
+
+    vals = [10.0] * 12 + [20.0]
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "sensor", v)
+        for i, v in enumerate(vals)
+    ]
+    sf = str(tmp_path / "planted_z")
+    _write_events(spark, sf, rows)
+    mu, sigma = statistics.mean(vals), statistics.stdev(vals)
+    assert abs((20.0 - mu) / sigma) > 3  # the plant is a real outlier
+    out = QUERIES["q_anomaly_zscore"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_id"] == 12
+    assert r["value"] == 20.0
+    assert r["zscore"] == round((20.0 - mu) / sigma, 6)
+
+
+def test_mix_weighted_tiers_match_independent_md5(spark, tmp_path):
+    """Tiered mixture sampling against an independent md5: tier-A
+    sources keep first-hex 0..7 (50%), everything else keeps 0..3
+    (25%) — expected per-source keeps and mixture fractions recomputed
+    with hashlib, so a drift in either tier's hex set or the source
+    tiering fails by exact count."""
+    import hashlib
+
+    docs = [(i, f"mix corpus text {i}", "src0" if i % 2 == 0 else "srcZ")
+            for i in range(60)]
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_mix/documents.parquet")
+    keep = {"src0": set("01234567"), "srcZ": set("0123")}
+    kept = {}
+    for _, t, s in docs:
+        if hashlib.md5(t.encode()).hexdigest()[0] in keep[s]:
+            kept[s] = kept.get(s, 0) + 1
+    total = sum(kept.values())
+    out = {
+        r["source"]: (r["n_kept"], r["mix_frac"])
+        for r in QUERIES["q_mix_weighted"](spark, str(tmp_path / "planted_mix")).collect()
+    }
+    assert out == {s: (n, round(n / total, 6)) for s, n in kept.items()}
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
