@@ -1108,6 +1108,48 @@ def test_mix_weighted_tiers_match_independent_md5(spark, tmp_path):
     assert out == {s: (n, round(n / total, 6)) for s, n in kept.items()}
 
 
+def test_str_mask_planted(spark, tmp_path):
+    """Shape-preserving masking by hand: 'Customer#000123' becomes
+    'Xxxxxxxx#nnnnnn' (uppercase->X, lowercase->x, digit->n, everything
+    else untouched) with the original length reported."""
+    spark.createDataFrame(
+        [(1, "Customer#000123"), (2, "a-B 9")],
+        "c_custkey long, c_name string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_mask/customer.parquet")
+    out = {
+        r["c_custkey"]: (r["name_masked"], r["name_len"])
+        for r in QUERIES["q_str_mask"](spark, str(tmp_path / "planted_mask")).collect()
+    }
+    assert out == {1: ("Xxxxxxxx#nnnnnn", 15), 2: ("x-X n", 5)}
+
+
+def test_sample_stratified_matches_independent_md5(spark, tmp_path):
+    """Per-stratum hash sampling against an independent md5: the SECOND
+    hex digit's value gates each doc at its language's rate (/16) —
+    expected per-lang totals and keeps recomputed with hashlib, so a
+    drift in the digit position, the hex->value mapping, or the rate
+    table fails by exact count."""
+    import hashlib
+
+    docs = [(i, f"stratified corpus doc {i}", "en" if i % 2 == 0 else "fr")
+            for i in range(60)]
+    spark.createDataFrame(
+        [(i, t, lg, "src0", len(t)) for i, t, lg in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_strat/documents.parquet")
+    rates = {"en": 8, "fr": 2}
+    exp = {}
+    for _, t, lg in docs:
+        tot, kept = exp.get(lg, (0, 0))
+        hit = int(hashlib.md5(t.encode()).hexdigest()[1], 16) < rates[lg]
+        exp[lg] = (tot + 1, kept + (1 if hit else 0))
+    out = {
+        r["lang"]: (r["n_total"], r["n_sampled"])
+        for r in QUERIES["q_sample_stratified"](spark, str(tmp_path / "planted_strat")).collect()
+    }
+    assert out == exp
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
