@@ -1150,6 +1150,26 @@ def test_sample_stratified_matches_independent_md5(spark, tmp_path):
     assert out == exp
 
 
+def test_text_langid_tiebreak_planted(spark, tmp_path):
+    """Marker-count language ID by hand: doc 0 has three 'en' markers vs
+    one 'fr' -> en/3; doc 1 ties en and de at 1 marker each and the
+    (score DESC, lang) tie-break must pick 'de' lexicographically;
+    doc 2 hits no marker at all -> a five-way tie at 0, still resolved
+    to 'de' rather than dropped or nondeterministic."""
+    docs = [
+        (0, "the the a query"),
+        (1, "the table"),
+        (2, "zzz yyy"),
+    ]
+    sf = str(tmp_path / "planted_langid")
+    _write_documents(spark, sf, docs)
+    out = {
+        r["doc_id"]: (r["lang_guess"], r["score"])
+        for r in QUERIES["q_text_langid"](spark, sf).collect()
+    }
+    assert out == {0: ("en", 3), 1: ("de", 1), 2: ("de", 0)}
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
