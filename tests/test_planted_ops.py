@@ -1170,6 +1170,49 @@ def test_text_langid_tiebreak_planted(spark, tmp_path):
     assert out == {0: ("en", 3), 1: ("de", 1), 2: ("de", 0)}
 
 
+def test_date_spine_zero_fills_gap_days_planted(spark, tmp_path):
+    """The spine spans min..max over ALL events and zero-fills: Jan 2
+    has only a non-purchase event and Jan 3 no events at all — both
+    must still appear with (0, 0.0), and purchases land on their days."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 5.0),
+        (2, "2024-01-02 10:00:00", 1, "click", 9.0),
+        (3, "2024-01-04 10:00:00", 2, "purchase", 7.0),
+    ]
+    sf = str(tmp_path / "planted_spine")
+    _write_events(spark, sf, rows)
+    out = {
+        str(r["day"])[:10]: (r["n_events"], r["total_value"])
+        for r in QUERIES["q_date_spine"](spark, sf).collect()
+    }
+    assert out == {
+        "2024-01-01": (1, 5.0),
+        "2024-01-02": (0, 0.0),
+        "2024-01-03": (0, 0.0),
+        "2024-01-04": (1, 7.0),
+    }
+
+
+def test_abc_analysis_inclusive_cutoffs_planted(spark, tmp_path):
+    """ABC class boundaries are INCLUSIVE at exactly 0.8 and 0.95:
+    revenues 800/150/50 put the parts at cumulative shares 0.8, 0.95,
+    1.0 — landing each part exactly ON a boundary, so a regression to
+    strict < reclassifies A->B and B->C."""
+    spark.createDataFrame(
+        [(1, 800.0, 0.0), (2, 150.0, 0.0), (3, 50.0, 0.0)],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_abc/lineitem.parquet")
+    out = {
+        r["l_partkey"]: (r["rev_cents"], r["cum_share"], r["abc_class"])
+        for r in QUERIES["q_abc_analysis"](spark, str(tmp_path / "planted_abc")).collect()
+    }
+    assert out == {
+        1: (80000, 0.8, "A"),
+        2: (15000, 0.95, "B"),
+        3: (5000, 1.0, "C"),
+    }
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
