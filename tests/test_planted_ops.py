@@ -1213,6 +1213,54 @@ def test_abc_analysis_inclusive_cutoffs_planted(spark, tmp_path):
     }
 
 
+def test_orders_gini_closed_forms_planted(spark, tmp_path):
+    """Gini closed forms from the rank formula: four equal customers
+    give exactly 0; spend vector [1, 1, 1, 97] cents gives
+    (2*394 - 5*100) / (4*100) = 0.72 by hand."""
+    import datetime as dt
+
+    def write(path, prices):
+        spark.createDataFrame(
+            [(i, i, dt.date(2024, 1, 1), p) for i, p in enumerate(prices)],
+            "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double",
+        ).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+    eq = str(tmp_path / "gini_eq")
+    write(eq, [1.0, 1.0, 1.0, 1.0])
+    r = QUERIES["q_orders_gini"](spark, eq).collect()[0]
+    assert (r["n_customers"], r["total_cents"], r["gini"]) == (4, 400, 0.0)
+
+    uneq = str(tmp_path / "gini_uneq")
+    write(uneq, [0.01, 0.01, 0.01, 0.97])
+    r = QUERIES["q_orders_gini"](spark, uneq).collect()[0]
+    assert (r["n_customers"], r["total_cents"], r["gini"]) == (4, 100, 0.72)
+
+
+def test_time_ohlc_planted(spark, tmp_path):
+    """Hand-built candle: values [5, 9, 2, 7] inside one 6-hour bin give
+    open 5 / high 9 / low 2 / close 7; an event exactly ON the 06:00
+    boundary must start the NEXT bin (floor semantics), emitting a
+    second single-event candle."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "p", 5.0),
+        (2, "2024-01-01 01:00:00", 1, "p", 9.0),
+        (3, "2024-01-01 02:00:00", 1, "p", 2.0),
+        (4, "2024-01-01 03:00:00", 1, "p", 7.0),
+        (5, "2024-01-01 06:00:00", 1, "p", 100.0),  # exact boundary: next bin
+    ]
+    sf = str(tmp_path / "planted_ohlc")
+    _write_events(spark, sf, rows)
+    out = {
+        r["bin6h"]: (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in QUERIES["q_time_ohlc"](spark, sf).collect()
+    }
+    base = 1704067200 * 1000000 // 21600000000  # 2024-01-01 00:00 UTC
+    assert out == {
+        base: (5.0, 9.0, 2.0, 7.0, 4),
+        base + 1: (100.0, 100.0, 100.0, 100.0, 1),
+    }
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
