@@ -1261,6 +1261,61 @@ def test_time_ohlc_planted(spark, tmp_path):
     }
 
 
+def test_scd2_planted(spark, tmp_path):
+    """SCD-2 intervals by hand: two same-day orders collapse to the
+    LAST one (highest orderkey), Jan 1's state closes when Jan 5 opens,
+    and the newest row carries the 2099 open-ended sentinel with
+    is_current set."""
+    spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", 100.0),
+         (2, 1, "2024-01-01 00:00:00", 150.0),   # same-day: survives
+         (3, 1, "2024-01-05 00:00:00", 200.0)],
+        "o_orderkey long, o_custkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/planted_scd2/orders.parquet")
+    out = sorted(
+        (str(r["valid_from"])[:10], str(r["valid_to"])[:10],
+         r["state_price"], r["is_current"])
+        for r in QUERIES["q_scd2"](spark, str(tmp_path / "planted_scd2")).collect()
+    )
+    assert out == [
+        ("2024-01-01", "2024-01-05", 150.0, False),
+        ("2024-01-05", "2099-12-31", 200.0, True),
+    ]
+
+
+def test_events_attribution_planted(spark, tmp_path):
+    """Last-touch attribution by hand: u1 buys 2 days after an email
+    touch; u4's purchase credits the LATEST touch (email over the
+    earlier ad); u2's only touch is 8 days stale -> direct; u3 has no
+    touch at all -> direct; u5 sits exactly ON the 7-day lookback
+    boundary (inclusive) and still credits the ad."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "email", 0.0),
+        (2, "2024-01-03 00:00:00", 1, "purchase", 10.0),
+        (3, "2024-01-01 00:00:00", 2, "ad", 0.0),
+        (4, "2024-01-09 00:00:00", 2, "purchase", 20.0),
+        (5, "2024-01-01 00:00:00", 3, "purchase", 5.0),
+        (6, "2024-01-01 00:00:00", 4, "ad", 0.0),
+        (7, "2024-01-02 00:00:00", 4, "email", 0.0),
+        (8, "2024-01-03 00:00:00", 4, "purchase", 40.0),
+        (9, "2024-01-01 00:00:00", 5, "ad", 0.0),
+        (10, "2024-01-08 00:00:00", 5, "purchase", 7.0),
+    ]
+    sf = str(tmp_path / "planted_attr")
+    _write_events(spark, sf, rows)
+    out = {
+        r["channel"]: (r["n_purchases"], r["attributed_revenue"])
+        for r in QUERIES["q_events_attribution"](spark, sf).collect()
+    }
+    assert out == {
+        "email": (2, 50.0),
+        "direct": (2, 25.0),
+        "ad": (1, 7.0),
+    }
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
