@@ -1316,6 +1316,21 @@ def test_events_attribution_planted(spark, tmp_path):
     }
 
 
+def test_text_quality_planted(spark, tmp_path):
+    """Quality ratios by hand: 'the cat the dog' has 4 tokens, 3 types
+    (TTR 0.75), 2 stopwords ('the' twice, ratio 0.5), and 15 chars
+    (avg token length 3.75 — the writer's n_chars counts separators,
+    matching the declared chars-per-token definition)."""
+    sf = str(tmp_path / "planted_quality")
+    _write_documents(spark, sf, [(0, "the cat the dog")])
+    r = QUERIES["q_text_quality"](spark, sf).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["type_token_ratio"] == 0.75
+    assert r["stopword_ratio"] == 0.5
+    assert r["n_chars"] == 15
+    assert r["avg_token_len"] == 3.75
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
