@@ -1331,6 +1331,55 @@ def test_text_quality_planted(spark, tmp_path):
     assert r["avg_token_len"] == 3.75
 
 
+def test_agg_mode_tiebreak_planted(spark, tmp_path):
+    """Mode with a planted tie: nations 3 and 7 both appear twice in the
+    segment and the (n DESC, key) tie-break must pick nation 3 — a
+    nondeterministic max-by or a DESC key sort flips this."""
+    rows = [(k, "SEG") for k in (7, 7, 3, 3, 9)]
+    spark.createDataFrame(
+        rows, "c_nationkey long, c_mktsegment string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_mode/customer.parquet")
+    out = QUERIES["q_agg_mode"](spark, str(tmp_path / "planted_mode")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["modal_nation"], r["n"]) == (3, 2)
+
+
+def test_agg_stringagg_ordered_planted(spark, tmp_path):
+    """string_agg is ORDERED: names inserted out of order must
+    concatenate alphabetically, not in insertion or partition order."""
+    spark.createDataFrame(
+        [(0, "zeta"), (0, "alpha"), (0, "mid"), (1, "solo")],
+        "n_regionkey long, n_name string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_sagg/nation.parquet")
+    out = {
+        r["n_regionkey"]: r["names_csv"]
+        for r in QUERIES["q_agg_stringagg"](spark, str(tmp_path / "planted_sagg")).collect()
+    }
+    assert out == {0: "alpha,mid,zeta", 1: "solo"}
+
+
+def test_sim_jaccard_planted(spark, tmp_path):
+    """Unigram Jaccard by hand: docs sharing 9 of 11 distinct tokens
+    score 9/11 ~ 0.818182 (>= the 0.8 threshold); a 8-of-12 overlap
+    (0.667) must be filtered out, and repeated tokens must not inflate
+    the intersection (sets, not bags)."""
+    base = [f"w{i}" for i in range(10)]
+    docs = [
+        (1, " ".join(base + base)),              # repeated tokens: 10 distinct
+        (2, " ".join(base[:9] + ["x1", "x2"])),  # vs 1: 9/(10+11-9) = 0.75, out
+        (3, " ".join(base[:9] + ["y1"])),        # vs 1: 9/(10+10-9) = 0.818, in
+    ]
+    sf = str(tmp_path / "planted_jac")
+    _write_documents(spark, sf, docs)
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["q_sim_jaccard"](spark, sf).collect()
+    }
+    # (2,3) shares 9 of union 12 = 0.75: also below threshold
+    assert out == {(1, 3): round(9 / 11, 6)}
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
