@@ -1380,6 +1380,44 @@ def test_sim_jaccard_planted(spark, tmp_path):
     assert out == {(1, 3): round(9 / 11, 6)}
 
 
+def test_embed_quantize_planted(spark, tmp_path):
+    """8-bit quantization against hand codes: with corpus bounds [0, 10]
+    the grid maps 0 -> 0, 5 -> 127 (floor of 127.5), 10 -> 255 (the hi
+    endpoint must clamp into range, not overflow to 256), and 2.5 ->
+    63. Bounds are GLOBAL across vectors, not per-vector."""
+    spark.createDataFrame(
+        [(1, [0.0, 5.0, 10.0]), (2, [10.0, 0.0, 2.5])],
+        "vec_id long, embedding array<double>",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_quant/embeddings.parquet")
+    out = {
+        r["vec_id"]: r["codes"]
+        for r in QUERIES["q_embed_quantize"](spark, str(tmp_path / "planted_quant")).collect()
+    }
+    assert out == {1: "0,127,255", 2: "255,0,63"}
+
+
+def test_time_autocorr_alternation_planted(spark, tmp_path):
+    """Lag-1 autocorrelation of a perfect alternation is exactly -1:
+    every value is the negation of its predecessor, so the sample
+    covariance is minus the variance and the ratio pins to -1.0. The
+    22-event series clears the >= 20 pair floor; a 10-event user must
+    be absent."""
+    rows = []
+    eid = 0
+    for i in range(22):
+        rows.append((eid, f"2024-01-01 00:{i:02d}:00", 1, "a",
+                     1.0 if i % 2 == 0 else -1.0))
+        eid += 1
+    for i in range(10):
+        rows.append((eid, f"2024-01-01 00:{i:02d}:00", 2, "a", float(i)))
+        eid += 1
+    sf = str(tmp_path / "planted_ac")
+    _write_events(spark, sf, rows)
+    out = {r["user_id"]: (r["n_pairs"], r["ac1"])
+           for r in QUERIES["q_time_autocorr"](spark, sf).collect()}
+    assert out == {1: (21, -1.0)}
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
