@@ -1418,6 +1418,47 @@ def test_time_autocorr_alternation_planted(spark, tmp_path):
     assert out == {1: (21, -1.0)}
 
 
+def test_text_pmi_planted(spark, tmp_path):
+    """PMI over forward ±1/±2 skip-grams on the alternation corpus
+    'x y x y ...' (12 tokens): pair counts are 6/5/5/5 over np=21 and
+    both unigram probabilities are 1/2, so all four surviving PMIs are
+    hand-derivable logs; any pair falling under the n_ab >= 5 floor is
+    excluded by construction."""
+    import math
+
+    sf = str(tmp_path / "planted_pmi")
+    _write_documents(spark, sf, [(0, " ".join(["x", "y"] * 6))])
+    out = {
+        (r["a"], r["b"]): (r["n_ab"], r["pmi"])
+        for r in QUERIES["q_text_pmi"](spark, sf).collect()
+    }
+    np_, q = 21.0, 0.25  # total pairs; p(a)*p(b) = (1/2)^2
+    assert out == {
+        ("x", "y"): (6, round(math.log((6 / np_) / q), 6)),
+        ("y", "x"): (5, round(math.log((5 / np_) / q), 6)),
+        ("x", "x"): (5, round(math.log((5 / np_) / q), 6)),
+        ("y", "y"): (5, round(math.log((5 / np_) / q), 6)),
+    }
+
+
+def test_agg_argminmax_planted(spark, tmp_path):
+    """max_by/min_by must return the price AT the extreme key, not the
+    extreme price: the latest order (key 30) is the CHEAPEST, so
+    price_of_latest_order = 1.0 while the first order (key 10) carries
+    99.0 — a regression to plain max/min on price flips both."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(10, "O", dt.date(2024, 1, 1), 99.0),
+         (20, "O", dt.date(2024, 1, 2), 50.0),
+         (30, "O", dt.date(2024, 1, 3), 1.0)],
+        "o_orderkey long, o_orderstatus string, o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_amm/orders.parquet")
+    r = QUERIES["q_agg_argminmax"](spark, str(tmp_path / "planted_amm")).collect()[0]
+    assert (r["price_of_latest_order"], r["price_of_first_order"],
+            r["latest_order"], r["first_order"]) == (1.0, 99.0, 30, 10)
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
