@@ -1459,6 +1459,40 @@ def test_agg_argminmax_planted(spark, tmp_path):
             r["latest_order"], r["first_order"]) == (1.0, 99.0, 30, 10)
 
 
+def test_text_repetition_planted(spark, tmp_path):
+    """Bigram repetition by hand: 'a b a b a b' yields 5 bigrams of 2
+    kinds (dup fraction 0.6, top bigram 'a b' holds 3/5); an all-unique
+    doc scores dup 0; a single-token doc has no bigrams and must be
+    absent, not a divide-by-zero row."""
+    docs = [(0, "a b a b a b"), (1, "u v w"), (2, "solo")]
+    sf = str(tmp_path / "planted_rep")
+    _write_documents(spark, sf, docs)
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["dup_bigram_frac"], r["top_bigram_frac"])
+        for r in QUERIES["q_text_repetition"](spark, sf).collect()
+    }
+    assert out == {0: (5, 0.6, 0.6), 1: (2, 0.0, 0.5)}
+
+
+def test_dq_freshness_boundary_planted(spark, tmp_path):
+    """Freshness lags against the head-of-log: feed 'b' trails by 1800 s
+    (fresh), 'c' by 7200 s (stale), and 'd' by EXACTLY one hour — the
+    strict > gate must leave it fresh. The head feed itself lags 0."""
+    rows = [
+        (1, "2024-01-01 12:00:00", 1, "a", 1.0),
+        (2, "2024-01-01 11:30:00", 1, "b", 1.0),
+        (3, "2024-01-01 10:00:00", 1, "c", 1.0),
+        (4, "2024-01-01 11:00:00", 1, "d", 1.0),
+    ]
+    sf = str(tmp_path / "planted_fresh")
+    _write_events(spark, sf, rows)
+    out = {
+        r["event_type"]: (r["lag_sec"], r["stale"])
+        for r in QUERIES["q_dq_freshness"](spark, sf).collect()
+    }
+    assert out == {"a": (0, 0), "b": (1800, 0), "c": (7200, 1), "d": (3600, 0)}
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
