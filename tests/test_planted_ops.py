@@ -1493,6 +1493,34 @@ def test_dq_freshness_boundary_planted(spark, tmp_path):
     assert out == {"a": (0, 0), "b": (1800, 0), "c": (7200, 1), "d": (3600, 0)}
 
 
+def test_text_tfidf_planted(spark, tmp_path):
+    """Smoothed TF-IDF by hand over a 3-doc corpus: 'apple' (df 1)
+    scores 2*ln2 in doc 0, 'banana' (df 2) ln(4/3), and the
+    everywhere-word 'common' (df 3) exactly 0 — still ranked, so it
+    fills doc 2's only row rather than being dropped."""
+    import math
+
+    docs = [(0, "apple apple banana common"),
+            (1, "banana common common"),
+            (2, "common")]
+    sf = str(tmp_path / "planted_tfidf")
+    _write_documents(spark, sf, docs)
+    out = {
+        (r["doc_id"], r["rn"]): (r["tok"], r["tfidf"])
+        for r in QUERIES["q_text_tfidf"](spark, sf).collect()
+    }
+    apple = round(2 * math.log(2.0), 6)
+    banana = round(math.log(4.0 / 3.0), 6)
+    assert out == {
+        (0, 1): ("apple", apple),
+        (0, 2): ("banana", banana),
+        (0, 3): ("common", 0.0),
+        (1, 1): ("banana", banana),
+        (1, 2): ("common", 0.0),
+        (2, 1): ("common", 0.0),
+    }
+
+
 def test_profile_ks_planted(spark, tmp_path):
     """Fully separated halves give KS=1; a constant-valued type exercises
     the vmax=vmin degenerate guard (everything lands in bucket 0 on both
