@@ -1052,18 +1052,16 @@ def _bpe_merge(seq_df: DataFrame, best: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_train_oracle(k: int) -> str:
-    """Unrolled DuckDB CTE chain for a ``k``-round BPE trainer — the
-    seq1/p1/b1/seq2/... ladder the hand-written 3-round oracle used,
-    generated so the k=3 query and any k>=4 variant share one
-    byte-identical-per-round SQL shape. Each round's merge mirrors the
-    engine's separator-doubled whole-symbol replace exactly (see
-    ``_bpe_merge``), and ties break ORDER BY n DESC, a, b on both sides.
-
-    Exhaustion semantics are shared too: once every word is a single
-    symbol, p{r} is empty, b{r} is empty, and seq{r+1} (a cross join
-    against the empty b{r}) is empty — later rounds contribute zero rows
-    in BOTH engines, so the result simply has fewer than k rows."""
+def _bpe_oracle_ladder(k: int, tokenize: bool) -> list[str]:
+    """The ONE copy of the DuckDB words/seq1/p{r}/b{r}/seq{r+1} CTE
+    ladder both BPE oracles unroll (r11 review: two hand-maintained
+    copies of the pad/replace/collapse SQL could silently diverge —
+    CLAUDE.md requires engine and oracle merges in lockstep, which
+    starts with train and apply sharing one ladder). ``tokenize``
+    switches the two intentional differences: the argmax CTE unions the
+    ``chr(1)`` sentinel pair (n = -1, wins only when no real pair
+    exists, pattern can never bind — words never contain 0x01), and the
+    merge is applied after round k too, so seq{k+1} exists."""
     ctes = [
         r"""words AS (
       SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -1086,10 +1084,20 @@ def _bpe_train_oracle(k: int) -> str:
       ) GROUP BY a, b
     )"""
         )
-        ctes.append(
-            f"b{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1)"
-        )
-        if r < k:
+        if tokenize:
+            ctes.append(
+                f"""b{r} AS (
+      SELECT a, b, n FROM (
+        SELECT a, b, n FROM p{r}
+        UNION ALL SELECT chr(1), chr(1), CAST(-1 AS BIGINT)
+      ) ORDER BY n DESC, a, b LIMIT 1
+    )"""
+            )
+        else:
+            ctes.append(
+                f"b{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1)"
+            )
+        if r < k or tokenize:
             ctes.append(
                 f"""seq{r + 1} AS (
       SELECT s.w, s.freq,
@@ -1100,6 +1108,15 @@ def _bpe_train_oracle(k: int) -> str:
       FROM seq{r} s, b{r}
     )"""
             )
+    return ctes
+
+
+def _bpe_train_oracle(k: int) -> str:
+    """``k``-round BPE trainer oracle: the shared ladder without the
+    sentinel, tailed by the UNION ALL of the k argmax rows. Exhaustion:
+    once every word is one symbol, p{r}/b{r} are empty and seq{r+1}
+    (cross join against empty b{r}) is empty — later rounds contribute
+    zero rows in BOTH engines, so the result has fewer than k rows."""
     selects = [
         f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS left_sym, "
         f"b AS right_sym, n AS pair_count FROM b{r}"
@@ -1107,65 +1124,20 @@ def _bpe_train_oracle(k: int) -> str:
     ]
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_bpe_oracle_ladder(k, tokenize=False))
         + "\n    "
         + "\n    UNION ALL\n    ".join(selects)
     )
 
 
 def _bpe_apply_oracle(k: int) -> str:
-    """DuckDB CTE chain for train-then-TOKENIZE: the same seq/p ladder as
-    ``_bpe_train_oracle`` but every round's argmax is unioned with the
-    ``chr(1)`` sentinel pair (n = -1, so it wins only when no real pair
-    exists, and its merge pattern can never bind — documents words never
-    contain the reserved 0x01 byte), the merge is applied after round k
-    too, and the final select reports per-word tokenization stats from
-    seq{k+1}. The sentinel makes apply TOTAL in k: past vocab
-    exhaustion every remaining round is a no-op rewrite instead of the
-    trainer's empty-frame degeneration."""
-    ctes = [
-        r"""words AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
-        SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
-        FROM documents
-      ) WHERE length(w) > 0 GROUP BY w
-    )""",
-        r"""seq1 AS (
-      SELECT w, freq, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq
-      FROM words
-    )""",
-    ]
-    for r in range(1, k + 1):
-        ctes.append(
-            f"""p{r} AS (
-      SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM (
-        SELECT s.freq, s.arr[g.i] AS a, s.arr[g.i + 1] AS b
-        FROM (SELECT freq, string_split(seq, ' ') AS arr FROM seq{r}) s,
-             unnest(generate_series(1, len(s.arr) - 1)) AS g(i)
-      ) GROUP BY a, b
-    )"""
-        )
-        ctes.append(
-            f"""b{r} AS (
-      SELECT a, b, n FROM (
-        SELECT a, b, n FROM p{r}
-        UNION ALL SELECT chr(1), chr(1), CAST(-1 AS BIGINT)
-      ) ORDER BY n DESC, a, b LIMIT 1
-    )"""
-        )
-        ctes.append(
-            f"""seq{r + 1} AS (
-      SELECT s.w, s.freq,
-             trim(replace(replace(
-               ' ' || replace(s.seq, ' ', '  ') || ' ',
-               ' ' || b{r}.a || '  ' || b{r}.b || ' ',
-               ' ' || b{r}.a || b{r}.b || ' '), '  ', ' ')) AS seq
-      FROM seq{r} s, b{r}
-    )"""
-        )
+    """Train-then-TOKENIZE oracle: the shared ladder in sentinel mode
+    (apply is TOTAL in k — past exhaustion every remaining round is a
+    no-op rewrite, not the trainer's empty-frame degeneration), tailed
+    by per-word tokenization stats from seq{k+1}."""
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_bpe_oracle_ladder(k, tokenize=True))
         + f"""
     SELECT w, freq, CAST(length(w) AS BIGINT) AS n_chars,
            CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tokens
@@ -1193,24 +1165,7 @@ def bpe_apply_for(words: DataFrame, k: int) -> DataFrame:
     millions-row vocab; per-doc token ids come from a broadcast join of
     doc words against this frame), so the corpus is touched once here
     and never per round."""
-    spark = words.sparkSession
-    sentinel = spark.range(1).select(
-        F.lit("\x01").alias("a"),
-        F.lit("\x01").alias("b"),
-        F.lit(-1).cast("long").alias("n"),
-    )
-    seq = words.select(
-        "w", "freq", F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq")
-    )
-    for _ in range(k):
-        best = (
-            _bpe_pairs(seq)
-            .unionByName(sentinel)
-            .orderBy(F.desc("n"), "a", "b")
-            .limit(1)
-            .localCheckpoint(eager=True)
-        )
-        seq = _bpe_merge(seq, best).localCheckpoint(eager=False)
+    _, seq = _bpe_rounds(words, k, tokenize=True)
     return seq
 
 
@@ -1244,17 +1199,59 @@ def bpe_train_for(words: DataFrame, k: int) -> DataFrame:
     symbol) before k rounds, later rounds yield empty frames and the
     merge table simply ends early — same semantics as the oracle chain.
     """
+    merges, _ = _bpe_rounds(words, k, tokenize=False)
+    return merges
+
+
+def _bpe_rounds(words: DataFrame, k: int, tokenize: bool):
+    """The ONE copy of the k-round merge loop behind bpe_train_for and
+    bpe_apply_for (r11 review: the loop and the char-split seed existed
+    twice, so a lineage- or merge-discipline fix could land in only one
+    half of the tokenizer). Returns ``(merge_table, final_seq)``.
+
+    ``tokenize`` switches the two intentional differences, mirroring
+    ``_bpe_oracle_ladder`` exactly: the per-round argmax unions the
+    reserved ``\\x01`` sentinel pair (apply must be total in k), and
+    the merge is applied after round k too so the final rewritten vocab
+    exists.
+
+    Checkpoint hygiene: each eager argmax materializes the current
+    vocab checkpoint, at which point the PREVIOUS round's checkpoint is
+    superseded and explicitly unpersisted — without this a large-k run
+    (the production tokenizer build is k ~ 30k) pins one |vocab|-row
+    RDD per round in executor storage until driver GC. The last one or
+    two checkpoints stay cached deliberately: the returned frames read
+    from them. k <= 0 returns (empty merge table, char-split seq)."""
+    spark = words.sparkSession
     seq = words.select(
         "w", "freq", F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq")
     )
+    sentinel = (
+        spark.range(1).select(
+            F.lit("\x01").alias("a"),
+            F.lit("\x01").alias("b"),
+            F.lit(-1).cast("long").alias("n"),
+        )
+        if tokenize
+        else None
+    )
     out = []
+    prev_cp = None  # superseded vocab checkpoint, freed once the next materializes
+    seq_is_cp = False
     for rank in range(1, k + 1):
         pairs = _bpe_pairs(seq)
+        if sentinel is not None:
+            pairs = pairs.unionByName(sentinel)
         best = (
             pairs.orderBy(F.desc("n"), "a", "b")
             .limit(1)
             .localCheckpoint(eager=True)
         )
+        # the eager argmax just materialized `seq`; whatever checkpoint
+        # fed it is now superseded and its executor storage can go
+        if prev_cp is not None:
+            prev_cp.unpersist()
+            prev_cp = None
         out.append(
             best.select(
                 F.lit(rank).cast("long").alias("merge_rank"),
@@ -1263,24 +1260,37 @@ def bpe_train_for(words: DataFrame, k: int) -> DataFrame:
                 F.col("n").alias("pair_count"),
             )
         )
-        if rank < k:
+        if rank < k or tokenize:
+            if seq_is_cp:
+                prev_cp = seq
             seq = _bpe_merge(seq, best).localCheckpoint(eager=False)
-    result = out[0]
+            seq_is_cp = True
+    if not out:  # k <= 0: empty merge table, untouched char-split vocab
+        merges = spark.createDataFrame(
+            [], "merge_rank long, left_sym string, right_sym string, pair_count long"
+        )
+        return merges, seq
+    merges = out[0]
     for frame in out[1:]:
-        result = result.unionByName(frame)
-    return result
+        merges = merges.unionByName(frame)
+    return merges, seq
 
 
-def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The one corpus pass both BPE trainers share: whitespace words of
-    the lowered documents text, frequency-aggregated."""
-    d = table(spark, sf_dir, "documents")
+def _bpe_vocab_of(docs: DataFrame) -> DataFrame:
+    """The one corpus pass every BPE entry point shares (queries AND the
+    scaling probe — a second hand-written copy of this aggregation could
+    silently measure a different vocabulary): whitespace words of the
+    lowered text, frequency-aggregated."""
     return (
-        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
         .where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_vocab_of(table(spark, sf_dir, "documents"))
 
 
 @query("q_text_bpe_merge", oracle=_bpe_train_oracle(3))

@@ -147,9 +147,19 @@ def validate_training_shards(spark: SparkSession, out_dir: str) -> bool:
     v1 exporter predates the field) or differs from this validator's
     ``FINGERPRINT_VERSION`` raises :class:`ManifestVersionError` rather
     than returning ``False`` — the data may be perfectly intact, and a
-    version skew must never masquerade as a corruption signal."""
+    version skew must never masquerade as a corruption signal. The
+    skew diagnosis itself is gated on the legacy columns being present:
+    a manifest Spark cannot parse into the v1 shape at all (truncated
+    file, binary garbage — only ``_corrupt_record`` comes back) is NOT
+    version skew, it is manifest corruption, and validation returns
+    ``False`` like any other integrity failure (r11 review: the
+    earlier version of this gate confidently mislabeled garbage bytes
+    as a benign pre-v2 export)."""
     stored_raw = spark.read.json(out_dir + "/_manifest")
+    v1_cols = {"shard", "n_rows", "n_chars", "fingerprint"}
     if "fp_version" not in stored_raw.columns:
+        if not v1_cols.issubset(set(stored_raw.columns)):
+            return False  # unparseable/garbled manifest: corruption, not skew
         raise ManifestVersionError(
             "shard manifest has no fp_version field (written by a pre-v2 "
             "exporter); re-export the shards — this is a version skew, "

@@ -333,20 +333,18 @@ def main() -> int:
         )
 
     def bpe(ddf):
-        from data_pipeline_etl_spark.operators.llm_text import bpe_train_for
-
-        # k=6 trainer (the declared q_text_bpe_train shape). Per-replica
-        # token prefixes mint a fresh vocabulary per replica, so |vocab|
-        # grows ~Nx — the conservative growth model for the per-round
-        # vocab pass (real corpora grow vocab sub-linearly via Heaps'
-        # law). Output is <=6 rows; the agg keeps the one-row convention.
-        words = (
-            ddf.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
-            .where(F.length("w") > 0)
-            .groupBy("w")
-            .agg(F.count("*").alias("freq"))
+        from data_pipeline_etl_spark.operators.llm_text import (
+            _bpe_vocab_of,
+            bpe_train_for,
         )
-        return bpe_train_for(words, 6).agg(
+
+        # k=6 trainer (the declared q_text_bpe_train shape, via the SAME
+        # vocab aggregation the queries use). Per-replica token prefixes
+        # mint a fresh vocabulary per replica, so |vocab| grows ~Nx —
+        # the conservative growth model for the per-round vocab pass
+        # (real corpora grow vocab sub-linearly via Heaps' law). Output
+        # is <=6 rows; the agg keeps the one-row convention.
+        return bpe_train_for(_bpe_vocab_of(ddf), 6).agg(
             F.count("*").alias("n_merges"),
             F.sum("pair_count").alias("merge_mass"),
         )

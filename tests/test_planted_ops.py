@@ -575,6 +575,24 @@ def test_bpe_apply_exhaustion_sentinel_planted(spark, tmp_path):
     assert rows == [("ta", 10, 2, 1), ("ab", 6, 2, 1), ("tab", 3, 3, 1)]
 
 
+def test_bpe_k0_degenerate(spark):
+    """k=0 is a valid trainer/apply input (a probe sweep or config can
+    produce it): train returns an EMPTY merge table with the full
+    schema, not an IndexError, and apply returns the untouched
+    char-split vocabulary."""
+    from data_pipeline_etl_spark.operators.llm_text import (
+        bpe_apply_for,
+        bpe_train_for,
+    )
+
+    words = spark.createDataFrame([("ab", 2)], "w string, freq long")
+    merges = bpe_train_for(words, 0)
+    assert merges.columns == ["merge_rank", "left_sym", "right_sym", "pair_count"]
+    assert merges.count() == 0
+    seq = bpe_apply_for(words, 0)
+    assert [r["seq"] for r in seq.collect()] == ["a b"]
+
+
 def test_time_gap_stats_planted(spark, tmp_path):
     """Hand-computed inter-arrival profile: type 'a' arrives at +0s,
     +10s, +30s, +100s -> gaps [10, 20, 70]; exact interpolated

@@ -231,10 +231,17 @@ def test_training_shard_manifest_version_gate(spark, tmp_path):
         with open(mpath, "w") as f:
             f.write("\n".join(json.dumps(r) for r in rows_out) + "\n")
 
-    # v1-era manifest: field absent entirely
+    # v1-era manifest: field absent but the v1 shape intact
     rewrite([{k: v for k, v in r.items() if k != "fp_version"} for r in rows])
     with pytest.raises(sinks.ManifestVersionError, match="no fp_version"):
         sinks.validate_training_shards(spark, out)
+
+    # garbage manifest: not parseable into ANY manifest shape — this is
+    # corruption, and must FAIL validation, not read as benign version
+    # skew (the legacy-column gate distinguishes the two)
+    with open(mpath, "w") as f:
+        f.write("\x00\x01 not json at all {{{\n")
+    assert not sinks.validate_training_shards(spark, out)
 
     # future/foreign version: field present but mismatched
     rewrite([{**r, "fp_version": sinks.FINGERPRINT_VERSION + 1} for r in rows])
