@@ -593,6 +593,56 @@ def test_bpe_k0_degenerate(spark):
     assert [r["seq"] for r in seq.collect()] == ["a b"]
 
 
+def test_agg_bool_planted(spark, tmp_path):
+    """bool_and/bool_or per group by hand: P1's prices clear both
+    thresholds (all > 1k, one > 400k); P2 fails both (a 500 order
+    breaks ALL, nothing reaches 400k); n_open counts only 'O' rows."""
+    import datetime as dt
+
+    rows = [
+        (1, "P1", "O", dt.date(2024, 1, 1), 1500.0),
+        (2, "P1", "F", dt.date(2024, 1, 2), 500000.0),
+        (3, "P2", "O", dt.date(2024, 1, 3), 500.0),
+        (4, "P2", "O", dt.date(2024, 1, 4), 2000.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, o_orderstatus string, "
+        "o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_bool/orders.parquet")
+    out = {
+        r["o_orderpriority"]: (r["all_over_1k"], r["any_over_400k"], r["n_open"])
+        for r in QUERIES["q_agg_bool"](spark, str(tmp_path / "planted_bool")).collect()
+    }
+    assert out == {"P1": (True, True, 1), "P2": (False, False, 2)}
+
+
+def test_events_burst_planted(spark, tmp_path):
+    """Burst detection by hand: nine 2-event days and one 12-event day
+    give mean 3 and sd sqrt(10), so only the spike day clears the
+    mean + 2*sd = 9.32 gate, with z = 9/sqrt(10)."""
+    import math
+
+    rows = []
+    eid = 0
+    for day in range(1, 10):  # Jan 1..9: 2 events each
+        for j in range(2):
+            rows.append((eid, f"2024-01-{day:02d} 0{j}:00:00", 1, "a", 1.0))
+            eid += 1
+    for j in range(12):  # Jan 10: the burst
+        rows.append((eid, f"2024-01-10 {j:02d}:00:00", 1, "a", 1.0))
+        eid += 1
+    sf = str(tmp_path / "planted_burst")
+    _write_events(spark, sf, rows)
+    out = QUERIES["q_events_burst"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert str(r["day"])[:10] == "2024-01-10"
+    assert r["n"] == 12
+    assert r["mean_n"] == 3.0
+    assert r["z"] == round(9.0 / math.sqrt(10.0), 6)
+
+
 def test_time_gap_stats_planted(spark, tmp_path):
     """Hand-computed inter-arrival profile: type 'a' arrives at +0s,
     +10s, +30s, +100s -> gaps [10, 20, 70]; exact interpolated
