@@ -593,6 +593,41 @@ def test_bpe_k0_degenerate(spark):
     assert [r["seq"] for r in seq.collect()] == ["a b"]
 
 
+def test_dedup_fingerprint_planted(spark, tmp_path):
+    """Token-SET fingerprinting by hand: 'b a a' and 'a b b a' share the
+    distinct-set {a, b} regardless of order and multiplicity, so they
+    group under md5('a b'); the singleton-set doc has no partner and
+    the HAVING > 1 gate drops it."""
+    import hashlib
+
+    docs = [(1, "b a a"), (2, "a b b a"), (3, "a")]
+    sf = str(tmp_path / "planted_fp")
+    _write_documents(spark, sf, docs)
+    out = QUERIES["q_dedup_fingerprint"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["fp"] == hashlib.md5(b"a b").hexdigest()
+    assert (r["n_docs"], r["doc_ids"]) == (2, "1,2")
+
+
+def test_text_charngrams_planted(spark, tmp_path):
+    """Character trigram profile by hand: 'ababa' contributes aba/bab/aba
+    and the 2-char doc 'ab' exercises the short-text degenerate path
+    (one truncated gram, not zero rows); ranking ties break
+    lexicographically ('ab' before 'bab' at n=1)."""
+    docs = [(0, "ababa"), (1, "ab")]
+    sf = str(tmp_path / "planted_cng")
+    _write_documents(spark, sf, docs)
+    out = [
+        (r["rn"], r["gram"], r["n"])
+        for r in sorted(
+            QUERIES["q_text_charngrams"](spark, sf).collect(),
+            key=lambda r: r["rn"],
+        )
+    ]
+    assert out == [(1, "aba", 2), (2, "ab", 1), (3, "bab", 1)]
+
+
 def test_agg_bool_planted(spark, tmp_path):
     """bool_and/bool_or per group by hand: P1's prices clear both
     thresholds (all > 1k, one > 400k); P2 fails both (a 500 order
