@@ -593,6 +593,50 @@ def test_bpe_k0_degenerate(spark):
     assert [r["seq"] for r in seq.collect()] == ["a b"]
 
 
+def test_union_schema_evolution_planted(spark, tmp_path):
+    """Name-based schema-evolution union by hand: the v1 extract (no
+    priority column) comes back NULL-filled, the v2 extract keeps its
+    priority, and a status outside both extracts appears nowhere."""
+    import datetime as dt
+
+    rows = [
+        (1, "F", "HIGH", dt.date(2024, 1, 1), 100.0),
+        (2, "O", "LOW", dt.date(2024, 1, 2), 200.0),
+        (3, "P", "MED", dt.date(2024, 1, 3), 300.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderstatus string, o_orderpriority string, "
+        "o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_evo/orders.parquet")
+    out = {
+        r["o_orderkey"]: (r["o_totalprice"], r["o_orderpriority"], r["src_ver"])
+        for r in QUERIES["q_union_schema_evolution"](
+            spark, str(tmp_path / "planted_evo")
+        ).collect()
+    }
+    assert out == {1: (100.0, None, "v1"), 2: (200.0, "LOW", "v2")}
+
+
+def test_win_moving_short_head_frames_planted(spark, tmp_path):
+    """3-row moving average with hand values [10, 20, 40]: the first two
+    rows average over SHORT frames (1 and 2 rows -> 10 and 15), not
+    NULL-padded ones, and the third over the full window (70/3)."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(1, 101, dt.date(2024, 1, 1), 10.0),
+         (1, 102, dt.date(2024, 1, 2), 20.0),
+         (1, 103, dt.date(2024, 1, 3), 40.0)],
+        "o_custkey long, o_orderkey long, o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_mov/orders.parquet")
+    out = {
+        r["o_orderkey"]: r["mov_avg"]
+        for r in QUERIES["q_win_moving"](spark, str(tmp_path / "planted_mov")).collect()
+    }
+    assert out == {101: 10.0, 102: 15.0, 103: round(70 / 3, 6)}
+
+
 def test_dedup_fingerprint_planted(spark, tmp_path):
     """Token-SET fingerprinting by hand: 'b a a' and 'a b b a' share the
     distinct-set {a, b} regardless of order and multiplicity, so they
