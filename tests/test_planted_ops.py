@@ -593,6 +593,38 @@ def test_bpe_k0_degenerate(spark):
     assert [r["seq"] for r in seq.collect()] == ["a b"]
 
 
+def test_subquery_scalar_planted(spark, tmp_path):
+    """Correlated scalar subquery by hand: within nation 1 only the
+    300-balance customer strictly beats the nation average of 200; the
+    all-equal nation 2 (everyone AT the average) contributes nobody —
+    pinning the strict > against a >= regression."""
+    spark.createDataFrame(
+        [(1, 1, 100.0), (2, 1, 200.0), (3, 1, 300.0), (4, 2, 50.0), (5, 2, 50.0)],
+        "c_custkey long, c_nationkey long, c_acctbal double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_subq/customer.parquet")
+    out = QUERIES["q_subquery_scalar"](spark, str(tmp_path / "planted_subq")).collect()
+    assert [(r["c_custkey"], r["c_acctbal"]) for r in out] == [(3, 300.0)]
+
+
+def test_time_changepoint_planted(spark, tmp_path):
+    """Mean-shift changepoint by hand: ten 1.0s then ten 3.0s put the
+    maximal |prefix mean - suffix mean| = 2.0 exactly at the level
+    change (rn 10); neighboring splits dilute one side to ~1.82, so the
+    argmax is unique and the reported split timestamp is the last
+    pre-shift event."""
+    rows = []
+    for i in range(20):
+        rows.append((i, f"2024-01-01 00:{i:02d}:00", 1, "a",
+                     1.0 if i < 10 else 3.0))
+    sf = str(tmp_path / "planted_cpt")
+    _write_events(spark, sf, rows)
+    out = QUERIES["q_time_changepoint"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert str(r["split_ts"]) == "2024-01-01 00:09:00"
+    assert (r["n"], r["mean_shift"]) == (20, 2.0)
+
+
 def test_union_schema_evolution_planted(spark, tmp_path):
     """Name-based schema-evolution union by hand: the v1 extract (no
     priority column) comes back NULL-filled, the v2 extract keeps its
