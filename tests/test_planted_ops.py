@@ -593,6 +593,41 @@ def test_bpe_k0_degenerate(spark):
     assert [r["seq"] for r in seq.collect()] == ["a b"]
 
 
+def test_win_rank_vs_dense_planted(spark, tmp_path):
+    """rank vs dense_rank on a planted tie: priorities [A, A, B] give
+    rank 1,1,3 (gap after the tie) but dense_rank 1,1,2 — the pair of
+    columns must disagree on exactly the post-tie row."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(1, "O", "A", dt.date(2024, 1, 1), 1.0),
+         (2, "O", "A", dt.date(2024, 1, 2), 1.0),
+         (3, "O", "B", dt.date(2024, 1, 3), 1.0)],
+        "o_orderkey long, o_orderstatus string, o_orderpriority string, "
+        "o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_rank/orders.parquet")
+    out = {
+        r["o_orderkey"]: (r["rnk"], r["drnk"])
+        for r in QUERIES["q_win_rank"](spark, str(tmp_path / "planted_rank")).collect()
+    }
+    assert out == {1: (1, 1), 2: (1, 1), 3: (3, 2)}
+
+
+def test_dedup_degree_histogram_planted(spark, tmp_path):
+    """Near-dup degree histogram by hand: three identical docs form a
+    3-clique (each of degree 2) and one unique doc has degree 0 — the
+    histogram reads {2: 3 docs, 0: 1 doc}, with the zero row coming
+    from the LEFT join (untouched docs must not vanish)."""
+    docs = [(1, "x y z"), (2, "x y z"), (3, "x y z"), (4, "p q r")]
+    sf = str(tmp_path / "planted_deg")
+    _write_documents(spark, sf, docs)
+    out = {
+        r["degree"]: r["n_docs"]
+        for r in QUERIES["q_dedup_degree"](spark, sf).collect()
+    }
+    assert out == {2: 3, 0: 1}
+
+
 def test_subquery_scalar_planted(spark, tmp_path):
     """Correlated scalar subquery by hand: within nation 1 only the
     300-balance customer strictly beats the nation average of 200; the
