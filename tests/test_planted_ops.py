@@ -593,6 +593,50 @@ def test_bpe_k0_degenerate(spark):
     assert [r["seq"] for r in seq.collect()] == ["a b"]
 
 
+def test_cohort_ltv_planted(spark, tmp_path):
+    """LTV curve by hand: two customers cohort in January (one spends
+    100, one 200 -> month-0 LTV 150 per customer); only the first
+    returns in March, lifting the cohort's cumulative revenue to 350
+    and per-customer LTV to 175 at offset 2 — divided by the FULL
+    cohort size, not the still-active count."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(1, 1, dt.date(2024, 1, 10), 100.0),
+         (2, 2, dt.date(2024, 1, 20), 200.0),
+         (3, 1, dt.date(2024, 3, 5), 50.0)],
+        "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_ltv/orders.parquet")
+    out = {
+        r["m_offset"]: (r["n_active"], r["rev_cents"], r["cum_rev_cents"],
+                        r["ltv_per_customer"])
+        for r in QUERIES["q_cohort_ltv"](spark, str(tmp_path / "planted_ltv")).collect()
+    }
+    assert out == {0: (2, 30000, 30000, 150.0), 2: (1, 5000, 35000, 175.0)}
+
+
+def test_profile_histogram_boundary_planted(spark, tmp_path):
+    """Fixed-width histogram by hand: 49999.99 stays in bucket 0 while
+    exactly 50000 starts bucket 1 (floor-division boundary), and each
+    bucket reports its true min/max."""
+    import datetime as dt
+
+    prices = [10.0, 49999.99, 50000.0, 125000.0]
+    spark.createDataFrame(
+        [(i, i, dt.date(2024, 1, 1), p) for i, p in enumerate(prices)],
+        "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_hist/orders.parquet")
+    out = {
+        r["bucket"]: (r["n_orders"], r["lo"], r["hi"])
+        for r in QUERIES["q_profile_histogram"](spark, str(tmp_path / "planted_hist")).collect()
+    }
+    assert out == {
+        0: (2, 10.0, 49999.99),
+        1: (1, 50000.0, 50000.0),
+        2: (1, 125000.0, 125000.0),
+    }
+
+
 def test_win_rank_vs_dense_planted(spark, tmp_path):
     """rank vs dense_rank on a planted tie: priorities [A, A, B] give
     rank 1,1,3 (gap after the tie) but dense_rank 1,1,2 — the pair of
