@@ -328,7 +328,7 @@ def test_dedup_incremental_planted(spark, tmp_path):
     ]
 
 
-def test_changepoint_planted(spark, tmp_path):
+def test_changepoint_level_shift_planted(spark, tmp_path):
     """A clean level shift (1.0 -> 9.0 after row 15 of 30) must be found
     exactly at the boundary: the argmax split is rn=15, i.e. the 15th
     event's timestamp, and the shift magnitude equals the level gap."""
@@ -593,7 +593,7 @@ def test_bpe_k0_degenerate(spark):
     assert [r["seq"] for r in seq.collect()] == ["a b"]
 
 
-def test_cohort_ltv_planted(spark, tmp_path):
+def test_cohort_ltv_full_denominator_planted(spark, tmp_path):
     """LTV curve by hand: two customers cohort in January (one spends
     100, one 200 -> month-0 LTV 150 per customer); only the first
     returns in March, lifting the cohort's cumulative revenue to 350
@@ -807,7 +807,7 @@ def test_agg_bool_planted(spark, tmp_path):
     assert out == {"P1": (True, True, 1), "P2": (False, False, 2)}
 
 
-def test_events_burst_planted(spark, tmp_path):
+def test_events_burst_two_sigma_gate_planted(spark, tmp_path):
     """Burst detection by hand: nine 2-event days and one 12-event day
     give mean 3 and sd sqrt(10), so only the spike day clears the
     mean + 2*sd = 9.32 gate, with z = 9/sqrt(10)."""
@@ -1519,7 +1519,7 @@ def test_time_ohlc_planted(spark, tmp_path):
     }
 
 
-def test_scd2_planted(spark, tmp_path):
+def test_scd2_same_day_collapse_planted(spark, tmp_path):
     """SCD-2 intervals by hand: two same-day orders collapse to the
     LAST one (highest orderkey), Jan 1's state closes when Jan 5 opens,
     and the newest row carries the 2099 open-ended sentinel with
@@ -1638,7 +1638,7 @@ def test_sim_jaccard_planted(spark, tmp_path):
     assert out == {(1, 3): round(9 / 11, 6)}
 
 
-def test_embed_quantize_planted(spark, tmp_path):
+def test_embed_quantize_grid_endpoints_planted(spark, tmp_path):
     """8-bit quantization against hand codes: with corpus bounds [0, 10]
     the grid maps 0 -> 0, 5 -> 127 (floor of 127.5), 10 -> 255 (the hi
     endpoint must clamp into range, not overflow to 256), and 2.5 ->
@@ -1717,7 +1717,7 @@ def test_agg_argminmax_planted(spark, tmp_path):
             r["latest_order"], r["first_order"]) == (1.0, 99.0, 30, 10)
 
 
-def test_text_repetition_planted(spark, tmp_path):
+def test_text_repetition_fraction_closed_forms_planted(spark, tmp_path):
     """Bigram repetition by hand: 'a b a b a b' yields 5 bigrams of 2
     kinds (dup fraction 0.6, top bigram 'a b' holds 3/5); an all-unique
     doc scores dup 0; a single-token doc has no bigrams and must be
@@ -2116,7 +2116,7 @@ def test_rank_fusion_prefers_consistency(spark, tmp_path):
     assert out == [101, 100, 102]
 
 
-def test_events_burst_planted(spark, tmp_path):
+def test_events_burst_single_spike_planted(spark, tmp_path):
     """'view' runs 10 quiet days of 5 events then one 50-event spike:
     mean 100/11 ~ 9.09, sd ~ 13.57, threshold ~ 36.2 -> exactly the
     spike day is flagged. 'click' is perfectly uniform (sd = 0) and
@@ -2240,7 +2240,7 @@ def test_containment_catches_embedded_subset(spark, tmp_path):
     assert QUERIES["q_sim_jaccard"](spark, sf).count() == 0
 
 
-def test_gaps_islands_planted(spark, tmp_path):
+def test_gaps_islands_sessions_planted(spark, tmp_path):
     """User 1's sequence view,view,view,click,view,view has exactly one
     qualifying streak (the leading 3 views — the trailing 2 views are
     an island of 2 and must NOT count); user 2's 4 clicks interrupted
@@ -2303,7 +2303,7 @@ def test_pack_bins_planted(spark, tmp_path):
     assert out == {0: (2, 600), 1: (1, 300)}
 
 
-def test_attribution_planted(spark, tmp_path):
+def test_attribution_lookback_planted(spark, tmp_path):
     """Last-touch rules: purchase at 10:00 credits the most recent
     preceding non-purchase ('click' at 09:00, not the older 'view');
     a purchase with NO preceding touch in 7 days credits 'direct';
@@ -2343,7 +2343,7 @@ def test_langid_planted(spark, tmp_path):
     assert out == {0: ("en", 2), 1: ("zh", 2), 2: ("de", 0)}
 
 
-def test_scd2_planted(spark, tmp_path):
+def test_scd2_intervals_planted(spark, tmp_path):
     """SCD-2 build rules: customer 1 orders twice on Jan 1 (the LATER
     orderkey's price 20.0 wins the day — same-day collapse), again on
     Feb 1 -> two state rows: [Jan1, Feb1) at 20.0 (not current) and
@@ -2400,7 +2400,7 @@ def test_sessionize_gap_boundary(spark, tmp_path):
     }
 
 
-def test_drawdown_planted(spark, tmp_path):
+def test_drawdown_trough_planted(spark, tmp_path):
     """Hand-checkable drawdown: user 1's values +10, -4, +2, -7, +20
     give cumulative 10, 6, 8, 1, 21 -> peak 21, max drawdown
     10 - 1 = 9 (the later higher peak must NOT rewrite history).
