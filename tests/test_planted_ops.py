@@ -3326,3 +3326,70 @@ def test_text_entropy_planted(spark, tmp_path):
         for r in QUERIES["q_text_entropy"](spark, sf).collect()
     }
     assert out == {"two": (2, round(math.log(2), 6)), "uni": (1, 0.0)}
+
+
+def test_basket_affinity_planted(spark, tmp_path):
+    """Support/confidence/lift by hand: parts 1 and 2 co-occur in 2 of 4
+    baskets (support 0.5), each appears in 3 baskets (confidence 2/3,
+    lift 2*4/(3*3) = 8/9); the once-co-ordered pair (1,3) falls under
+    the c_ab >= 2 floor. Duplicate line items within a basket must not
+    inflate counts (DISTINCT items)."""
+    rows = [
+        (1, 1), (1, 1), (1, 2),   # basket 1: {1,2} with a dup line
+        (2, 1), (2, 2),           # basket 2: {1,2}
+        (3, 1), (3, 3),           # basket 3: {1,3}
+        (4, 2),                   # basket 4: {2}
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_basket/lineitem.parquet")
+    out = QUERIES["q_basket_affinity"](spark, str(tmp_path / "planted_basket")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["part_a"], r["part_b"], r["c_ab"]) == (1, 2, 2)
+    assert r["support"] == 0.5
+    assert r["confidence"] == 2 / 3
+    assert r["lift"] == 8 / 9
+
+
+def test_dedup_ngram_planted(spark, tmp_path):
+    """Bigram-shingle Jaccard by hand: 'a b c d' vs 'a b c x' share
+    {a b, b c} of four distinct bigrams -> 0.5, clearing the 0.4 gate;
+    the disjoint doc pairs with nobody."""
+    docs = [(1, "a b c d"), (2, "a b c x"), (3, "p q r s")]
+    sf = str(tmp_path / "planted_ngram")
+    _write_documents(spark, sf, docs)
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["q_dedup_ngram"](spark, sf).collect()
+    }
+    assert out == {(1, 2): 0.5}
+
+
+def test_case_bucket_boundaries_planted(spark, tmp_path):
+    """CASE/BETWEEN boundary pins: 49999.99 is small (strict <), both
+    50000 and 150000 land in medium (BETWEEN is inclusive at BOTH
+    ends), 150000.01 is large; status 'P' normalizes to 'PENDING' via
+    nullif/coalesce."""
+    import datetime as dt
+
+    rows = [
+        (1, "O", dt.date(2024, 1, 1), 49999.99),
+        (2, "P", dt.date(2024, 1, 2), 50000.0),
+        (3, "F", dt.date(2024, 1, 3), 150000.0),
+        (4, "O", dt.date(2024, 1, 4), 150000.01),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderstatus string, o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_case/orders.parquet")
+    out = {
+        (r["bucket"], r["status_norm"]): r["n"]
+        for r in QUERIES["q_case_bucket"](spark, str(tmp_path / "planted_case")).collect()
+    }
+    assert out == {
+        ("small", "O"): 1,
+        ("medium", "PENDING"): 1,
+        ("medium", "F"): 1,
+        ("large", "O"): 1,
+    }
