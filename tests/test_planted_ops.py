@@ -3393,3 +3393,60 @@ def test_case_bucket_boundaries_planted(spark, tmp_path):
         ("medium", "F"): 1,
         ("large", "O"): 1,
     }
+
+
+def test_shard_assign_matches_independent_md5(spark, tmp_path):
+    """Content-hash sharding against an independent md5: the expected
+    per-shard doc counts and char totals are recomputed with hashlib
+    (ascii of the first hex digit mod 8), so a change to the digit
+    position or modulus fails by exact histogram."""
+    import hashlib
+
+    texts = [f"shard corpus doc {i}" for i in range(40)]
+    sf = str(tmp_path / "planted_shard")
+    _write_documents(spark, sf, list(enumerate(texts)))
+    exp = {}
+    for t in texts:
+        sid = ord(hashlib.md5(t.encode()).hexdigest()[0]) % 8
+        n, chars = exp.get(sid, (0, 0))
+        exp[sid] = (n + 1, chars + len(t))
+    out = {
+        r["shard_id"]: (r["n_docs"], r["total_chars"])
+        for r in QUERIES["q_shard_assign"](spark, sf).collect()
+    }
+    assert out == exp
+
+
+def test_agg_weighted_planted(spark, tmp_path):
+    """Weighted averages by hand: quantities 1 and 3 at prices 10 and 20
+    give a quantity-weighted price of 17.5 (not the plain mean 15), and
+    discount retention (9 + 10) / 30 — the weighting is the point, so
+    the planted values make weighted and unweighted means differ."""
+    spark.createDataFrame(
+        [("A", 1.0, 10.0, 0.1), ("A", 3.0, 20.0, 0.5)],
+        "l_returnflag string, l_quantity double, l_extendedprice double, "
+        "l_discount double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_wavg/lineitem.parquet")
+    r = QUERIES["q_agg_weighted"](spark, str(tmp_path / "planted_wavg")).collect()[0]
+    assert r["wavg_price"] == 17.5
+    assert r["eff_discount_keep"] == round(19 / 30, 6)
+    assert r["total_qty"] == 4.0
+
+
+def test_funnel_latency_planted(spark, tmp_path):
+    """Conversion latency by hand: two converters at 10 s and 30 s give
+    avg 20, interpolated p50/p90/p99 of 20 / 28 / 29.8; a user whose
+    only purchase PRECEDES the signup must not convert."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "signup", 1.0),
+        (2, "2024-01-01 00:00:10", 1, "purchase", 1.0),
+        (3, "2024-01-01 00:00:00", 2, "signup", 1.0),
+        (4, "2024-01-01 00:00:30", 2, "purchase", 1.0),
+        (5, "2024-01-01 00:00:30", 3, "signup", 1.0),
+        (6, "2024-01-01 00:00:00", 3, "purchase", 1.0),  # before signup
+    ]
+    sf = str(tmp_path / "planted_flat")
+    _write_events(spark, sf, rows)
+    r = QUERIES["q_funnel_latency"](spark, sf).collect()[0]
+    assert (r["n_converted"], r["avg_sec"], r["p50_sec"], r["p90_sec"],
+            r["p99_sec"]) == (2, 20.0, 20.0, 28.0, 29.8)
