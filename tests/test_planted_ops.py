@@ -3450,3 +3450,55 @@ def test_funnel_latency_planted(spark, tmp_path):
     r = QUERIES["q_funnel_latency"](spark, sf).collect()[0]
     assert (r["n_converted"], r["avg_sec"], r["p50_sec"], r["p90_sec"],
             r["p99_sec"]) == (2, 20.0, 20.0, 28.0, 29.8)
+
+
+def test_dedup_simhash_matches_independent_impl(spark, tmp_path):
+    """SimHash against an independent Python implementation: bit j votes
+    +1 when the j-th hex digit of md5(token) is in 89abcdef, ties (sum
+    0) set the bit. Identical token SETS (order/multiplicity ignored)
+    must collide exactly; the expected signatures are recomputed with
+    hashlib so a bit-order or threshold drift fails by value."""
+    import hashlib
+
+    docs = [(1, "alpha beta"), (2, "beta alpha alpha"), (3, "gamma delta eps")]
+    sf = str(tmp_path / "planted_simhash")
+    _write_documents(spark, sf, docs)
+
+    def ref(text):
+        toks = set(text.split(" "))
+        sig = 0
+        for j in range(16):
+            vote = sum(
+                1 if hashlib.md5(t.encode()).hexdigest()[j] in "89abcdef" else -1
+                for t in toks
+            )
+            if vote >= 0:
+                sig |= 1 << j
+        return sig
+
+    out = {
+        r["doc_id"]: r["simhash"]
+        for r in QUERIES["q_dedup_simhash"](spark, sf).collect()
+    }
+    assert out == {i: ref(t) for i, t in docs}
+    assert out[1] == out[2]  # same token set -> same signature
+
+
+def test_sim_ivf_assign_planted(spark, tmp_path):
+    """Nearest-centroid assignment by hand: seed centroids (vec_id < 8)
+    sit at x = 0, 10, ..., 70 on a line; each assigns to itself at
+    distance 0, vector 8 at x=12 lands in cell 1 (d2 = 4), vector 9 at
+    x=71 in cell 7 (d2 = 1)."""
+    vecs = [(i, [float(10 * i), 0.0]) for i in range(8)]
+    vecs += [(8, [12.0, 0.0]), (9, [71.0, 0.0])]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_ivf/embeddings.parquet")
+    out = {
+        r["vec_id"]: (r["cell"], r["dist2"])
+        for r in QUERIES["q_sim_ivf_assign"](spark, str(tmp_path / "planted_ivf")).collect()
+    }
+    exp = {i: (i, 0.0) for i in range(8)}
+    exp[8] = (1, 4.0)
+    exp[9] = (7, 1.0)
+    assert out == exp
