@@ -3502,3 +3502,85 @@ def test_sim_ivf_assign_planted(spark, tmp_path):
     exp[8] = (1, 4.0)
     exp[9] = (7, 1.0)
     assert out == exp
+
+
+def test_text_hashtf_matches_independent_md5(spark, tmp_path):
+    """The hashing trick against an independent md5: each token lands in
+    the bucket named by its first md5 hex digit, counted WITH
+    multiplicity — expected 16-bucket vectors recomputed with hashlib
+    per document."""
+    import hashlib
+
+    docs = [(0, "aa bb aa"), (1, "zz")]
+    sf = str(tmp_path / "planted_htf")
+    _write_documents(spark, sf, docs)
+
+    def ref(text):
+        buckets = [0] * 16
+        for t in text.split(" "):
+            buckets[int(hashlib.md5(t.encode()).hexdigest()[0], 16)] += 1
+        return ",".join(str(c) for c in buckets)
+
+    out = {
+        r["doc_id"]: r["tf_hashed"]
+        for r in QUERIES["q_text_hashtf"](spark, sf).collect()
+    }
+    assert out == {i: ref(t) for i, t in docs}
+
+
+def test_agg_countmin_matches_independent_sketch(spark, tmp_path):
+    """Count-Min estimates against an independent 2x16 sketch built with
+    hashlib (row 0 buckets by md5(tok), row 1 by md5('s1'+tok); the
+    estimate is the min of the two cell counts): the query's top-5
+    estimates must equal the reference sketch's cell-wise values, and
+    every overcount must be >= 0 (the CMS one-sided error guarantee)."""
+    import collections
+    import hashlib
+
+    # skewed corpus: heavy tokens + filler that forces some collisions
+    toks = ["hot"] * 9 + ["warm"] * 5 + ["mild"] * 3 + [f"f{i}" for i in range(20)]
+    docs = [(0, " ".join(toks))]
+    sf = str(tmp_path / "planted_cms")
+    _write_documents(spark, sf, docs)
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[0], 16)
+
+    cells0, cells1 = collections.Counter(), collections.Counter()
+    truth = collections.Counter(toks)
+    for t in toks:
+        cells0[bucket(t)] += 1
+        cells1[bucket("s1" + t)] += 1
+    top5 = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    exp = {
+        t: (n, min(cells0[bucket(t)], cells1[bucket("s1" + t)]))
+        for t, n in top5
+    }
+    out = {
+        r["tok"]: (r["n"], r["cms_est"])
+        for r in QUERIES["q_agg_countmin"](spark, sf).collect()
+    }
+    assert out == exp
+    assert all(est >= n for n, est in out.values())
+
+
+def test_win_lag_lead_edges_planted(spark, tmp_path):
+    """Partition-edge defaults by hand: the first event's delta is NULL
+    (no predecessor), the last event's next_type is NULL (no
+    successor), and the middle deltas are exact microsecond gaps."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a", 1.0),
+        (2, "2024-01-01 00:00:05", 1, "b", 1.0),
+        (3, "2024-01-01 00:01:05", 1, "c", 1.0),
+    ]
+    sf = str(tmp_path / "planted_laglead")
+    _write_events(spark, sf, rows)
+    out = {
+        r["event_id"]: (r["delta_us"], r["next_type"])
+        for r in QUERIES["q_win_lag_lead"](spark, sf).collect()
+    }
+    assert out == {
+        1: (None, "b"),
+        2: (5_000_000, "c"),
+        3: (60_000_000, None),
+    }
