@@ -3584,3 +3584,42 @@ def test_win_lag_lead_edges_planted(spark, tmp_path):
         2: (5_000_000, "c"),
         3: (60_000_000, None),
     }
+
+
+def test_agg_having_boundary_planted(spark, tmp_path):
+    """HAVING count(*) >= 12 is inclusive at exactly 12: the 12-order
+    customer reports (12, 120.0), the 11-order customer is absent."""
+    import datetime as dt
+
+    rows = [(100 + i, 1, dt.date(2024, 1, 1), 10.0) for i in range(12)]
+    rows += [(200 + i, 2, dt.date(2024, 1, 1), 10.0) for i in range(11)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_having/orders.parquet")
+    out = {
+        r["o_custkey"]: (r["n_orders"], r["total"])
+        for r in QUERIES["q_agg_having"](spark, str(tmp_path / "planted_having")).collect()
+    }
+    assert out == {1: (12, 120.0)}
+
+
+def test_embed_whiten_planted(spark, tmp_path):
+    """Whitened norms by hand: two vectors [0,0] and [2,2] give per-dim
+    mean 1 and sample sd sqrt(2), so each dimension z-scores to
+    ±1/sqrt(2) and both whitened norms collapse to 1.0 (after the
+    model's documented 6 dp rounding, replicated in the expectation)."""
+    import math
+
+    spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [2.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_whiten/embeddings.parquet")
+    sd = round(math.sqrt(2.0), 6)  # the model rounds before use
+    z = (0.0 - 1.0) / sd
+    exp = round(math.sqrt(2 * z * z), 6)
+    out = {
+        r["vec_id"]: (r["n_dims"], r["wnorm"])
+        for r in QUERIES["q_embed_whiten"](spark, str(tmp_path / "planted_whiten")).collect()
+    }
+    assert out == {1: (2, exp), 2: (2, exp)}
+    assert exp == 1.0
