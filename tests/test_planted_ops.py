@@ -3623,3 +3623,50 @@ def test_embed_whiten_planted(spark, tmp_path):
     }
     assert out == {1: (2, exp), 2: (2, exp)}
     assert exp == 1.0
+
+
+def test_rollup_time_planted(spark, tmp_path):
+    """One-pass dual-granularity rollup by hand: two hours of one day
+    produce two hour rows (g_hour 0) plus one day-total row whose hour
+    is NULL and g_hour is 1, with counts/sums that re-add exactly."""
+    rows = [
+        (1, "2024-01-01 00:10:00", 1, "a", 1.0),
+        (2, "2024-01-01 00:50:00", 1, "a", 2.0),
+        (3, "2024-01-01 01:10:00", 1, "a", 4.0),
+    ]
+    sf = str(tmp_path / "planted_rollup_t")
+    _write_events(spark, sf, rows)
+    out = {
+        (str(r["day"])[:13], None if r["hour"] is None else str(r["hour"])[:13],
+         r["g_hour"]): (r["n"], r["total"])
+        for r in QUERIES["q_rollup_time"](spark, sf).collect()
+    }
+    assert out == {
+        ("2024-01-01 00", "2024-01-01 00", 0): (2, 3.0),
+        ("2024-01-01 00", "2024-01-01 01", 0): (1, 4.0),
+        ("2024-01-01 00", None, 1): (3, 7.0),
+    }
+
+
+def test_multimodal_binmeta_planted(spark, tmp_path):
+    """Binary metadata by hand: a 64-byte payload sits exactly ON the
+    inclusive size gate and reports its true byte length, md5, and the
+    base64 of its 8-byte header; a short payload is filtered out."""
+    import base64
+    import hashlib
+
+    t64 = "A" * 64
+    t70 = "payload-" + "x" * 62  # 70 bytes, distinctive 8-byte header
+    docs = [(1, t64), (2, t70), (3, "short")]
+    sf = str(tmp_path / "planted_binmeta")
+    _write_documents(spark, sf, docs)
+    out = {
+        r["doc_id"]: (r["n_bytes"], r["payload_md5"], r["head_b64"])
+        for r in QUERIES["q_multimodal_binmeta"](spark, sf).collect()
+    }
+    exp = {
+        i: (len(t), hashlib.md5(t.encode()).hexdigest(),
+            base64.b64encode(t[:8].encode()).decode())
+        for i, t in [(1, t64), (2, t70)]
+    }
+    assert out == exp
