@@ -3670,3 +3670,78 @@ def test_multimodal_binmeta_planted(spark, tmp_path):
         for i, t in [(1, t64), (2, t70)]
     }
     assert out == exp
+
+
+def test_agg_multidistinct_planted(spark, tmp_path):
+    """Two DISTINCT aggregates in one group by hand: three orders from
+    two customers in two statuses -> (n_cust 2, n_status 2, n 3); the
+    plain count must stay the ROW count, not collapse with either
+    distinct."""
+    import datetime as dt
+
+    rows = [
+        (1, 1, "P1", "O", dt.date(2024, 1, 1), 1.0),
+        (2, 1, "P1", "F", dt.date(2024, 1, 2), 1.0),
+        (3, 2, "P1", "O", dt.date(2024, 1, 3), 1.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_orderstatus string, o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_mdist/orders.parquet")
+    r = QUERIES["q_agg_multidistinct"](spark, str(tmp_path / "planted_mdist")).collect()[0]
+    assert (r["n_cust"], r["n_status"], r["n"]) == (2, 2, 3)
+
+
+def _write_cube_orders(spark, path):
+    import datetime as dt
+
+    rows = [
+        (1, "O", "A", dt.date(2024, 1, 1), 10.0),
+        (2, "F", "A", dt.date(2024, 1, 2), 20.0),
+        (3, "F", "A", dt.date(2024, 1, 3), 20.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderstatus string, o_orderpriority string, "
+        "o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+
+def test_agg_cube_planted(spark, tmp_path):
+    """Full CUBE lattice by hand on a 3-order table: leaf cells, both
+    one-sided subtotals, and the grand total — six rows whose counts
+    and sums re-add exactly."""
+    sf = str(tmp_path / "planted_cube")
+    _write_cube_orders(spark, sf)
+    out = {
+        (r["o_orderstatus"], r["o_orderpriority"]): (r["n"], r["total"])
+        for r in QUERIES["q_agg_cube"](spark, sf).collect()
+    }
+    assert out == {
+        ("O", "A"): (1, 10.0),
+        ("F", "A"): (2, 40.0),
+        ("O", None): (1, 10.0),
+        ("F", None): (2, 40.0),
+        (None, "A"): (3, 50.0),
+        (None, None): (3, 50.0),
+    }
+
+
+def test_agg_grouping_sets_planted(spark, tmp_path):
+    """GROUPING SETS with explicit grouping() tags by hand: one row per
+    status (g_status 0, g_prio 1), one per priority (flipped tags), and
+    the grand total with both tags set — the tags disambiguate a NULL
+    that means 'rolled up' from a NULL data value."""
+    sf = str(tmp_path / "planted_gsets")
+    _write_cube_orders(spark, sf)
+    out = {
+        (r["o_orderstatus"], r["o_orderpriority"], r["g_status"], r["g_prio"]): r["n"]
+        for r in QUERIES["q_agg_grouping_sets"](spark, sf).collect()
+    }
+    assert out == {
+        ("O", None, 0, 1): 1,
+        ("F", None, 0, 1): 2,
+        (None, "A", 1, 0): 3,
+        (None, None, 1, 1): 3,
+    }
