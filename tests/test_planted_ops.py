@@ -3745,3 +3745,60 @@ def test_agg_grouping_sets_planted(spark, tmp_path):
         (None, "A", 1, 0): 3,
         (None, None, 1, 1): 3,
     }
+
+
+def test_set_intersect_planted(spark, tmp_path):
+    """Distinct INTERSECT by hand: only the customer ordering in BOTH
+    years survives, exactly once even with multiple orders per year;
+    single-year customers vanish."""
+    rows = [
+        (1, 1, "1996-03-01 00:00:00"),
+        (2, 1, "1996-06-01 00:00:00"),
+        (3, 1, "1997-03-01 00:00:00"),
+        (4, 2, "1996-05-01 00:00:00"),
+        (5, 3, "1997-05-01 00:00:00"),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate string"
+    ).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_isect/orders.parquet")
+    out = [r["o_custkey"] for r in QUERIES["q_set_intersect"](
+        spark, str(tmp_path / "planted_isect")).collect()]
+    assert out == [1]
+
+
+def test_set_except_planted(spark, tmp_path):
+    """Distinct EXCEPT by hand: customers minus finalized-order holders
+    leaves {1, 3} — and the duplicated customer row collapses to one
+    output row (EXCEPT is set semantics, not bag)."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "c_custkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_exc/customer.parquet")
+    spark.createDataFrame(
+        [(10, 2, "F", dt.date(2024, 1, 1), 1.0),
+         (11, 3, "O", dt.date(2024, 1, 2), 1.0)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_exc/orders.parquet")
+    out = sorted(
+        r["c_custkey"]
+        for r in QUERIES["q_set_except"](spark, str(tmp_path / "planted_exc")).collect()
+    )
+    assert out == [1, 3]
+
+
+def test_agg_stats_perfect_linearity_planted(spark, tmp_path):
+    """Second-moment closed forms: quantities [1,2,3] against prices
+    [2,4,6] give sample sd/var exactly 1, correlation exactly 1 (perfect
+    linearity), and covariance 2 (the slope times the variance)."""
+    spark.createDataFrame(
+        [("A", 1.0, 2.0, 0.0), ("A", 2.0, 4.0, 0.0), ("A", 3.0, 6.0, 0.0)],
+        "l_returnflag string, l_quantity double, l_extendedprice double, "
+        "l_discount double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_stats/lineitem.parquet")
+    r = QUERIES["q_agg_stats"](spark, str(tmp_path / "planted_stats")).collect()[0]
+    assert (r["sd_qty"], r["var_qty"], r["corr_qty_price"],
+            r["covar_qty_price"]) == (1.0, 1.0, 1.0, 2.0)
