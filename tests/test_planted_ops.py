@@ -3802,3 +3802,31 @@ def test_agg_stats_perfect_linearity_planted(spark, tmp_path):
     r = QUERIES["q_agg_stats"](spark, str(tmp_path / "planted_stats")).collect()[0]
     assert (r["sd_qty"], r["var_qty"], r["corr_qty_price"],
             r["covar_qty_price"]) == (1.0, 1.0, 1.0, 2.0)
+
+
+def test_json_build_planted(spark, tmp_path):
+    """JSON serialization byte-for-byte: one row must produce exactly
+    the compact document with nested array — key order, no spaces, and
+    the double rendered as 123.5."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(7, "O", "HIGH", dt.date(2024, 1, 1), 123.5)],
+        "o_orderkey long, o_orderstatus string, o_orderpriority string, "
+        "o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_json/orders.parquet")
+    out = QUERIES["q_json_build"](spark, str(tmp_path / "planted_json")).collect()
+    assert len(out) == 1
+    assert out[0]["doc"] == '{"k":7,"s":"O","p":123.5,"tags":["HIGH","O"]}'
+
+
+def test_agg_percentile_interpolation_planted(spark, tmp_path):
+    """Exact interpolated percentiles by hand over [1..4] quantities and
+    [10..40] prices: median 2.5, p90 at rank 2.7 -> 37.0, p25 at rank
+    0.75 -> 17.5."""
+    rows = [("O", float(q), float(10 * q)) for q in range(1, 5)]
+    spark.createDataFrame(
+        rows, "l_linestatus string, l_quantity double, l_extendedprice double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_pct/lineitem.parquet")
+    r = QUERIES["q_agg_percentile"](spark, str(tmp_path / "planted_pct")).collect()[0]
+    assert (r["median_qty"], r["p90_price"], r["p25_price"]) == (2.5, 37.0, 17.5)
