@@ -3830,3 +3830,51 @@ def test_agg_percentile_interpolation_planted(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/planted_pct/lineitem.parquet")
     r = QUERIES["q_agg_percentile"](spark, str(tmp_path / "planted_pct")).collect()[0]
     assert (r["median_qty"], r["p90_price"], r["p25_price"]) == (2.5, 37.0, 17.5)
+
+
+def test_dedup_chunkdup_planted(spark, tmp_path):
+    """Chunk-contamination ratios by hand: doc 1 = shared 16-token chunk
+    + unique chunk (ratio 0.5), doc 2 IS the shared chunk (ratio 1.0),
+    doc 3 is clean (0.0) — a chunk counts as duplicated only when it
+    appears in more than one DISTINCT document."""
+    shared = " ".join(f"s{i}" for i in range(16))
+    uniq = " ".join(f"u{i}" for i in range(16))
+    other = " ".join(f"o{i}" for i in range(16))
+    docs = [(1, shared + " " + uniq), (2, shared), (3, other)]
+    sf = str(tmp_path / "planted_chunkdup")
+    _write_documents(spark, sf, docs)
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_ratio"])
+        for r in QUERIES["q_dedup_chunkdup"](spark, sf).collect()
+    }
+    assert out == {1: (2, 1, 0.5), 2: (1, 1, 1.0), 3: (1, 0, 0.0)}
+
+
+def test_pipeline_funnel_planted(spark, tmp_path):
+    """Curation funnel by hand: 4 raw docs -> 3 pass the 30-token
+    quality bar (the 5-token doc drops) -> 2 pass the language gate
+    (zh drops) -> 1 survives exact dedup (two identical en docs
+    collapse) -> the sample stage keeps it iff its digest's first hex
+    digit is in 0..3 (recomputed with hashlib)."""
+    import hashlib
+
+    long_en = " ".join(f"w{i}" for i in range(30))
+    long_zh = " ".join(f"z{i}" for i in range(30))
+    docs = [(0, long_en), (1, long_en), (3, "tiny doc")]
+    spark.createDataFrame(
+        [(0, long_en, "en", "s", len(long_en)),
+         (1, long_en, "en", "s", len(long_en)),
+         (2, long_zh, "zh", "s", len(long_zh)),
+         (3, "tiny doc", "en", "s", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_pfun/documents.parquet")
+    sampled = 1 if hashlib.md5(long_en.strip().lower().encode()).hexdigest()[0] in "0123" else 0
+    out = {
+        r["stage"]: (r["stage_no"], r["n_rows"], r["frac_of_raw"])
+        for r in QUERIES["q_pipeline_funnel"](spark, str(tmp_path / "planted_pfun")).collect()
+    }
+    assert out["raw"] == (1, 4, 1.0)
+    assert out["quality"] == (2, 3, 0.75)
+    assert out["lang"] == (3, 2, 0.5)
+    assert out["dedup"] == (4, 1, 0.25)
+    assert out["sample"] == (5, sampled, round(sampled / 4, 6))
