@@ -3878,3 +3878,31 @@ def test_pipeline_funnel_planted(spark, tmp_path):
     assert out["lang"] == (3, 2, 0.5)
     assert out["dedup"] == (4, 1, 0.25)
     assert out["sample"] == (5, sampled, round(sampled / 4, 6))
+
+
+def test_events_enrich_planted(spark, tmp_path):
+    """One-pass enrichment by hand: the JSON prop k parses to its int,
+    hour/day-of-week derive from a known Monday timestamp (Spark
+    dayofweek: Monday = 2), rounding clips value at 4 dp, and per-user
+    sequence numbers restart per user in (ts, event_id) order."""
+    rows = [
+        (1, "2024-01-01 07:30:00", 1, "a", 1.23456, '{"k": 5}'),
+        (2, "2024-01-01 08:30:00", 1, "b", 2.0, '{"k": 7}'),
+        (3, "2024-01-01 09:30:00", 2, "c", 3.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/planted_enrich/events.parquet")
+    out = {
+        r["event_id"]: (r["k"], r["ev_hour"], r["ev_dow"], r["value_r"], r["seq_no"])
+        for r in QUERIES["q_events_enrich"](spark, str(tmp_path / "planted_enrich")).collect()
+    }
+    assert out == {
+        1: (5, 7, 2, 1.2346, 1),
+        2: (7, 8, 2, 2.0, 2),
+        3: (None, 9, 2, 3.0, 1),
+    }
