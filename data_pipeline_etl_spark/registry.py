@@ -73,16 +73,9 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # (All r4/r5 entries pruned at r6 open: CORRECTNESS_r05.json graded every
 # one of them green post-touch, so each had expired by its own rule.)
 _FORCE_FRONT: dict[str, int] = {
-    # (r10 entries pruned at r11 open: CORRECTNESS_r10 graded
-    # q_text_bpe_merge and q_dedup_cluster green post-touch — expired.)
-    # round-11 touches:
-    # q_text_bpe_merge: inline 3-round unroll replaced by the shared
-    # bpe_train_for trainer (k parameterized, per-round localCheckpoint
-    # lineage truncation) and its oracle by the machine-unrolled
-    # _bpe_train_oracle(3) — value-preserving (planted trajectories +
-    # sf0.01/sf0.1 parity pin it), but touched-query discipline
-    # re-grades regardless:
-    "q_text_bpe_merge": 11,
+    # (r11 entry pruned at r12 open: CORRECTNESS_r11 graded
+    # q_text_bpe_merge green post-touch — expired by its own rule.)
+    # round-12 touches go here.
 }
 
 
