@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_etl_spark.checkpoints import free_local_checkpoint
 from data_pipeline_etl_spark.registry import query
 from data_pipeline_etl_spark.sources.tables import table
 
@@ -1217,11 +1218,18 @@ def _bpe_rounds(words: DataFrame, k: int, tokenize: bool):
 
     Checkpoint hygiene: each eager argmax materializes the current
     vocab checkpoint, at which point the PREVIOUS round's checkpoint is
-    superseded and explicitly unpersisted — without this a large-k run
-    (the production tokenizer build is k ~ 30k) pins one |vocab|-row
-    RDD per round in executor storage until driver GC. The last one or
-    two checkpoints stay cached deliberately: the returned frames read
-    from them. k <= 0 returns (empty merge table, char-split seq)."""
+    superseded and its RDD blocks are released via
+    :func:`data_pipeline_etl_spark.checkpoints.free_local_checkpoint`
+    (``DataFrame.unpersist`` would be a no-op here — checkpoint blocks
+    live in the persistent-RDD registry, not the SQL CacheManager;
+    ADVICE r11) — without this a large-k run (the production tokenizer
+    build is k ~ 30k) pins one |vocab|-row RDD per round in executor
+    storage until driver GC. The boundedness is pinned by
+    tests/test_plans.py (persistent vocab RDDs do not grow with k).
+    The last one or two vocab checkpoints stay persisted deliberately
+    (the returned frames read from them), as do the k 1-row argmax
+    checkpoints the merge table is built from. k <= 0 returns (empty
+    merge table, char-split seq)."""
     spark = words.sparkSession
     seq = words.select(
         "w", "freq", F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq")
@@ -1248,9 +1256,14 @@ def _bpe_rounds(words: DataFrame, k: int, tokenize: bool):
             .localCheckpoint(eager=True)
         )
         # the eager argmax just materialized `seq`; whatever checkpoint
-        # fed it is now superseded and its executor storage can go
+        # fed it is now superseded and its executor storage can go.
+        # free_local_checkpoint releases the checkpoint's RDD blocks for
+        # real (DataFrame.unpersist is a CacheManager call and does not
+        # touch checkpoint storage — ADVICE r11); safe here because the
+        # frame it fed is now fully materialized and nothing reads the
+        # superseded one again.
         if prev_cp is not None:
-            prev_cp.unpersist()
+            free_local_checkpoint(prev_cp)
             prev_cp = None
         out.append(
             best.select(

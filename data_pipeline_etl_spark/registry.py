@@ -75,7 +75,15 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 _FORCE_FRONT: dict[str, int] = {
     # (r11 entry pruned at r12 open: CORRECTNESS_r11 graded
     # q_text_bpe_merge green post-touch — expired by its own rule.)
-    # round-12 touches go here.
+    # round-12 touches: _bpe_rounds now frees superseded vocab
+    # checkpoints for real (ADVICE r11 — RDD-level unpersist via
+    # checkpoints.free_local_checkpoint instead of the CacheManager
+    # no-op). Storage-only change, values pinned unchanged by the
+    # planted trajectories + parity, but touched-query discipline
+    # re-grades all three _bpe_rounds callers regardless:
+    "q_text_bpe_merge": 12,
+    "q_text_bpe_train": 12,
+    "q_text_bpe_apply": 12,
 }
 
 
