@@ -148,13 +148,17 @@ def validate_training_shards(spark: SparkSession, out_dir: str) -> bool:
     ``FINGERPRINT_VERSION`` raises :class:`ManifestVersionError` rather
     than returning ``False`` — the data may be perfectly intact, and a
     version skew must never masquerade as a corruption signal. The
-    skew diagnosis itself is gated on the legacy columns being present:
-    a manifest Spark cannot parse into the v1 shape at all (truncated
-    file, binary garbage — only ``_corrupt_record`` comes back) is NOT
-    version skew, it is manifest corruption, and validation returns
-    ``False`` like any other integrity failure (r11 review: the
-    earlier version of this gate confidently mislabeled garbage bytes
-    as a benign pre-v2 export)."""
+    skew diagnosis itself is gated both ways (r11 review + ADVICE r11:
+    each direction of the confusion has bitten once):
+    - a manifest Spark cannot parse into the v1 shape at all (truncated
+      file, binary garbage — only ``_corrupt_record`` comes back) is
+      NOT version skew, it is corruption → ``False``;
+    - a PARTIALLY garbled manifest (some rows unparseable, or missing /
+      non-numeric ``fp_version`` while others carry it, or a mix of
+      versions) cannot come from one consistent foreign exporter → also
+      corruption → ``False``.
+    ``ManifestVersionError`` is raised only when EVERY row parses and
+    carries the SAME non-current version."""
     stored_raw = spark.read.json(out_dir + "/_manifest")
     v1_cols = {"shard", "n_rows", "n_chars", "fingerprint"}
     if "fp_version" not in stored_raw.columns:
@@ -165,12 +169,30 @@ def validate_training_shards(spark: SparkSession, out_dir: str) -> bool:
             "exporter); re-export the shards — this is a version skew, "
             "not evidence of corruption"
         )
-    versions = [
-        r["v"]
-        for r in stored_raw.select(
-            F.col("fp_version").cast("int").alias("v")
-        ).distinct().collect()
-    ]
+    # Per-row garbling gate (ADVICE r11): a manifest where SOME rows are
+    # unparseable (_corrupt_record) or miss/garble fp_version while
+    # others carry it is per-row manifest corruption — exactly what this
+    # gate must never relabel as benign skew. Skew is diagnosed only
+    # when EVERY row parses and carries the SAME non-current version.
+    # The manifest is |shards| rows by construction, so one driver-side
+    # pass over it is validation metadata, not a hot path — and it
+    # sidesteps Spark's refusal to run a query referencing only the
+    # internal corrupt-record column of an unmaterialized JSON scan.
+    has_corrupt_col = "_corrupt_record" in stored_raw.columns
+    # try_cast, not cast: under ANSI SQL a garbled value ("two") would
+    # THROW out of the validator; here it must null out and read as
+    # corruption like any other per-row damage
+    probe_cols = [F.col("fp_version").try_cast("int").alias("v")]
+    if has_corrupt_col:
+        probe_cols.append(F.col("_corrupt_record").isNotNull().alias("bad"))
+    probe = stored_raw.select(*probe_cols).collect()
+    if has_corrupt_col and any(r["bad"] for r in probe):
+        return False  # partially garbled manifest: corruption, not skew
+    versions = sorted({r["v"] for r in probe}, key=lambda v: (v is None, v))
+    if None in versions or len(versions) != 1:
+        # a null (row missing the field, or a non-numeric value) or a
+        # version MIX cannot come from one consistent foreign exporter
+        return False
     if versions != [FINGERPRINT_VERSION]:
         raise ManifestVersionError(
             f"shard manifest fingerprint version {versions} != validator "
@@ -185,11 +207,11 @@ def validate_training_shards(spark: SparkSession, out_dir: str) -> bool:
     )
     recomputed = _shard_manifest(back)
     stored = stored_raw.select(
-        F.col("shard").cast("int").alias("shard"),
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.col("n_chars").cast("long").alias("n_chars"),
-        F.col("fingerprint").cast("long").alias("fingerprint"),
-        F.col("fp_version").cast("int").alias("fp_version"),
+        F.col("shard").try_cast("int").alias("shard"),
+        F.col("n_rows").try_cast("long").alias("n_rows"),
+        F.col("n_chars").try_cast("long").alias("n_chars"),
+        F.col("fingerprint").try_cast("long").alias("fingerprint"),
+        F.col("fp_version").try_cast("int").alias("fp_version"),
     )
     return (
         recomputed.exceptAll(stored).isEmpty()

@@ -248,6 +248,30 @@ def test_training_shard_manifest_version_gate(spark, tmp_path):
     with pytest.raises(sinks.ManifestVersionError, match="version"):
         sinks.validate_training_shards(spark, out)
 
+    # PARTIAL garbling (ADVICE r11): these must FAIL as corruption, not
+    # raise as skew — a mix of parseable-current and damaged rows cannot
+    # come from one consistent foreign exporter. Exercised on a 2-row
+    # manifest so "some rows fine, some damaged" is real.
+    two = [dict(rows[0]), {**rows[0], "shard": rows[0]["shard"] + 1}]
+
+    # (a) one row is unparseable bytes alongside a valid v2 row
+    with open(mpath, "w") as f:
+        f.write(json.dumps(two[0]) + "\n" + "\x00\x01 not json {{{\n")
+    assert not sinks.validate_training_shards(spark, out)
+
+    # (b) one row parses but lacks fp_version while the other carries it
+    rewrite([two[0], {k: v for k, v in two[1].items() if k != "fp_version"}])
+    assert not sinks.validate_training_shards(spark, out)
+
+    # (c) one row carries a non-numeric fp_version
+    rewrite([two[0], {**two[1], "fp_version": "two"}])
+    assert not sinks.validate_training_shards(spark, out)
+
+    # (d) a MIX of two versions (one of them current) is not a
+    # consistent foreign export either
+    rewrite([two[0], {**two[1], "fp_version": sinks.FINGERPRINT_VERSION + 1}])
+    assert not sinks.validate_training_shards(spark, out)
+
     # restoring the true version restores a clean pass
     rewrite(rows)
     assert sinks.validate_training_shards(spark, out)
