@@ -1146,6 +1146,128 @@ def _bpe_apply_oracle(k: int) -> str:
     )
 
 
+def _bpe_encode_oracle(k: int) -> str:
+    """Per-document ENCODE oracle: the shared ladder in sentinel mode
+    (same tokenizer table as the apply oracle), tailed by the
+    token-id assignment (dense lexicographic ids over the final token
+    vocabulary) and the doc-word -> token-sequence join. One aggregate
+    over the token-exploded frame mirrors the Spark plan: tokens
+    partition each word's characters, so word counts come from
+    first-token rows and char counts from token lengths — no second
+    corpus pass."""
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_oracle_ladder(k, tokenize=True))
+        + f""",
+    toks AS (SELECT w, string_split(seq, ' ') AS toks FROM seq{k + 1}),
+    ids AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
+      FROM (SELECT DISTINCT unnest(toks) AS tok FROM toks)
+    ),
+    doc_words AS (
+      SELECT doc_id, g.i AS pos, d.arr[g.i] AS w
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS arr
+            FROM documents) d,
+           unnest(generate_series(1, len(d.arr))) AS g(i)
+      WHERE length(d.arr[g.i]) > 0
+    ),
+    doc_toks AS (
+      SELECT dw.doc_id, dw.pos, g.j, t.toks[g.j] AS tok, i.tok_id
+      FROM doc_words dw, toks t,
+           unnest(generate_series(1, len(t.toks))) AS g(j), ids i
+      WHERE dw.w = t.w AND t.toks[g.j] = i.tok
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE j = 1) AS BIGINT) AS n_words,
+           CAST(sum(length(tok)) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           array_to_string((list(tok_id ORDER BY pos, j))[1:10], ',')
+             AS head_ids
+    FROM doc_toks GROUP BY doc_id"""
+    )
+
+
+def bpe_encode_for(docs: DataFrame, k: int) -> DataFrame:
+    """Encode a ``(doc_id, text)`` corpus with a k-merge BPE tokenizer
+    trained on its own vocabulary: per document, exact word/char/token
+    counts plus the first 10 token ids (``head_ids``) under a dense
+    lexicographic id assignment over the final token vocabulary.
+
+    This is the production join shape the tokenizer story relies on at
+    100 TB (train -> apply -> ENCODE): the merge loop only ever touches
+    the |vocab|-row frame (``bpe_apply_for``, checkpoint-backed), and
+    the corpus is touched exactly ONCE — by the word-position explode —
+    then mapped to token sequences by a broadcast join of doc words
+    against the tokenized vocab and to ids by a broadcast join against
+    the token table. No merge is ever re-run per document.
+    tests/test_plans.py pins exactly one corpus scan and the two
+    broadcast joins.
+
+    Broadcast sizing: the token-id table is at most |alphabet| + k rows
+    by construction. The tokenized vocab is |distinct words|; at the
+    trillion-token corpus scale where a multi-GB vocab outgrows the
+    broadcast threshold, drop the hint and let AQE pick the join (doc
+    words and vocab both hash-partition on ``w`` cleanly) — the
+    explicit hint here encodes the common case, not a hard requirement.
+    The token-id ``row_number`` runs unpartitioned over that bounded
+    token vocabulary — a documented tiny global frame, same class as
+    the 1-row argmax windows.
+
+    Aggregation discipline: everything reduces in ONE groupBy over the
+    token-exploded frame — BPE tokens exactly partition each word's
+    characters (the seed is the char split and merges only concatenate),
+    so ``n_chars = sum(length(tok))`` and each word contributes exactly
+    one first-token row (``j = 0``), giving ``n_words`` without a
+    second corpus pass. A separate word-stats branch would scan the
+    corpus twice. head_ids orders by (pos, j): word position in the
+    document, then token position within the word — exact document
+    order, no float discipline anywhere."""
+    vocab = _bpe_vocab_of(docs)
+    toks = bpe_apply_for(vocab, k)
+    tok_ids = (
+        toks.select(F.explode(F.split("seq", " ")).alias("tok"))
+        .distinct()
+        .select(
+            "tok",
+            F.row_number()
+            .over(Window.orderBy("tok"))
+            .cast("long")
+            .alias("tok_id"),
+        )
+    )
+    per_tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "w"),
+        )
+        .where(F.length("w") > 0)
+        .join(
+            F.broadcast(toks.select("w", F.split("seq", " ").alias("toks"))), "w"
+        )
+        .select("doc_id", "pos", F.posexplode("toks").alias("j", "tok"))
+        .join(F.broadcast(tok_ids), "tok")
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("j") == 0, 1).otherwise(0)).cast("long").alias("n_words"),
+        F.sum(F.length("tok")).cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_tokens"),
+        # comma-joined string, not array<long>: declared queries emit
+        # scalars only (the driver's pandas canonicalizer cannot hash
+        # lists — tests/test_schema_align.py enforces)
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("pos", "j", "tok_id"))),
+                    1,
+                    10,
+                ),
+                lambda x: x.tok_id.cast("string"),
+            ),
+            ",",
+        ).alias("head_ids"),
+    ).select("doc_id", "n_words", "n_chars", "n_tokens", "head_ids")
+
+
 def bpe_apply_for(words: DataFrame, k: int) -> DataFrame:
     """Tokenize a ``(w, freq)`` vocabulary with a k-merge BPE table
     trained on the fly: the inference half of byte-pair encoding at the
@@ -1399,4 +1521,25 @@ def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("freq"), "w")
         .limit(30)
+    )
+
+
+@query("q_text_bpe_encode", oracle=_bpe_encode_oracle(4))
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE ENCODING through the k=4 tokenizer — the third
+    panel of the tokenizer story (q_text_bpe_train learns the merge
+    table, q_text_bpe_apply tokenizes the distinct-word vocabulary,
+    this query carries the tokenization back onto every document): per
+    doc, exact word/char/token counts and the first 10 token ids under
+    a dense lexicographic token-id assignment.
+
+    This is the query that exercises the broadcast-vocab join the
+    100 TB layout depends on (see :func:`bpe_encode_for`): merges run
+    |vocab|-sized only, the corpus is scanned once, and per-doc ids
+    come from broadcast joins — never a per-document merge loop.
+    Everything is exact integers; head_ids is ordered by document word
+    position then within-word token position, so the result is
+    hash-stable with no float or tie discipline."""
+    return bpe_encode_for(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), 4
     )

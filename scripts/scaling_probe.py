@@ -349,6 +349,20 @@ def main() -> int:
             F.sum("pair_count").alias("merge_mass"),
         )
 
+    def bpe_enc(ddf):
+        from data_pipeline_etl_spark.operators.llm_text import bpe_encode_for
+
+        # k=4 per-document encode (the declared q_text_bpe_encode
+        # shape): merge loop at |vocab| size, then ONE corpus pass
+        # broadcast-joined against the tokenized vocab. Same per-replica
+        # vocab-growth model as bpe_train; the per-doc result frame is
+        # corpus-sized, so summarize to keep Arrow transfer out of the
+        # measurement.
+        return bpe_encode_for(ddf.select("doc_id", "text"), 4).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("token_mass"),
+        )
+
     def concurrency(vdf):
         from data_pipeline_etl_spark.streaming.batch_windows import concurrency_for
 
@@ -375,6 +389,7 @@ def main() -> int:
         "dedup_cluster": lambda L, O, E, D, V: cluster(D),
         "store_compact": lambda L, O, E, D, V: compact(D),
         "bpe_train": lambda L, O, E, D, V: bpe(D),
+        "bpe_encode": lambda L, O, E, D, V: bpe_enc(D),
         "concurrency": lambda L, O, E, D, V: concurrency(V),
     }
 

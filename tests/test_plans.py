@@ -418,6 +418,21 @@ def test_bpe_trainer_lineage_truncated(spark):
         assert node not in plan, (node, plan)
 
 
+def test_bpe_encode_single_corpus_scan(spark):
+    """q_text_bpe_encode's 100 TB contract: the merge loop runs at
+    |vocab| size behind checkpoints, and the ENCODE plan touches the
+    corpus exactly once — one parquet scan, token sequences and ids
+    carried in by two broadcast joins (doc words x tokenized vocab,
+    tokens x id table), never a shuffle join and never a second corpus
+    pass for word stats (tokens partition each word's characters, so
+    word/char counts fold into the same aggregate)."""
+    plan = _plan(QUERIES["q_text_bpe_encode"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
 def test_bpe_checkpoint_storage_bounded(spark):
     """Superseded vocab checkpoints are freed FOR REAL each round
     (ADVICE r11: ``DataFrame.unpersist()`` on a localCheckpoint frame is

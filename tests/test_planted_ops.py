@@ -575,6 +575,34 @@ def test_bpe_apply_exhaustion_sentinel_planted(spark, tmp_path):
     assert rows == [("ta", 10, 2, 1), ("ab", 6, 2, 1), ("tab", 3, 3, 1)]
 
 
+def test_bpe_encode_planted(spark, tmp_path):
+    """Per-document encoding (q_text_bpe_encode, k=4) on the trajectory
+    corpus split across TWO docs (2+4 and 2+5 words) so the per-doc
+    carry-back is real while the corpus-level vocab stays (abcdefg x4,
+    xy x9) and the k=4 merges stay (x,y),(a,b),(ab,c),(abc,d):
+    'abcdefg' -> [abcd,e,f,g], 'xy' -> [xy]. Token vocabulary sorts to
+    ids {abcd:1, e:2, f:3, g:4, xy:5}. Hand-derived per doc:
+    n_words/n_chars/n_tokens and the first-10 token-id string in exact
+    document order (both docs truncate at the 10th id)."""
+    sf = str(tmp_path / "planted_bpe_encode")
+    _write_documents(
+        spark,
+        sf,
+        [
+            (0, " ".join(["abcdefg"] * 2 + ["xy"] * 4)),
+            (1, " ".join(["abcdefg"] * 2 + ["xy"] * 5)),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"], r["head_ids"])
+        for r in QUERIES["q_text_bpe_encode"](spark, sf).collect()
+    }
+    assert out == {
+        0: (6, 22, 12, "1,2,3,4,1,2,3,4,5,5"),
+        1: (7, 24, 13, "1,2,3,4,1,2,3,4,5,5"),
+    }
+
+
 def test_bpe_k0_degenerate(spark):
     """k=0 is a valid trainer/apply input (a probe sweep or config can
     produce it): train returns an EMPTY merge table with the full
