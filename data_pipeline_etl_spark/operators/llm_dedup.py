@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_pipeline_etl_spark.checkpoints import free_local_checkpoint
 from data_pipeline_etl_spark.registry import query
 from data_pipeline_etl_spark.sources.tables import table
 
@@ -1029,6 +1030,13 @@ def _connected_components(edges: DataFrame, max_rounds: int = _CC_MAX_ROUNDS) ->
         .agg(F.min("cluster_id").alias("cluster_id"))
         .localCheckpoint(eager=False)
     )
+    # superseded checkpoint of the previous round, freed for real once
+    # the current round's convergence count has materialized past it
+    # (DataFrame.unpersist would be a CacheManager no-op — ADVICE r11;
+    # same discipline as the BPE trainer). Without this every round
+    # pins a |labels|-row RDD until driver GC — O(log diameter) rounds
+    # of corpus-scale frames on a long-diameter graph.
+    prev_cp = labels
     for _ in range(max_rounds):
         neighbor = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -1048,6 +1056,11 @@ def _connected_components(edges: DataFrame, max_rounds: int = _CC_MAX_ROUNDS) ->
         # The count is also the action that materializes this round's
         # lazy localCheckpoint (one Spark job per round).
         changed = hopped.where(F.col("cluster_id") != F.col("old")).count()
+        # the count materialized `hopped`; the previous round's
+        # checkpoint (read through the jump join) is now dead
+        if prev_cp is not None:
+            free_local_checkpoint(prev_cp)
+        prev_cp = hopped
         if changed == 0:
             return hopped.select("doc_id", "cluster_id")
         # jump (pointer doubling): label <- label's label. Labels only

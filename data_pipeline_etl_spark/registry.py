@@ -84,6 +84,8 @@ _FORCE_FRONT: dict[str, int] = {
     "q_text_bpe_merge": 12,
     "q_text_bpe_train": 12,
     "q_text_bpe_apply": 12,
+    # _connected_components gained the same real checkpoint free:
+    "q_dedup_cluster": 12,
 }
 
 

@@ -462,3 +462,33 @@ def test_bpe_checkpoint_storage_bounded(spark):
         new_by_k[k] = persisted() - before
     assert len(new_by_k[6]) - len(new_by_k[3]) == 3, new_by_k
     assert len(new_by_k[3]) - 3 <= 2, new_by_k
+
+
+def test_cc_checkpoint_storage_bounded(spark):
+    """The pointer-doubling connected-components loop frees each
+    superseded label checkpoint once the next round's convergence count
+    has materialized past it (same ADVICE-r11 discipline as the BPE
+    trainer). A 33-node chain needs several hop+jump rounds, so without
+    the real free the persistent-RDD registry would end the run holding
+    one |labels|-row checkpoint per round; with it exactly the FINAL
+    label checkpoint survives. Also re-pins the labels themselves —
+    freeing a checkpoint the jump still needed would crash or corrupt
+    the fixpoint."""
+    from data_pipeline_etl_spark.operators.llm_dedup import _connected_components
+
+    jsc = spark.sparkContext._jsc
+
+    def persisted() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "src long, dst long"
+    )
+    edges = chain.unionByName(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    before = persisted()
+    labels = _connected_components(edges).collect()
+    assert {r["cluster_id"] for r in labels} == {0}
+    assert len(labels) == 33
+    assert len(persisted() - before) == 1, persisted() - before
