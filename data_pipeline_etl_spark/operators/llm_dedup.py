@@ -287,8 +287,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHashLSH banded near-dup candidates — the 100 TB Jaccard path.
 
     Uses pyspark.ml's MinHashLSH over hashed token features; candidate
-    pairs at Jaccard distance <= 0.5. Hash-family randomness is seeded but
-    engine-specific, so this is a rows-only check by design.
+    pairs at Jaccard distance < 0.5 (approxSimilarityJoin filters the
+    TRUE set distance strictly below the threshold; the hash tables only
+    prune candidates). Rows-only by design, re-adjudicated r12: the
+    permutation coefficients come from a Scala Random stream, which no
+    DuckDB SQL can reproduce byte-identically — the deterministic twin
+    pipeline (q_dedup_minhash_sig / q_dedup_lsh_candidates) carries the
+    oracle burden instead, and tests/test_rows_only.py pins THIS query's
+    values against an independent exact-Jaccard reference (pair-set
+    equality + per-pair distance match; measured recall 1.0 on the
+    fixture block).
 
     Fixture caveat: the synthetic corpus has a ~31-token vocabulary, so
     every pair of documents collides in some band and LSH degenerates to

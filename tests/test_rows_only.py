@@ -100,6 +100,51 @@ def test_minhash_lsh_demo_deterministic(spark):
     assert first, "demo produced no candidate pairs — fixture changed?"
 
 
+def test_minhash_lsh_demo_matches_exact_jaccard(spark):
+    """Value-level pin for the rows-only row (VERDICT r11 item 5: a
+    DuckDB oracle is impossible byte-identically — ml.MinHashLSH's
+    permutation coefficients come from a Scala Random stream — so the
+    §2 escape hatch stands, and this independent in-test reference is
+    the strongest check available).
+
+    Two facts make it exact, not approximate:
+    - ``approxSimilarityJoin``'s distCol is the TRUE Jaccard distance
+      of the two token sets (the hash family only prunes candidates,
+      then the real distance filters ``< threshold`` — strictly), so
+      every returned pair must match a Python-set computation and no
+      pair at distance >= 0.5 can appear;
+    - recall on this fixture block measures 1.0 (8 OR-amplified tables
+      give collision prob >= 1-(1-j)^8 ~ 0.996 at j = 0.5, and the
+      degenerate 31-token vocabulary makes collisions near-certain),
+      so the pair set EQUALS the brute-force set at dist < 0.5 — pinned
+      as equality; a fixture regeneration that breaks this shows up in
+      scripts/round_start_check.py first."""
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_dist"]
+        for r in QUERIES["q_dedup_minhash"](spark, SF_DIR).collect()
+    }
+    from data_pipeline_etl_spark.sources.tables import table
+
+    src0 = (
+        table(spark, SF_DIR, "documents")
+        .where(F.col("source") == "src0")
+        .select("doc_id", "text")
+        .collect()
+    )
+    toks = {r["doc_id"]: set(r["text"].split(" ")) for r in src0}
+    ids = sorted(toks)
+    exact = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            dist = 1.0 - len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+            if dist < 0.5:
+                exact[(a, b)] = dist
+    assert set(got) == set(exact), (
+        len(got), len(exact), set(got) ^ set(exact))
+    for p, d in got.items():
+        assert abs(d - exact[p]) < 2e-6, (p, d, exact[p])
+
+
 def test_multimodal_phash_deterministic(spark):
     """dHash output is a pure function of the fixture text bytes: two
     full runs produce identical (doc_id, phash, bands, group size) rows,
