@@ -1187,6 +1187,27 @@ def _bpe_encode_oracle(k: int) -> str:
     )
 
 
+def _bpe_vocab_table_oracle(k: int) -> str:
+    """Token-vocabulary-report oracle: the shared ladder in sentinel
+    mode, then one explode + one aggregate over the tokenized vocab
+    (windows evaluate after GROUP BY, so the dense id rides the same
+    SELECT)."""
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_oracle_ladder(k, tokenize=True))
+        + f""",
+    per AS (
+      SELECT w, freq, unnest(string_split(seq, ' ')) AS tok FROM seq{k + 1}
+    )
+    SELECT tok,
+           CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id,
+           CAST(length(tok) AS BIGINT) AS tok_len,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+           CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM per GROUP BY tok"""
+    )
+
+
 def bpe_encode_for(docs: DataFrame, k: int) -> DataFrame:
     """Encode a ``(doc_id, text)`` corpus with a k-merge BPE tokenizer
     trained on its own vocabulary: per document, exact word/char/token
@@ -1542,4 +1563,42 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-stable with no float or tie discipline."""
     return bpe_encode_for(
         table(spark, sf_dir, "documents").select("doc_id", "text"), 4
+    )
+
+
+@query("q_text_bpe_vocab", oracle=_bpe_vocab_table_oracle(4))
+def q_text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOKEN VOCABULARY report for the k=4 tokenizer — the artifact
+    a tokenizer build persists beside the merge table (embedding-table
+    sizing reads ``tok_id``/``tok_len``; mixture debugging reads the
+    coverage columns): per final token, its dense lexicographic id
+    (the SAME assignment q_text_bpe_encode embeds in head_ids — the two
+    queries must never disagree on an id; the planted trajectory pins
+    the shared space), token length, the number of distinct vocabulary
+    words containing it, and its frequency-weighted corpus occurrence
+    count.
+
+    Scale shape: one explode + one aggregate over the |vocab|-row
+    tokenized frame; the token vocabulary is bounded by
+    |alphabet| + k, so the id-assigning global window is a documented
+    tiny frame (same class as the 1-row argmax windows). All exact
+    integers, total order by token — hash-stable with no float
+    discipline."""
+    toks = bpe_apply_for(_bpe_vocab(spark, sf_dir), 4)
+    per = toks.select(
+        "w", "freq", F.explode(F.split("seq", " ")).alias("tok")
+    )
+    return (
+        per.groupBy("tok")
+        .agg(
+            F.count_distinct("w").cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("n_occurrences"),
+        )
+        .select(
+            "tok",
+            F.row_number().over(Window.orderBy("tok")).cast("long").alias("tok_id"),
+            F.length("tok").cast("long").alias("tok_len"),
+            "n_words",
+            "n_occurrences",
+        )
     )

@@ -603,6 +603,39 @@ def test_bpe_encode_planted(spark, tmp_path):
     }
 
 
+def test_bpe_vocab_table_planted(spark, tmp_path):
+    """Token-vocabulary report (q_text_bpe_vocab, k=4) on the encode
+    trajectory corpus: final tokens {abcd, e, f, g, xy} with dense
+    lexicographic ids — the SAME id space q_text_bpe_encode's head_ids
+    use (pinned here via doc0's head string starting 1,2,3,4: the ids
+    the vocab table assigns to abcd,e,f,g). Coverage by hand: each
+    token lives in exactly one vocabulary word; 'abcdefg' occurs 4x
+    corpus-wide and 'xy' 9x."""
+    sf = str(tmp_path / "planted_bpe_vocab")
+    _write_documents(
+        spark,
+        sf,
+        [
+            (0, " ".join(["abcdefg"] * 2 + ["xy"] * 4)),
+            (1, " ".join(["abcdefg"] * 2 + ["xy"] * 5)),
+        ],
+    )
+    out = {
+        r["tok"]: (r["tok_id"], r["tok_len"], r["n_words"], r["n_occurrences"])
+        for r in QUERIES["q_text_bpe_vocab"](spark, sf).collect()
+    }
+    assert out == {
+        "abcd": (1, 4, 1, 4),
+        "e": (2, 1, 1, 4),
+        "f": (3, 1, 1, 4),
+        "g": (4, 1, 1, 4),
+        "xy": (5, 2, 1, 9),
+    }
+    enc = QUERIES["q_text_bpe_encode"](spark, sf).collect()
+    heads = {r["doc_id"]: r["head_ids"] for r in enc}
+    assert heads[0].startswith("1,2,3,4"), heads  # shared id space
+
+
 def test_bpe_k0_degenerate(spark):
     """k=0 is a valid trainer/apply input (a probe sweep or config can
     produce it): train returns an EMPTY merge table with the full
