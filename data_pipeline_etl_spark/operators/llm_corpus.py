@@ -216,6 +216,91 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECONTAM_THRESHOLD = 0.8  # drop a train doc at >= 80% eval-bigram overlap
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+             ))) AS bigram
+      FROM documents
+    ),
+    eval_g AS (
+      SELECT DISTINCT bigram FROM grams WHERE source = 'src0'
+    ),
+    train AS (
+      SELECT doc_id, bigram FROM grams WHERE source <> 'src0'
+    )
+    SELECT t.doc_id,
+           count(*) AS n_bigrams,
+           CAST(count(e.bigram) AS BIGINT) AS n_eval_hits,
+           round(count(e.bigram) / CAST(count(*) AS DOUBLE), 6) AS hit_frac,
+           CASE WHEN count(e.bigram) / CAST(count(*) AS DOUBLE) >= 0.8
+                THEN 'drop' ELSE 'keep' END AS disposition
+    FROM train t LEFT JOIN eval_g e ON t.bigram = e.bigram
+    GROUP BY t.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set DECONTAMINATION — the removal half of the
+    contamination story (q_contamination measures how much of each
+    eval doc leaks from the corpus; this query filters the TRAIN side,
+    the direction every pipeline actually runs before a data release):
+    per training document, its distinct-bigram overlap with the eval
+    set (source 'src0' plays the benchmark) and a keep/drop disposition
+    at the ``_DECONTAM_THRESHOLD`` overlap fraction. The output is the
+    full disposition REPORT (the q_dedup_ingest convention — auditable,
+    and the kept set is one filter away).
+
+    Scale shape: eval benchmarks are tiny next to a training corpus, so
+    the eval bigram set is deduped and BROADCAST; the train side
+    derives per-doc distinct bigrams (window partitioned by doc_id) and
+    aggregates on doc_id — the window shuffle establishes the doc_id
+    partitioning the groupBy reuses, so the corpus shuffles once and
+    never joins doc x doc. Disposition compares the UNROUNDED IEEE
+    ratio against the same literal on both engines (the rounded
+    ``hit_frac`` is display-only), so the boundary cannot diverge.
+    Threshold 0.8 splits the fixture corpus non-trivially (~228 drop /
+    247 keep at sf0.01 — the synthetic 31-token vocabulary makes
+    bigram overlap high by construction; a real corpus sits near 0)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", "source", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+        .distinct()
+    )
+    eval_g = (
+        grams.where(F.col("source") == "src0")
+        .select("bigram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.where(F.col("source") != "src0").select("doc_id", "bigram")
+    frac = F.count("hit") / F.count("*").cast("double")
+    return (
+        train.join(F.broadcast(eval_g), "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count("hit").alias("n_eval_hits"),
+            F.round(frac, 6).alias("hit_frac"),
+            F.when(frac >= _DECONTAM_THRESHOLD, F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("disposition"),
+        )
+    )
+
+
 @query(
     "q_text_jsd",
     oracle="""

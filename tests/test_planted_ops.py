@@ -603,6 +603,39 @@ def test_bpe_encode_planted(spark, tmp_path):
     }
 
 
+def test_decontaminate_planted(spark, tmp_path):
+    """Train-side decontamination by hand, including the EXACT 0.8
+    boundary: eval doc (src0) 'a b c d e' has bigrams {ab,bc,cd,de}.
+    Train doc 10 'a b c d e f' carries 5 distinct bigrams of which 4
+    are eval hits -> 4/5 = 0.8 exactly -> DROP (threshold inclusive);
+    doc 11 overlaps 2/5 -> keep; doc 12 is a verbatim eval copy from
+    another source -> 4/4 -> drop; doc 13 shares nothing -> 0.0 keep."""
+    rows = [
+        (0, "a b c d e", "src0"),
+        (10, "a b c d e f", "src1"),
+        (11, "a b c x y z", "src1"),
+        (12, "a b c d e", "src2"),
+        (13, "p q r", "src1"),
+    ]
+    sf = str(tmp_path / "planted_decontam")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: (
+            r["n_bigrams"], r["n_eval_hits"], r["hit_frac"], r["disposition"]
+        )
+        for r in QUERIES["q_decontaminate"](spark, sf).collect()
+    }
+    assert out == {
+        10: (5, 4, 0.8, "drop"),
+        11: (5, 2, 0.4, "keep"),
+        12: (4, 4, 1.0, "drop"),
+        13: (2, 0, 0.0, "keep"),
+    }
+
+
 def test_bpe_vocab_table_planted(spark, tmp_path):
     """Token-vocabulary report (q_text_bpe_vocab, k=4) on the encode
     trajectory corpus: final tokens {abcd, e, f, g, xy} with dense
