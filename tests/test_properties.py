@@ -781,3 +781,74 @@ def test_bpe_train_matches_bruteforce(spark, vocab):
         for r in bpe_train_for(df, K).orderBy("merge_rank").collect()
     ]
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abt", min_size=1, max_size=6),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@SETTINGS
+def test_bpe_encode_matches_bruteforce(spark, docs):
+    """Per-document encoding must agree with a direct Python reference
+    end-to-end on any corpus: same corpus vocabulary, same k=4 merge
+    trajectory (apply semantics — the sentinel makes exhausted rounds
+    no-ops, which the reference models by stopping at empty pair
+    counts), same greedy left-to-right tokenization, same dense
+    lexicographic token ids, and the same per-doc counts + head-id
+    string in exact document word order. The tight 'abt' alphabet keeps
+    multi-char symbols colliding so a merge- or id-ordering bug
+    diverges within an example or two."""
+    from collections import Counter
+
+    from data_pipeline_etl_spark.operators.llm_text import bpe_encode_for
+
+    K = 4
+    vocab = Counter(w for ws in docs for w in ws)
+    seqs = {w: list(w) for w in vocab}
+    for _ in range(K):
+        counts: dict[tuple, int] = {}
+        for w, f in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        n = max(counts.values())
+        a, b = min(p for p, c in counts.items() if c == n)
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    tid = {t: i + 1 for i, t in enumerate(sorted({t for s in seqs.values() for t in s}))}
+    expected = {}
+    for d, ws in enumerate(docs):
+        ids = [tid[t] for w in ws for t in seqs[w]]
+        expected[d] = (
+            len(ws),
+            sum(len(w) for w in ws),
+            len(ids),
+            ",".join(str(i) for i in ids[:10]),
+        )
+
+    frame = spark.createDataFrame(
+        [(d, " ".join(ws)) for d, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"], r["head_ids"])
+        for r in bpe_encode_for(frame, K).collect()
+    }
+    assert got == expected
