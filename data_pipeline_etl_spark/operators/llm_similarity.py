@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_etl_spark.checkpoints import free_local_checkpoint
 from data_pipeline_etl_spark.registry import query
 from data_pipeline_etl_spark.sources.tables import table
 
@@ -450,6 +451,7 @@ def kmeans_lloyd(vectors: DataFrame, k: int, iters: int):
         "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     wcss_hist: list[float] = []
+    prev_assigned = None
     for _ in range(iters):
         dists = (
             vectors.select("vec_id", F.col("embedding").alias("e"))
@@ -460,6 +462,17 @@ def kmeans_lloyd(vectors: DataFrame, k: int, iters: int):
         assigned = (
             dists.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
         ).localCheckpoint(eager=True)
+        # the eager assignment has materialized: the PREVIOUS
+        # iteration's corpus-sized assignment and the centroid model
+        # just consumed are both superseded (the update below reads
+        # only `assigned`) — release their blocks for real; a
+        # DataFrame-level unpersist would be a CacheManager no-op
+        # (ADVICE r11, same discipline as the BPE/CC loops). Without
+        # this every iteration pins a |corpus|-row checkpoint.
+        if prev_assigned is not None:
+            free_local_checkpoint(prev_assigned)
+        free_local_checkpoint(cents)
+        prev_assigned = assigned
         wcss_hist.append(assigned.agg(F.sum("d2")).collect()[0][0])
         cents = (
             assigned.select("cell", F.posexplode("e").alias("pos", "x"))
@@ -473,6 +486,10 @@ def kmeans_lloyd(vectors: DataFrame, k: int, iters: int):
             )
             .localCheckpoint(eager=True)
         )
+    # the returned model is the only live checkpoint; the final
+    # assignment fed it and nothing else
+    if prev_assigned is not None:
+        free_local_checkpoint(prev_assigned)
     return cents, wcss_hist
 
 

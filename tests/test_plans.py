@@ -464,6 +464,30 @@ def test_bpe_checkpoint_storage_bounded(spark):
     assert len(new_by_k[3]) - 3 <= 2, new_by_k
 
 
+def test_kmeans_checkpoint_storage_bounded(spark):
+    """kmeans_lloyd frees each iteration's corpus-sized assignment
+    checkpoint and the superseded centroid model as soon as the next
+    eager checkpoint has materialized past them (ADVICE-r11 discipline;
+    the assignment is |corpus|-row, so leaking one per iteration is the
+    loop's dominant storage term at training scale). After a 4-iteration
+    run exactly ONE checkpoint survives: the returned centroid model.
+    The WCSS-monotone property test separately re-pins that the freed
+    frames were genuinely dead."""
+    from data_pipeline_etl_spark.operators.llm_similarity import kmeans_lloyd
+    from data_pipeline_etl_spark.sources.tables import table
+
+    jsc = spark.sparkContext._jsc
+
+    def persisted() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    before = persisted()
+    cents, wcss = kmeans_lloyd(emb, k=4, iters=4)
+    assert cents.count() == 4 and len(wcss) == 4
+    assert len(persisted() - before) == 1, persisted() - before
+
+
 def test_cc_checkpoint_storage_bounded(spark):
     """The pointer-doubling connected-components loop frees each
     superseded label checkpoint once the next round's convergence count
