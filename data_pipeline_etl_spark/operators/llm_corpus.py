@@ -268,7 +268,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold 0.8 splits the fixture corpus non-trivially (~228 drop /
     247 keep at sf0.01 — the synthetic 31-token vocabulary makes
     bigram overlap high by construction; a real corpus sits near 0)."""
-    d = table(spark, sf_dir, "documents")
+    return decontaminate_for(table(spark, sf_dir, "documents"))
+
+
+def decontaminate_for(d: DataFrame) -> DataFrame:
+    """Frame-parameterized body of q_decontaminate so
+    scripts/scaling_probe.py measures the exact declared plan shape
+    (broadcast eval bigrams + one train-corpus shuffle) on replicated
+    corpora."""
     tok = d.select(
         "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )

@@ -363,6 +363,20 @@ def main() -> int:
             F.sum("n_tokens").alias("token_mass"),
         )
 
+    def decontam(ddf):
+        from data_pipeline_etl_spark.operators.llm_corpus import (
+            decontaminate_for,
+        )
+
+        # train-side decontamination (the declared q_decontaminate
+        # shape): broadcast eval bigrams, one train-corpus shuffle.
+        # Per-replica token prefixes keep each replica's eval/train
+        # overlap structure intact while eval and train both grow ~Nx.
+        # The disposition frame is corpus-sized — summarize.
+        return decontaminate_for(ddf).groupBy("disposition").agg(
+            F.count("*").alias("n")
+        )
+
     def concurrency(vdf):
         from data_pipeline_etl_spark.streaming.batch_windows import concurrency_for
 
@@ -390,6 +404,7 @@ def main() -> int:
         "store_compact": lambda L, O, E, D, V: compact(D),
         "bpe_train": lambda L, O, E, D, V: bpe(D),
         "bpe_encode": lambda L, O, E, D, V: bpe_enc(D),
+        "decontam": lambda L, O, E, D, V: decontam(D),
         "concurrency": lambda L, O, E, D, V: concurrency(V),
     }
 
