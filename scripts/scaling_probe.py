@@ -363,6 +363,20 @@ def main() -> int:
             F.sum("n_tokens").alias("token_mass"),
         )
 
+    def kmeans(edf):
+        from data_pipeline_etl_spark.operators.llm_similarity import kmeans_lloyd
+
+        # the IVF centroid trainer (test-surface helper, the at-scale
+        # path behind q_sim_ivf_*): k=8, 3 Lloyd iterations — per
+        # iteration one broadcast-model assignment pass + one
+        # (cell, pos)-keyed update shuffle, superseded checkpoints
+        # freed. The model is k x dim; summarize to one row.
+        cents, wcss = kmeans_lloyd(edf.select("vec_id", "embedding"), 8, 3)
+        return cents.agg(
+            F.count("*").alias("k"),
+            F.round(F.lit(float(wcss[-1])), 2).alias("final_wcss"),
+        )
+
     def decontam(ddf):
         from data_pipeline_etl_spark.operators.llm_corpus import (
             decontaminate_for,
@@ -405,6 +419,7 @@ def main() -> int:
         "bpe_train": lambda L, O, E, D, V: bpe(D),
         "bpe_encode": lambda L, O, E, D, V: bpe_enc(D),
         "decontam": lambda L, O, E, D, V: decontam(D),
+        "kmeans": lambda L, O, E, D, V: kmeans(E),
         "concurrency": lambda L, O, E, D, V: concurrency(V),
     }
 
