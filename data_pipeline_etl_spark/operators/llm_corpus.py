@@ -271,6 +271,108 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_for(table(spark, sf_dir, "documents"))
 
 
+@query(
+    "q_source_overlap",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT source, bigram FROM (
+        SELECT source,
+               unnest(list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i + 1]
+               )) AS bigram
+        FROM documents)
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             count(*) AS n_shared
+      FROM grams a JOIN grams b
+        ON a.bigram = b.bigram AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(i.n_shared AS BIGINT) AS n_shared,
+           round(i.n_shared / CAST(sa.n + sb.n - i.n_shared AS DOUBLE), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.source
+    JOIN sizes sb ON i.src_b = sb.source
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair bigram-overlap matrix — corpus forensics at the
+    SOURCE level (the doc-level dedup family answers "which documents
+    duplicate each other"; this answers "which SOURCES copy from each
+    other", the view a data-acquisition audit reads before weighting a
+    mixture): for every ordered source pair, the two distinct-bigram
+    set sizes, their intersection, and the set Jaccard.
+
+    Scale shape: one distinct aggregate shrinks the corpus to
+    |sources x bigram-vocabulary| rows, and the pair expansion is an
+    inverted-index equi-join ON THE BIGRAM (fan-out per bigram bounded
+    by the source count, which is small by definition) — never a
+    doc x doc or corpus x corpus join. The |sources|-row size table
+    broadcasts onto the result. Jaccard divides exact BIGINTs in
+    identical IEEE order on both engines, then rounds to 6 dp. The
+    matrix is SPARSE by construction: a source pair sharing zero
+    bigrams produces no row (inner join on the bigram) — at corpus
+    scale most pairs are absent, which is the point of the report."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("source", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
+    inter = (
+        grams.alias("a")
+        .join(
+            grams.select(
+                F.col("source").alias("src_b"), F.col("bigram").alias("bigram")
+            ).alias("b"),
+            (F.col("a.bigram") == F.col("b.bigram"))
+            & (F.col("a.source") < F.col("src_b")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def decontaminate_for(d: DataFrame) -> DataFrame:
     """Frame-parameterized body of q_decontaminate so
     scripts/scaling_probe.py measures the exact declared plan shape

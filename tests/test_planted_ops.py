@@ -636,6 +636,27 @@ def test_decontaminate_planted(spark, tmp_path):
     }
 
 
+def test_source_overlap_planted(spark, tmp_path):
+    """Source-overlap matrix by hand: s1 'a b c' -> bigrams {ab, bc},
+    s2 'b c d' -> {bc, cd}, s3 'x y' -> {xy}. Only (s1, s2) shares
+    anything (inter = {bc}, union = 3 -> Jaccard 1/3); the two
+    zero-overlap pairs are ABSENT (sparse by construction), and the
+    set semantics dedupe the repeated 'a b c' doc in s1."""
+    rows = [
+        (0, "a b c", "s1"),
+        (1, "a b c", "s1"),
+        (2, "b c d", "s2"),
+        (3, "x y", "s3"),
+    ]
+    sf = str(tmp_path / "planted_source_overlap")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = [tuple(r) for r in QUERIES["q_source_overlap"](spark, sf).collect()]
+    assert out == [("s1", "s2", 2, 2, 1, 0.333333)]
+
+
 def test_bpe_vocab_table_planted(spark, tmp_path):
     """Token-vocabulary report (q_text_bpe_vocab, k=4) on the encode
     trajectory corpus: final tokens {abcd, e, f, g, xy} with dense
