@@ -73,19 +73,10 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # (All r4/r5 entries pruned at r6 open: CORRECTNESS_r05.json graded every
 # one of them green post-touch, so each had expired by its own rule.)
 _FORCE_FRONT: dict[str, int] = {
-    # (r11 entry pruned at r12 open: CORRECTNESS_r11 graded
-    # q_text_bpe_merge green post-touch — expired by its own rule.)
-    # round-12 touches: _bpe_rounds now frees superseded vocab
-    # checkpoints for real (ADVICE r11 — RDD-level unpersist via
-    # checkpoints.free_local_checkpoint instead of the CacheManager
-    # no-op). Storage-only change, values pinned unchanged by the
-    # planted trajectories + parity, but touched-query discipline
-    # re-grades all three _bpe_rounds callers regardless:
-    "q_text_bpe_merge": 12,
-    "q_text_bpe_train": 12,
-    "q_text_bpe_apply": 12,
-    # _connected_components gained the same real checkpoint free:
-    "q_dedup_cluster": 12,
+    # (r12 entries pruned at r13 open: CORRECTNESS_r12 graded all four
+    # post-touch callers — q_text_bpe_merge/train/apply +
+    # q_dedup_cluster — hash-green, so every entry expired by its own
+    # rule. Add only queries r13 touches.)
 }
 
 
