@@ -235,15 +235,24 @@ _DECONTAM_THRESHOLD = 0.8  # drop a train doc at >= 80% eval-bigram overlap
     ),
     train AS (
       SELECT doc_id, bigram FROM grams WHERE source <> 'src0'
+    ),
+    report AS (
+      SELECT t.doc_id,
+             count(*) AS n_bigrams,
+             CAST(count(e.bigram) AS BIGINT) AS n_eval_hits,
+             round(count(e.bigram) / CAST(count(*) AS DOUBLE), 6) AS hit_frac,
+             CASE WHEN count(e.bigram) / CAST(count(*) AS DOUBLE) >= 0.8
+                  THEN 'drop' ELSE 'keep' END AS disposition
+      FROM train t LEFT JOIN eval_g e ON t.bigram = e.bigram
+      GROUP BY t.doc_id
     )
-    SELECT t.doc_id,
-           count(*) AS n_bigrams,
-           CAST(count(e.bigram) AS BIGINT) AS n_eval_hits,
-           round(count(e.bigram) / CAST(count(*) AS DOUBLE), 6) AS hit_frac,
-           CASE WHEN count(e.bigram) / CAST(count(*) AS DOUBLE) >= 0.8
-                THEN 'drop' ELSE 'keep' END AS disposition
-    FROM train t LEFT JOIN eval_g e ON t.bigram = e.bigram
-    GROUP BY t.doc_id
+    SELECT td.doc_id,
+           coalesce(r.n_bigrams, 0) AS n_bigrams,
+           coalesce(r.n_eval_hits, 0) AS n_eval_hits,
+           coalesce(r.hit_frac, 0.0) AS hit_frac,
+           coalesce(r.disposition, 'keep') AS disposition
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') td
+    LEFT JOIN report r ON td.doc_id = r.doc_id
     """,
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,7 +264,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (source 'src0' plays the benchmark) and a keep/drop disposition
     at the ``_DECONTAM_THRESHOLD`` overlap fraction. The output is the
     full disposition REPORT (the q_dedup_ingest convention — auditable,
-    and the kept set is one filter away).
+    and the kept set is one filter away). TOTAL over the train set
+    (ADVICE r12): documents with fewer than two tokens produce no
+    bigrams and hence no overlap group, so the report is left-joined
+    back to the full train doc_id set with a default
+    ``(n_bigrams=0, n_eval_hits=0, hit_frac=0.0, 'keep')`` row —
+    "kept set is one filter away" must not silently drop single-word
+    documents.
 
     Scale shape: eval benchmarks are tiny next to a training corpus, so
     the eval bigram set is deduped and BROADCAST; the train side
@@ -396,7 +411,7 @@ def decontaminate_for(d: DataFrame) -> DataFrame:
     )
     train = grams.where(F.col("source") != "src0").select("doc_id", "bigram")
     frac = F.count("hit") / F.count("*").cast("double")
-    return (
+    report = (
         train.join(F.broadcast(eval_g), "bigram", "left")
         .groupBy("doc_id")
         .agg(
@@ -407,6 +422,19 @@ def decontaminate_for(d: DataFrame) -> DataFrame:
             .otherwise(F.lit("keep"))
             .alias("disposition"),
         )
+    )
+    # Totality over the train set (ADVICE r12): a <2-token document has
+    # no bigrams, so it never reaches the overlap join — re-attach it
+    # with a default keep row. One extra shuffle of a single projected
+    # column on doc_id; the report side is already doc_id-partitioned
+    # by the groupBy, so only the slim doc-id list moves.
+    all_train = d.where(F.col("source") != "src0").select("doc_id")
+    return all_train.join(report, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+        F.coalesce("n_eval_hits", F.lit(0).cast("long")).alias("n_eval_hits"),
+        F.coalesce("hit_frac", F.lit(0.0)).alias("hit_frac"),
+        F.coalesce("disposition", F.lit("keep")).alias("disposition"),
     )
 
 

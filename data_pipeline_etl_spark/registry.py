@@ -77,6 +77,11 @@ _FORCE_FRONT: dict[str, int] = {
     # post-touch callers — q_text_bpe_merge/train/apply +
     # q_dedup_cluster — hash-green, so every entry expired by its own
     # rule. Add only queries r13 touches.)
+    # round-13 touch: the disposition report is now TOTAL over the
+    # train doc set (ADVICE r12 — <2-token docs get a default keep row
+    # via a left join back to the train doc ids, engine + oracle in
+    # lockstep):
+    "q_decontaminate": 13,
 }
 
 

@@ -156,35 +156,73 @@ def validate_training_shards(spark: SparkSession, out_dir: str) -> bool:
     - a PARTIALLY garbled manifest (some rows unparseable, or missing /
       non-numeric ``fp_version`` while others carry it, or a mix of
       versions) cannot come from one consistent foreign exporter → also
-      corruption → ``False``.
+      corruption → ``False`` — in the legacy no-``fp_version`` branch
+      too (ADVICE r12): a pre-v2 manifest with corrupt rows or null v1
+      fields is corruption, not skew;
+    - garbled-but-valid JSON that makes Spark INFER a manifest column
+      as struct/array/map cannot come from the exporter at any version
+      → corruption → ``False`` (guarded up front — a ``try_cast`` from
+      a complex type is an ANALYSIS-time error, not a runtime null).
     ``ManifestVersionError`` is raised only when EVERY row parses and
     carries the SAME non-current version."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     stored_raw = spark.read.json(out_dir + "/_manifest")
     v1_cols = {"shard", "n_rows", "n_chars", "fingerprint"}
+    fields = {f.name: f.dataType for f in stored_raw.schema.fields}
+    # Complex-inferred manifest column (ADVICE r12): try_cast suppresses
+    # RUNTIME cast failures only; struct/array/map → int is rejected at
+    # analysis time and would crash the validator with AnalysisException
+    # instead of reading as corruption. No exporter version ever writes
+    # a complex-typed manifest column, so the inference itself is the
+    # corruption signal.
+    if any(
+        isinstance(fields[c], (ArrayType, MapType, StructType))
+        for c in (v1_cols | {"fp_version"}) & set(fields)
+    ):
+        return False
+    # The corrupt-record column name is session-configurable (ADVICE
+    # r12); keying on the literal default would silently miss per-row
+    # garbage in sessions that renamed it.
+    corrupt_col = (
+        spark.conf.get("spark.sql.columnNameOfCorruptRecord", "_corrupt_record")
+        or "_corrupt_record"
+    )
+    has_corrupt_col = corrupt_col in stored_raw.columns
     if "fp_version" not in stored_raw.columns:
         if not v1_cols.issubset(set(stored_raw.columns)):
             return False  # unparseable/garbled manifest: corruption, not skew
+        # Pre-v2 manifest with SOME corrupt/binary rows or null v1
+        # fields (ADVICE r12): per-row damage to a legacy manifest is
+        # corruption — only a FULLY intact v1 shape diagnoses skew.
+        if has_corrupt_col:
+            return False
+        legacy_probe = stored_raw.select(
+            [F.col(c).isNull().alias(c) for c in sorted(v1_cols)]
+        ).collect()
+        if any(r[c] for r in legacy_probe for c in sorted(v1_cols)):
+            return False
         raise ManifestVersionError(
             "shard manifest has no fp_version field (written by a pre-v2 "
             "exporter); re-export the shards — this is a version skew, "
             "not evidence of corruption"
         )
     # Per-row garbling gate (ADVICE r11): a manifest where SOME rows are
-    # unparseable (_corrupt_record) or miss/garble fp_version while
-    # others carry it is per-row manifest corruption — exactly what this
-    # gate must never relabel as benign skew. Skew is diagnosed only
-    # when EVERY row parses and carries the SAME non-current version.
-    # The manifest is |shards| rows by construction, so one driver-side
-    # pass over it is validation metadata, not a hot path — and it
-    # sidesteps Spark's refusal to run a query referencing only the
-    # internal corrupt-record column of an unmaterialized JSON scan.
-    has_corrupt_col = "_corrupt_record" in stored_raw.columns
+    # unparseable (corrupt-record column) or miss/garble fp_version
+    # while others carry it is per-row manifest corruption — exactly
+    # what this gate must never relabel as benign skew. Skew is
+    # diagnosed only when EVERY row parses and carries the SAME
+    # non-current version. The manifest is |shards| rows by
+    # construction, so one driver-side pass over it is validation
+    # metadata, not a hot path — and it sidesteps Spark's refusal to
+    # run a query referencing only the internal corrupt-record column
+    # of an unmaterialized JSON scan.
     # try_cast, not cast: under ANSI SQL a garbled value ("two") would
     # THROW out of the validator; here it must null out and read as
     # corruption like any other per-row damage
     probe_cols = [F.col("fp_version").try_cast("int").alias("v")]
     if has_corrupt_col:
-        probe_cols.append(F.col("_corrupt_record").isNotNull().alias("bad"))
+        probe_cols.append(F.col(corrupt_col).isNotNull().alias("bad"))
     probe = stored_raw.select(*probe_cols).collect()
     if has_corrupt_col and any(r["bad"] for r in probe):
         return False  # partially garbled manifest: corruption, not skew

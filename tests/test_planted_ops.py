@@ -609,13 +609,17 @@ def test_decontaminate_planted(spark, tmp_path):
     Train doc 10 'a b c d e f' carries 5 distinct bigrams of which 4
     are eval hits -> 4/5 = 0.8 exactly -> DROP (threshold inclusive);
     doc 11 overlaps 2/5 -> keep; doc 12 is a verbatim eval copy from
-    another source -> 4/4 -> drop; doc 13 shares nothing -> 0.0 keep."""
+    another source -> 4/4 -> drop; doc 13 shares nothing -> 0.0 keep;
+    doc 14 is a SINGLE-WORD train doc (no bigrams -> no overlap group)
+    and must still surface as a default keep row with n_bigrams=0
+    (ADVICE r12: the report is total over the train set)."""
     rows = [
         (0, "a b c d e", "src0"),
         (10, "a b c d e f", "src1"),
         (11, "a b c x y z", "src1"),
         (12, "a b c d e", "src2"),
         (13, "p q r", "src1"),
+        (14, "a", "src1"),
     ]
     sf = str(tmp_path / "planted_decontam")
     spark.createDataFrame(
@@ -633,6 +637,7 @@ def test_decontaminate_planted(spark, tmp_path):
         11: (5, 2, 0.4, "keep"),
         12: (4, 4, 1.0, "drop"),
         13: (2, 0, 0.0, "keep"),
+        14: (0, 0, 0.0, "keep"),
     }
 
 

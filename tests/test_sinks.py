@@ -272,6 +272,41 @@ def test_training_shard_manifest_version_gate(spark, tmp_path):
     rewrite([two[0], {**two[1], "fp_version": sinks.FINGERPRINT_VERSION + 1}])
     assert not sinks.validate_training_shards(spark, out)
 
+    # (e) ADVICE r12 (medium): a PRE-V2 manifest with SOME corrupt rows
+    # must read as corruption, not as benign version skew — per-row
+    # damage to a legacy manifest is still damage
+    legacy = [{k: v for k, v in r.items() if k != "fp_version"} for r in two]
+    with open(mpath, "w") as f:
+        f.write(json.dumps(legacy[0]) + "\n" + "\x00\x01 not json {{{\n")
+    assert not sinks.validate_training_shards(spark, out)
+
+    # (f) a pre-v2 manifest row MISSING a v1 field (null after schema
+    # union) is corruption too, not skew
+    rewrite([legacy[0], {k: v for k, v in legacy[1].items() if k != "n_rows"}])
+    assert not sinks.validate_training_shards(spark, out)
+
+    # (g) ADVICE r12: garbled-but-VALID JSON that makes Spark infer a
+    # manifest column as a STRUCT must return False as corruption —
+    # not crash the validator with an analysis-time cast error
+    rewrite([two[0], {**two[1], "fp_version": {"v": 2}}])
+    assert not sinks.validate_training_shards(spark, out)
+    rewrite([two[0], {**two[1], "fingerprint": [1, 2]}])
+    assert not sinks.validate_training_shards(spark, out)
+
+    # (h) ADVICE r12: the corrupt-record column name is read from the
+    # session config — per-row garbage is still detected (False, not a
+    # skew raise) when the session renamed it
+    prev = spark.conf.get(
+        "spark.sql.columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    spark.conf.set("spark.sql.columnNameOfCorruptRecord", "_bad_row")
+    try:
+        with open(mpath, "w") as f:
+            f.write(json.dumps(two[0]) + "\n" + "\x00\x01 not json {{{\n")
+        assert not sinks.validate_training_shards(spark, out)
+    finally:
+        spark.conf.set("spark.sql.columnNameOfCorruptRecord", prev)
+
     # restoring the true version restores a clean pass
     rewrite(rows)
     assert sinks.validate_training_shards(spark, out)
