@@ -1208,6 +1208,68 @@ def _bpe_vocab_table_oracle(k: int) -> str:
     )
 
 
+def _bpe_decode_oracle(k: int) -> str:
+    """Roundtrip DECODE oracle: the shared ladder in sentinel mode, the
+    encode oracle's doc-word -> token-id join, then the INVERSE id join
+    (ids back to token strings through the same dense-id table) and a
+    two-level ordered string_agg reconstruction — tokens concatenate
+    bare within a word (BPE tokens partition the word's characters),
+    words join with single spaces. ``norm_text`` rides the same
+    aggregation from the original words, so the roundtrip comparison
+    never re-reads the corpus."""
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_oracle_ladder(k, tokenize=True))
+        + f""",
+    toks AS (SELECT w, string_split(seq, ' ') AS toks FROM seq{k + 1}),
+    ids AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
+      FROM (SELECT DISTINCT unnest(toks) AS tok FROM toks)
+    ),
+    doc_words AS (
+      SELECT doc_id, g.i AS pos, d.arr[g.i] AS w
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS arr
+            FROM documents) d,
+           unnest(generate_series(1, len(d.arr))) AS g(i)
+      WHERE length(d.arr[g.i]) > 0
+    ),
+    doc_tok_ids AS (
+      SELECT dw.doc_id, dw.pos, dw.w, g.j, i.tok_id
+      FROM doc_words dw, toks t,
+           unnest(generate_series(1, len(t.toks))) AS g(j), ids i
+      WHERE dw.w = t.w AND t.toks[g.j] = i.tok
+    ),
+    dec AS (
+      SELECT d.doc_id, d.pos, d.w, d.j, i.tok AS dec_tok
+      FROM doc_tok_ids d JOIN ids i ON d.tok_id = i.tok_id
+    ),
+    words_out AS (
+      SELECT doc_id, pos,
+             string_agg(dec_tok, '' ORDER BY j) AS word,
+             min(w) AS orig,
+             count(*) AS n_toks,
+             sum(length(dec_tok)) AS n_chars
+      FROM dec GROUP BY doc_id, pos
+    ),
+    docs_out AS (
+      SELECT doc_id,
+             string_agg(word, ' ' ORDER BY pos) AS decoded,
+             string_agg(orig, ' ' ORDER BY pos) AS norm_text,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM words_out GROUP BY doc_id
+    )
+    SELECT td.doc_id,
+           coalesce(d.n_tokens, 0) AS n_tokens,
+           coalesce(d.n_chars, 0) AS n_chars,
+           substring(coalesce(d.decoded, ''), 1, 40) AS head_text,
+           CASE WHEN coalesce(d.decoded, '') = coalesce(d.norm_text, '')
+                THEN 'ok' ELSE 'mismatch' END AS roundtrip
+    FROM (SELECT doc_id FROM documents) td
+    LEFT JOIN docs_out d ON td.doc_id = d.doc_id"""
+    )
+
+
 def bpe_encode_for(docs: DataFrame, k: int) -> DataFrame:
     """Encode a ``(doc_id, text)`` corpus with a k-merge BPE tokenizer
     trained on its own vocabulary: per document, exact word/char/token
@@ -1243,6 +1305,38 @@ def bpe_encode_for(docs: DataFrame, k: int) -> DataFrame:
     corpus twice. head_ids orders by (pos, j): word position in the
     document, then token position within the word — exact document
     order, no float discipline anywhere."""
+    per_tok, _ = _bpe_doc_tokens(docs, k)
+    return per_tok.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("j") == 0, 1).otherwise(0)).cast("long").alias("n_words"),
+        F.sum(F.length("tok")).cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_tokens"),
+        # comma-joined string, not array<long>: declared queries emit
+        # scalars only (the driver's pandas canonicalizer cannot hash
+        # lists — tests/test_schema_align.py enforces)
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("pos", "j", "tok_id"))),
+                    1,
+                    10,
+                ),
+                lambda x: x.tok_id.cast("string"),
+            ),
+            ",",
+        ).alias("head_ids"),
+    ).select("doc_id", "n_words", "n_chars", "n_tokens", "head_ids")
+
+
+def _bpe_doc_tokens(docs: DataFrame, k: int):
+    """The ONE copy of the doc->token join shape behind bpe_encode_for
+    and bpe_decode_for (the CLAUDE.md lockstep discipline extended to
+    the corpus side: a drifted second copy of this join would let
+    encode and decode disagree on the id space). Returns
+    ``(per_tok, tok_ids)``: ``per_tok`` is the token-exploded corpus
+    frame (doc_id, pos, w, j, tok, tok_id) — ONE corpus scan, then a
+    broadcast join of doc words against the tokenized vocab and a
+    broadcast join against the dense-id table; ``tok_ids`` is that
+    (tok, tok_id) table, bounded by |alphabet| + k rows."""
     vocab = _bpe_vocab_of(docs)
     toks = bpe_apply_for(vocab, k)
     tok_ids = (
@@ -1265,28 +1359,84 @@ def bpe_encode_for(docs: DataFrame, k: int) -> DataFrame:
         .join(
             F.broadcast(toks.select("w", F.split("seq", " ").alias("toks"))), "w"
         )
-        .select("doc_id", "pos", F.posexplode("toks").alias("j", "tok"))
+        .select("doc_id", "pos", "w", F.posexplode("toks").alias("j", "tok"))
         .join(F.broadcast(tok_ids), "tok")
     )
-    return per_tok.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("j") == 0, 1).otherwise(0)).cast("long").alias("n_words"),
-        F.sum(F.length("tok")).cast("long").alias("n_chars"),
-        F.count("*").cast("long").alias("n_tokens"),
-        # comma-joined string, not array<long>: declared queries emit
-        # scalars only (the driver's pandas canonicalizer cannot hash
-        # lists — tests/test_schema_align.py enforces)
+    return per_tok, tok_ids
+
+
+def bpe_decode_for(docs: DataFrame, k: int) -> DataFrame:
+    """DECODE a ``(doc_id, text)`` corpus back out of its own k-merge
+    BPE encoding and prove the roundtrip: per document, the token ids
+    from the encode join shape are inverted through the dense-id table
+    (the token STRING is dropped first — the inversion is a real
+    id -> token join, not a pass-through), the token stream is
+    reassembled into the document (tokens concatenate bare within a
+    word, words join with single spaces), and the result is compared
+    with the normalized original — ``decode(encode(x)) ==
+    normalize(x)``, the invariant production tokenizers are judged by.
+
+    Scale shape: ONE corpus scan (shared with encode via
+    ``_bpe_doc_tokens``), THREE broadcast joins (tokenized vocab,
+    id assignment, id inversion — all bounded frames), then a
+    two-level reassembly: groupBy (doc_id, pos) rebuilds words from
+    ordered tokens, groupBy doc_id rebuilds documents from ordered
+    words. The normalized original rides the SAME aggregation (min(w)
+    per word group — constant within the group), so the comparison
+    costs no second corpus pass; only the final totality left-join
+    re-touches the documents table, and that scan prunes to the
+    doc_id column. The report is TOTAL over the corpus: a document
+    with no words (whitespace-only text) decodes to the empty string,
+    which equals its empty normalization -> a default-'ok' row, never
+    a silently missing one."""
+    per_tok, tok_ids = _bpe_doc_tokens(docs, k)
+    dec = per_tok.select("doc_id", "pos", "w", "j", "tok_id").join(
+        F.broadcast(tok_ids.select("tok_id", F.col("tok").alias("dec_tok"))),
+        "tok_id",
+    )
+    words_out = dec.groupBy("doc_id", "pos").agg(
         F.array_join(
             F.transform(
-                F.slice(
-                    F.array_sort(F.collect_list(F.struct("pos", "j", "tok_id"))),
-                    1,
-                    10,
-                ),
-                lambda x: x.tok_id.cast("string"),
+                F.array_sort(F.collect_list(F.struct("j", "dec_tok"))),
+                lambda x: x.dec_tok,
             ),
-            ",",
-        ).alias("head_ids"),
-    ).select("doc_id", "n_words", "n_chars", "n_tokens", "head_ids")
+            "",
+        ).alias("word"),
+        F.min("w").alias("orig"),
+        F.count("*").alias("n_toks"),
+        F.sum(F.length("dec_tok")).alias("wchars"),
+    )
+    docs_out = words_out.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x.word,
+            ),
+            " ",
+        ).alias("decoded"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "orig"))),
+                lambda x: x.orig,
+            ),
+            " ",
+        ).alias("norm_text"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("wchars").cast("long").alias("n_chars"),
+    )
+    return docs.select("doc_id").join(docs_out, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce("n_chars", F.lit(0).cast("long")).alias("n_chars"),
+        F.substring(F.coalesce("decoded", F.lit("")), 1, 40).alias("head_text"),
+        F.when(
+            F.coalesce(F.col("decoded"), F.lit(""))
+            == F.coalesce(F.col("norm_text"), F.lit("")),
+            F.lit("ok"),
+        )
+        .otherwise(F.lit("mismatch"))
+        .alias("roundtrip"),
+    )
 
 
 def bpe_apply_for(words: DataFrame, k: int) -> DataFrame:
@@ -1601,4 +1751,31 @@ def q_text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_words",
             "n_occurrences",
         )
+    )
+
+
+@query("q_text_bpe_decode", oracle=_bpe_decode_oracle(4))
+def q_text_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE DECODE + roundtrip proof through the k=4 tokenizer — the
+    closing panel of the tokenizer story (train learns the merge table,
+    apply tokenizes the vocabulary, encode carries ids onto every
+    document, this query inverts the ids back to text and CHECKS the
+    inversion): per document, exact token/char counts, the first 40
+    chars of the decoded text, and a roundtrip verdict comparing the
+    reconstruction against the normalized original —
+    ``decode(encode(x)) == normalize(x)``, the losslessness invariant
+    a production tokenizer release is actually judged by, computed
+    distributed and emitted as an auditable per-document report.
+
+    The id inversion goes THROUGH the same dense lexicographic id
+    table q_text_bpe_encode/q_text_bpe_vocab share (the token string
+    is dropped before the inverse join — tests/test_plans.py pins the
+    three broadcast joins, the single full-text corpus scan, and that
+    the only shuffle join is the totality left-join against a
+    doc_id-pruned scan), so a drifted id assignment anywhere in the
+    family surfaces here as 'mismatch' rows, not silence. All exact integers and strings — hash-stable
+    with no float discipline. See :func:`bpe_decode_for` for the
+    100 TB shape."""
+    return bpe_decode_for(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), 4
     )

@@ -82,6 +82,11 @@ _FORCE_FRONT: dict[str, int] = {
     # via a left join back to the train doc ids, engine + oracle in
     # lockstep):
     "q_decontaminate": 13,
+    # the doc->token join shape moved into the shared _bpe_doc_tokens
+    # helper (new q_text_bpe_decode inverts the same frame); encode's
+    # plan and values are unchanged (planted trajectory + plan pin),
+    # but touched-query discipline re-grades it regardless:
+    "q_text_bpe_encode": 13,
 }
 
 

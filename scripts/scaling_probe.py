@@ -363,6 +363,24 @@ def main() -> int:
             F.sum("n_tokens").alias("token_mass"),
         )
 
+    def bpe_dec(ddf):
+        from data_pipeline_etl_spark.operators.llm_text import bpe_decode_for
+
+        # k=4 roundtrip decode (the declared q_text_bpe_decode shape):
+        # same single corpus scan + broadcast joins as encode, plus the
+        # two-level ordered reassembly (word groupBy, then doc groupBy)
+        # and the doc_id-pruned totality join. Summarize the per-doc
+        # report; the mismatch count must be 0 at every factor — a
+        # scale-up that corrupts reassembly order shows up here as a
+        # value, not just a slope.
+        return bpe_decode_for(ddf.select("doc_id", "text"), 4).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("token_mass"),
+            F.sum(F.when(F.col("roundtrip") != "ok", 1).otherwise(0)).alias(
+                "n_mismatch"
+            ),
+        )
+
     def kmeans(edf):
         from data_pipeline_etl_spark.operators.llm_similarity import kmeans_lloyd
 
@@ -418,6 +436,7 @@ def main() -> int:
         "store_compact": lambda L, O, E, D, V: compact(D),
         "bpe_train": lambda L, O, E, D, V: bpe(D),
         "bpe_encode": lambda L, O, E, D, V: bpe_enc(D),
+        "bpe_decode": lambda L, O, E, D, V: bpe_dec(D),
         "decontam": lambda L, O, E, D, V: decontam(D),
         "kmeans": lambda L, O, E, D, V: kmeans(E),
         "concurrency": lambda L, O, E, D, V: concurrency(V),

@@ -433,6 +433,25 @@ def test_bpe_encode_single_corpus_scan(spark):
     assert "ShuffledHashJoin" not in plan, plan
 
 
+def test_bpe_decode_plan_shape(spark):
+    """q_text_bpe_decode's 100 TB contract: the token path scans the
+    corpus text exactly once and carries vocab/id/inverse-id in by
+    THREE broadcast joins (doc words x tokenized vocab, tokens x id
+    table, ids x inverse id table — the inversion must be a real join,
+    not a pass-through of the token string); the ONLY shuffle join is
+    the totality left-join, whose probe side is a second parquet scan
+    PRUNED to the doc_id column. A second full-text scan, a shuffled
+    vocab join, or a lost broadcast all surface here."""
+    plan = _plan(QUERIES["q_text_bpe_decode"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    shuffle_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert shuffle_joins == 1, (shuffle_joins, plan)
+    # the totality scan must prune to doc_id — one scan reads text,
+    # the other must NOT (exactly one full-width ReadSchema)
+    assert plan.count("text:string") == 1, plan
+
+
 def test_bpe_checkpoint_storage_bounded(spark):
     """Superseded vocab checkpoints are freed FOR REAL each round
     (ADVICE r11: ``DataFrame.unpersist()`` on a localCheckpoint frame is

@@ -603,6 +603,36 @@ def test_bpe_encode_planted(spark, tmp_path):
     }
 
 
+def test_bpe_decode_planted(spark, tmp_path):
+    """Roundtrip decode (q_text_bpe_decode, k=4) on the encode
+    trajectory corpus plus one WHITESPACE-ONLY document: both text docs
+    reconstruct their normalized text exactly ('ok', head_text = the
+    full text — under the 40-char head cap), with token/char counts
+    matching the encode trajectory (12/22 and 13/24); the whitespace
+    doc has no words, decodes to the empty string, and must still
+    surface as a default (0, 0, '', 'ok') row — the report is TOTAL
+    over the corpus, never silently missing a document."""
+    sf = str(tmp_path / "planted_bpe_decode")
+    _write_documents(
+        spark,
+        sf,
+        [
+            (0, " ".join(["abcdefg"] * 2 + ["xy"] * 4)),
+            (1, " ".join(["abcdefg"] * 2 + ["xy"] * 5)),
+            (2, "   "),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_chars"], r["head_text"], r["roundtrip"])
+        for r in QUERIES["q_text_bpe_decode"](spark, sf).collect()
+    }
+    assert out == {
+        0: (12, 22, "abcdefg abcdefg xy xy xy xy", "ok"),
+        1: (13, 24, "abcdefg abcdefg xy xy xy xy xy", "ok"),
+        2: (0, 0, "", "ok"),
+    }
+
+
 def test_decontaminate_planted(spark, tmp_path):
     """Train-side decontamination by hand, including the EXACT 0.8
     boundary: eval doc (src0) 'a b c d e' has bigrams {ab,bc,cd,de}.

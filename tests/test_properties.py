@@ -852,3 +852,73 @@ def test_bpe_encode_matches_bruteforce(spark, docs):
         for r in bpe_encode_for(frame, K).collect()
     }
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abt", min_size=1, max_size=6),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@SETTINGS
+def test_bpe_decode_roundtrip(spark, docs):
+    """The tokenizer-family losslessness law on any corpus:
+    decode(encode(x)) == normalize(x) — every document must come back
+    'ok' with head_text equal to the (already-normalized) input's
+    40-char head, n_chars equal to the input's non-space length, and
+    n_tokens matching the same brute-force Sennrich reference the
+    encode property pins (so a token over- or under-split cannot hide
+    behind a string that still happens to reassemble). The tight 'abt'
+    alphabet keeps merged symbols colliding at word boundaries, where
+    a reassembly-order or separator bug would corrupt the roundtrip."""
+    from collections import Counter
+
+    from data_pipeline_etl_spark.operators.llm_text import bpe_decode_for
+
+    K = 4
+    vocab = Counter(w for ws in docs for w in ws)
+    seqs = {w: list(w) for w in vocab}
+    for _ in range(K):
+        counts: dict[tuple, int] = {}
+        for w, f in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        n = max(counts.values())
+        a, b = min(p for p, c in counts.items() if c == n)
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+
+    frame = spark.createDataFrame(
+        [(d, " ".join(ws)) for d, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_chars"], r["head_text"], r["roundtrip"])
+        for r in bpe_decode_for(frame, K).collect()
+    }
+    expected = {
+        d: (
+            sum(len(seqs[w]) for w in ws),
+            sum(len(w) for w in ws),
+            " ".join(ws)[:40],
+            "ok",
+        )
+        for d, ws in enumerate(docs)
+    }
+    assert got == expected
