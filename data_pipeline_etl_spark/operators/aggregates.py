@@ -557,7 +557,17 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's rows-check pins shape; tests/test_ops_edge.py pins the
     estimates against exact counts at fixture scale.
     """
-    d = table(spark, sf_dir, "documents")
+    return sketch_merge_for(table(spark, sf_dir, "documents"))
+
+
+def sketch_merge_for(d: DataFrame) -> DataFrame:
+    """Frame-parameterized body of q_agg_sketch_merge so the planted
+    exact-mode pin (tests/test_rows_only.py) can drive it with a known
+    (source, doc_id) frame: below ~2^lgK cardinality the DataSketches
+    HLL is in exact (coupon) mode, so per-source estimates EQUAL the
+    true distinct counts and the union-merged row EQUALS the true
+    |set union| — in particular NOT the sum of the parts when sources
+    overlap, which is the estimator property the merge exists for."""
     per = d.groupBy("source").agg(F.hll_sketch_agg("doc_id").alias("sk"))
     per_src = per.select(
         "source",
@@ -592,7 +602,18 @@ def q_agg_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact percentiles is pinned in tests/test_ops_edge.py (KLL k=200
     default: ~1.65% normalized rank error with high probability).
     """
-    l = table(spark, sf_dir, "lineitem")
+    return kll_quantile_for(table(spark, sf_dir, "lineitem"))
+
+
+def kll_quantile_for(l: DataFrame) -> DataFrame:
+    """Frame-parameterized body of q_agg_kll_quantile so the planted
+    exact-mode pin (tests/test_rows_only.py) can drive it with known
+    values: below the sketch's k=200 capacity the KLL stores every
+    item, and ``kll_sketch_get_quantile_double(sk, q)`` returns the
+    EXACT inclusive-rank order statistic ``sorted[max(ceil(q*n),1)-1]``
+    (verified empirically on n=10 uniform and n=7 duplicate-bearing
+    frames across q in {0, .1, .15, .5, .9, .99, 1}); the merged row
+    obeys the same closed form over the concatenation of the groups."""
     per = l.groupBy("l_returnflag").agg(
         F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
         F.count("*").alias("n"),

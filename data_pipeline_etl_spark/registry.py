@@ -87,6 +87,12 @@ _FORCE_FRONT: dict[str, int] = {
     # plan and values are unchanged (planted trajectory + plan pin),
     # but touched-query discipline re-grades it regardless:
     "q_text_bpe_encode": 13,
+    # bodies moved into frame-parameterized helpers (sketch_merge_for /
+    # kll_quantile_for) so the planted exact-mode pins can drive them
+    # with known frames; pure refactor, values unchanged, re-graded
+    # (rows-only) regardless:
+    "q_agg_sketch_merge": 13,
+    "q_agg_kll_quantile": 13,
 }
 
 

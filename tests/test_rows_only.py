@@ -158,3 +158,70 @@ def test_multimodal_phash_deterministic(spark):
         assert re.fullmatch(r"[0-9a-f]{14}", r["phash"])
         for i in range(4):
             assert re.fullmatch(r"[0-9a-f]{4}", r[f"band{i}"])
+
+
+def test_hll_sketch_merge_planted_exact(spark):
+    """Planted EXACT pin for the HLL sketch-merge family (VERDICT r12
+    item 6 — the MinHash exact-Jaccard pin is the template: where the
+    estimator is provably exact, pin equality, not a bound). Below
+    ~2^lgK cardinality the DataSketches HLL runs in exact (coupon)
+    mode, so on a planted (source, doc_id) frame the per-source
+    estimates must EQUAL the true distinct counts — including the
+    within-source duplicate, which must not double-count — and the
+    union-merged row must EQUAL the true |set union| (100 here), NOT
+    the 135 a sum-of-parts would give: the overlap between sources is
+    exactly what the re-mergeable union estimator exists to handle."""
+    from data_pipeline_etl_spark.operators.aggregates import sketch_merge_for
+
+    rows = (
+        [("a", i) for i in range(50)]            # 0..49   (50 distinct)
+        + [("a", 7)]                              # within-source dup
+        + [("b", i) for i in range(25, 100)]      # 25..99  (75 distinct)
+        + [("c", i) for i in range(40, 50)]       # 40..49  (10, all in a&b)
+    )
+    d = spark.createDataFrame(rows, "source string, doc_id long")
+    got = {r["source"]: r["approx_docs"] for r in sketch_merge_for(d).collect()}
+    assert got == {"a": 50, "b": 75, "c": 10, "__all__": 100}, got
+
+
+def test_kll_quantile_planted_exact(spark):
+    """Planted EXACT pin for the KLL quantile family: below the k=200
+    sketch capacity every item is stored and
+    ``kll_sketch_get_quantile_double(sk, q)`` is the exact
+    inclusive-rank order statistic ``sorted[max(ceil(q*n),1)-1]``
+    (rule verified empirically before pinning). Two groups with
+    different sizes and a duplicate value, expected values computed by
+    an independent Python closed form — including the merged __all__
+    row, which must obey the SAME order statistic over the
+    concatenation of the groups (the sketch-merge path, not a rescan).
+    """
+    import math
+
+    from data_pipeline_etl_spark.operators.aggregates import kll_quantile_for
+
+    groups = {
+        "A": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0, 100.0],
+        "N": [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0],  # duplicate 1.0
+    }
+    l = spark.createDataFrame(
+        [(g, v) for g, vs in groups.items() for v in vs],
+        "l_returnflag string, l_extendedprice double",
+    )
+
+    def order_stat(vals, q):
+        s = sorted(vals)
+        return s[max(math.ceil(q * len(s)), 1) - 1]
+
+    expected = {}
+    for g, vs in list(groups.items()) + [("__all__", groups["A"] + groups["N"])]:
+        expected[g] = (
+            len(vs),
+            order_stat(vs, 0.5),
+            order_stat(vs, 0.9),
+            order_stat(vs, 0.99),
+        )
+    got = {
+        r["l_returnflag"]: (r["n"], r["p50"], r["p90"], r["p99"])
+        for r in kll_quantile_for(l).collect()
+    }
+    assert got == expected, (got, expected)
