@@ -17,3 +17,4 @@ import data_pipeline_etl_spark.operators.llm_corpus  # noqa: F401
 import data_pipeline_etl_spark.operators.udfs  # noqa: F401
 import data_pipeline_etl_spark.operators.quality  # noqa: F401
 import data_pipeline_etl_spark.operators.warehouse  # noqa: F401
+import data_pipeline_etl_spark.operators.semistructured  # noqa: F401

@@ -532,3 +532,106 @@ def q_text_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jsd"),
         )
     )
+
+
+@query(
+    "q_corpus_report",
+    oracle="""
+    WITH g0 AS (
+      SELECT source, lang, text,
+             count(*) AS cnt,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents
+      GROUP BY source, lang, text
+    ),
+    g1 AS (
+      SELECT source, lang,
+             CAST(sum(cnt) AS BIGINT)  AS n_docs,
+             CAST(count(*) AS BIGINT)  AS n_unique,
+             CAST(sum(toks) AS BIGINT) AS toks,
+             CAST(sum(chars) AS BIGINT) AS chars
+      FROM g0 GROUP BY source, lang
+    )
+    SELECT source,
+           CAST(sum(n_docs) AS BIGINT)  AS n_docs,
+           CAST(sum(toks) AS BIGINT)    AS total_tokens,
+           round(sum(chars) / CAST(sum(n_docs) AS DOUBLE), 6) AS avg_chars,
+           CAST(count(*) AS BIGINT)     AS n_langs,
+           round(-sum((n_docs / CAST(tot.t AS DOUBLE))
+                      * ln(n_docs / CAST(tot.t AS DOUBLE))), 6) + 0.0
+               AS lang_entropy,
+           round(1.0 - sum(n_unique) / CAST(sum(n_docs) AS DOUBLE), 6)
+               AS dup_rate
+    FROM g1
+    JOIN (SELECT source AS s, CAST(sum(n_docs) AS BIGINT) AS t
+          FROM g1 GROUP BY source) tot ON g1.source = tot.s
+    GROUP BY source
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the one-page summary a data-
+    curation team reads before admitting a source into the training mix:
+    document and token volume, mean document length, language spread
+    (count + entropy of the language distribution), and the within-
+    (source, lang) exact-duplicate rate. Blocking dedup by (lang,
+    source) is the house convention (q_dedup_exact), so "duplicate"
+    here means the same text inside one block — the fraction the ingest
+    screen (q_dedup_incremental) would actually drop.
+
+    Shape: ONE corpus scan into a cascade of shrinking hash aggregates —
+    (source, lang, text) -> (source, lang) -> (source). The first
+    aggregate keys on the full text exactly like q_dedup_exact (that IS
+    the distinct-text count; partial+final combine dedups map-side), and
+    every later stage is metadata-scale: |source x lang| then |source|
+    rows. Token counts come from size(split(..)) per row — an int per
+    document, no explode, so the heavy shuffle carries one row per
+    DISTINCT (source, lang, text), never per token. All integer sums are
+    exact int64; the two double divisions (mean chars, entropy) round at
+    6 dp per the module's float-fold discipline, with the entropy sum's
+    signed zero normalized (+ 0.0) for the single-language case where
+    -sum(1 * ln 1) = -0.0 on one engine and +0.0 on the other.
+    """
+    d = table(spark, sf_dir, "documents")
+    g0 = (
+        d.select(
+            "source",
+            "lang",
+            "text",
+            F.size(F.split("text", " ")).alias("ntok"),
+            F.col("n_chars"),
+        )
+        .groupBy("source", "lang", "text")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("ntok").alias("toks"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+    # |source x lang| rows: the sanctioned localCheckpoint barrier
+    # (q_text_kl pattern) — without it the per-source total branch
+    # re-derives g1 and the corpus is scanned twice.
+    g1 = g0.groupBy("source", "lang").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count("*").alias("n_unique"),
+        F.sum("toks").alias("toks"),
+        F.sum("chars").alias("chars"),
+    ).localCheckpoint()
+    tot = g1.groupBy("source").agg(F.sum("n_docs").alias("t"))
+    p = F.col("n_docs") / F.col("t").cast("double")
+    return (
+        g1.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.round(
+                F.sum("chars") / F.sum("n_docs").cast("double"), 6
+            ).alias("avg_chars"),
+            F.count("*").alias("n_langs"),
+            (F.round(-F.sum(p * F.log(p)), 6) + F.lit(0.0)).alias("lang_entropy"),
+            F.round(
+                F.lit(1.0) - F.sum("n_unique") / F.sum("n_docs").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+    )

@@ -1036,3 +1036,79 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "q_mix_curriculum",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(CASE WHEN len(string_split(text, ' ')) < 40 THEN 0
+                       WHEN len(string_split(text, ' ')) < 60 THEN 1
+                       ELSE 2 END AS INT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST(row_number() OVER (ORDER BY bucket, doc_id) AS BIGINT) AS pos
+    FROM b
+    """,
+)
+def q_mix_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum ordering: assign every document a global
+    training position such that short documents (bucket 0: < 40 tokens)
+    are consumed first, then medium (40-59), then long (>= 60) — the
+    classic sequence-length curriculum, and the deterministic global
+    ORDER a data loader actually needs (an explicit position column, not
+    a sorted file it would have to trust).
+
+    The oracle states the semantics directly (one global row_number over
+    (bucket, doc_id)); the engine may NOT compute it that way — a global
+    row_number is a one-partition window over the corpus. And partition-
+    ing the window on the 3-value bucket alone is the same trap with
+    three tasks instead of one. So this runs the house TWO-LEVEL prefix
+    scan (q_time_concurrency / q_skyline): documents sub-bucket into
+    doc_id RANGES (fixed width here; a production loader computes range
+    bounds from approxQuantile exactly like Spark's own RangePartitioner),
+    then (1) row_number WITHIN each (bucket, range) — a window partition-
+    ed on |buckets| x |ranges| keys, parallel at any scale, (2) per-
+    (bucket, range) counts roll into offsets via a prefix-sum window over
+    the metadata-sized count frame (the documented single-partition
+    exception), broadcast back. pos = offset + local rank: a collision-
+    free 1..N total order from one corpus scan, one properly-partitioned
+    window shuffle, and one broadcast join — and the hash gate proves the
+    two-phase plan equals the naive global formulation row for row.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " ")).cast("bigint")
+    b = d.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        F.when(ntok < 40, 0).when(ntok < 60, 1).otherwise(2)
+        .cast("int")
+        .alias("bucket"),
+        F.floor(F.col("doc_id") / 64).alias("rb"),
+    )
+    counts = b.groupBy("bucket", "rb").agg(F.count("*").alias("n"))
+    # |buckets x ranges| rows: the documented metadata-scale single-
+    # partition prefix-sum window (two-phase scan pattern)
+    w_off = Window.orderBy("bucket", "rb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bucket",
+        "rb",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).cast("bigint").alias("off"),
+    )
+    w_in = Window.partitionBy("bucket", "rb").orderBy("doc_id")
+    return (
+        b.join(F.broadcast(offsets), ["bucket", "rb"])
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bucket",
+            (F.col("off") + F.row_number().over(w_in)).cast("bigint").alias("pos"),
+        )
+    )

@@ -2111,3 +2111,184 @@ def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.col("rn").cast("long"))
         .select("q_id", "vec_id", "adc_dist", "rn")
     )
+
+
+_PCA_K = 6  # power-iteration rounds; oracle ladder unrolls the same k
+
+
+def _pca_oracle(k: int = _PCA_K) -> str:
+    """Unrolled power-iteration CTE ladder over the covariance oracle —
+    the same generated-SQL pattern as llm_text._bpe_oracle_ladder: one
+    (w, n, v) CTE triple per iteration.
+
+    EXACT-INT discipline (this is the load-bearing part): a first draft
+    iterated on 6-dp-rounded DOUBLES and was measurably nondeterministic
+    — v0 = 1/sqrt(64) = 0.125 is exactly binary, covariance entries sit
+    on the 1e-6 decimal grid, so ~1/8 of the matvec sums landed EXACTLY
+    on a decimal rounding half-boundary and float summation ORDER
+    decided the tie (three distinct results in five runs of the same
+    SQL). The fix: carry the vector and matrix as integer MICRO-UNITS
+    (x1e6), so the matvec sum(ci * vi) is exact int64 arithmetic —
+    order-independent by construction — and every double that IS
+    produced (norm, next vector) is computed from bit-identical inputs
+    on both engines, making each round() call deterministic even at
+    boundaries (both engines round doubles half-away-from-zero;
+    verified). Headroom: |wi| <= d * max|cov| * 1e12, so int64 is safe
+    while d * max|cov| < 9.2e6 — embeddings are unit-scale (max|cov|
+    ~ 1), 5 orders of magnitude of slack. The sum of squares uses
+    HUGEINT (DuckDB) / DECIMAL(38,0) (Spark) because wi^2 ~ 1e29.
+    MATERIALIZED stops DuckDB re-inlining the ladder exponentially (the
+    CTE-side twin of the Spark loop's localCheckpoint)."""
+    base = """
+    x AS MATERIALIZED (
+      SELECT vec_id, CAST(i - 1 AS INT) AS d, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    sums AS (SELECT d, sum(v) AS sx FROM x GROUP BY d),
+    prods AS (
+      SELECT a.d AS dim_i, b.d AS dim_j, sum(a.v * b.v) AS sxy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d
+      GROUP BY a.d, b.d
+    ),
+    cov AS MATERIALIZED (
+      SELECT p.dim_i, p.dim_j,
+             round((p.sxy - sa.sx * sb.sx / nn.n) / (nn.n - 1), 6) + 0.0 AS c
+      FROM prods p
+      JOIN sums sa ON p.dim_i = sa.d
+      JOIN sums sb ON p.dim_j = sb.d
+      CROSS JOIN nn
+    ),
+    fm AS MATERIALIZED (
+      SELECT dim_i AS i, dim_j AS j, CAST(round(c * 1000000) AS BIGINT) AS ci
+      FROM cov
+      UNION ALL
+      SELECT dim_j AS i, dim_i AS j, CAST(round(c * 1000000) AS BIGINT) AS ci
+      FROM cov WHERE dim_i < dim_j
+    ),
+    dims AS (SELECT DISTINCT i AS dim FROM fm),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM dims),
+    v0 AS (SELECT dim, CAST(round(1000000 / sqrt(nd)) AS BIGINT) AS vi
+           FROM dims CROSS JOIN nd)"""
+    steps = []
+    for r in range(1, k + 1):
+        steps.append(
+            f"""
+    w{r} AS MATERIALIZED (
+      SELECT f.i AS dim, CAST(sum(f.ci * v.vi) AS BIGINT) AS wi
+      FROM fm f JOIN v{r - 1} v ON f.j = v.dim GROUP BY f.i
+    ),
+    n{r} AS MATERIALIZED (
+      SELECT round(sqrt(CAST(sum(CAST(wi AS HUGEINT) * wi) AS DOUBLE))
+                   / 1e12, 6) AS nrm
+      FROM w{r}
+    ),
+    v{r} AS MATERIALIZED (
+      SELECT dim, CAST(round(CAST(wi AS DOUBLE) / 1e6 / nrm) AS BIGINT) AS vi
+      FROM w{r} CROSS JOIN n{r}
+    )"""
+        )
+    return (
+        "WITH "
+        + base
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT v.dim, CAST(v.vi AS DOUBLE) / 1000000 AS loading, n.nrm AS lam
+    FROM v{k} v CROSS JOIN n{k} n
+    """
+    )
+
+
+def pca_power_for(e: DataFrame, k: int = _PCA_K) -> DataFrame:
+    """Top principal component of an embedding frame by `k` rounds of
+    power iteration on the 6-dp-rounded sample covariance — the body of
+    :func:`q_embed_pca`, frame-parameterized for the scaling probe and
+    the planted-eigenstructure pin.
+
+    Numeric representation: matrix and vector entries travel as integer
+    micro-units (value x 1e6, BIGINT), so the per-round matvec
+    sum(ci * vi) is EXACT int64 arithmetic — see _pca_oracle's docstring
+    for why iterating on rounded doubles is nondeterministic (decimal
+    half-boundary ties decided by float summation order). The only
+    doubles are the norm (computed from the exact DECIMAL(38,0) sum of
+    squares) and the renormalized vector, whose inputs are bit-identical
+    on both engines, so every rounding decision is reproducible.
+
+    Loop discipline (BPE-trainer pattern, llm_text._bpe_rounds): the
+    mirrored covariance is localCheckpointed ONCE (that materialization
+    is the only corpus pass), and each iteration eagerly checkpoints its
+    d-row matvec result `w` — without it the (norm, vector) pair reads
+    `w` twice and the logical plan doubles per round (the exponential-
+    lineage failure mode pinned for BPE in tests/test_plans.py). Unlike
+    the BPE/CC/k-means loops there is NOTHING to free: every checkpoint
+    after the first is d- or d^2-sized (dimension-bound, corpus-size-
+    independent), so storage is O(k * d^2) regardless of corpus scale
+    and the free_local_checkpoint discipline doesn't apply.
+    """
+    cov = covariance_for(e)
+    ci = F.round(F.col("cov") * 1e6).cast("bigint").alias("ci")
+    full = (
+        cov.select("dim_i", "dim_j", ci)
+        .union(
+            cov.where(F.col("dim_i") < F.col("dim_j")).select(
+                F.col("dim_j").alias("dim_i"),
+                F.col("dim_i").alias("dim_j"),
+                ci,
+            )
+        )
+        .localCheckpoint()
+    )
+    dims = full.select(F.col("dim_i").alias("dim")).distinct()
+    nd = dims.agg(F.count("*").alias("nd"))
+    v = dims.crossJoin(F.broadcast(nd)).select(
+        "dim",
+        F.round(F.lit(1e6) / F.sqrt("nd")).cast("bigint").alias("vi"),
+    )
+    w = nrm = None
+    dec = "decimal(19,0)"
+    for _ in range(k):
+        w = (
+            full.join(F.broadcast(v), full.dim_j == v.dim)
+            .groupBy(full.dim_i.alias("dim"))
+            .agg(F.sum(F.col("ci") * F.col("vi")).alias("wi"))
+            .localCheckpoint()
+        )
+        ss = F.sum(F.col("wi").cast(dec) * F.col("wi").cast(dec))
+        nrm = w.agg(
+            F.round(F.sqrt(ss.cast("double")) / F.lit(1e12), 6).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "dim",
+            F.round(F.col("wi").cast("double") / F.lit(1e6) / F.col("nrm"))
+            .cast("bigint")
+            .alias("vi"),
+        )
+    return v.crossJoin(F.broadcast(nrm)).select(
+        "dim",
+        (F.col("vi").cast("double") / F.lit(1e6)).alias("loading"),
+        F.col("nrm").alias("lam"),
+    )
+
+
+@query("q_embed_pca", oracle=_pca_oracle())
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component (loading vector + dominant-eigenvalue
+    estimate) of the embedding corpus via distributed power iteration —
+    the dimensionality-reduction / drift-direction primitive that sits
+    between q_embed_covariance (its input moment) and q_embed_whiten
+    (which uses only the diagonal).
+
+    Scale: the ONE corpus-sized step is the covariance pass
+    (map-side d^2/2 products, shuffle = partial sums only — see
+    q_embed_covariance); every iteration after it is a d^2-row broadcast
+    join + d-row aggregate, so the whole loop is dimension-bound and a
+    100x corpus changes only the first pass (covariance_for's measured
+    scaling). The eigen-gap of real embedding covariance makes k=6
+    plenty for the drift/quantizer-calibration uses; parity needs no
+    convergence at all since the oracle unrolls the SAME k rounds on the
+    SAME exact micro-unit integers (see pca_power_for for the
+    determinism design — the matvec is exact int64, so there is no
+    float fold to diverge).
+    """
+    return pca_power_for(table(spark, sf_dir, "embeddings"))

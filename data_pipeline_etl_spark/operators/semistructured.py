@@ -1,0 +1,137 @@
+"""Group K — semi-structured interchange: XML codec and VARIANT ingestion.
+
+Two Spark-4-native surfaces a lakehouse ETL engine must cover beyond
+JSON (scans.py already proves from_json/to_json/from_csv both ways):
+
+* **XML** — `to_xml` / `from_xml` / the `xpath_*` expression family.
+  B2B feeds (EDI bridges, SOAP exports, config dumps) still arrive as
+  XML; the engine proves the codec by a full serialize → parse → re-
+  aggregate roundtrip whose result is hash-checked against the same
+  aggregate over the ORIGINAL columns, so any formatting loss (double
+  precision, timestamp formatting, entity escaping) breaks parity.
+* **VARIANT** — `parse_json` → `variant_get` / `try_variant_get`, the
+  open-schema binary JSON type (Spark 4 / Parquet VARIANT). At 100 TB
+  the practical difference vs. string JSON is that the shredded binary
+  encoding is parsed ONCE at ingest and field access is a byte-offset
+  probe, not a per-row re-parse; the query keeps the variant column
+  through a shuffle boundary to prove the type is shuffle-stable.
+
+Scale shape: both operators are single-scan map-side transforms feeding
+one partial+final HashAggregate — no joins, no windows; shuffle volume
+is |groups|, corpus-size-independent. Float-fold discipline per
+llm_similarity.py: double sums round at 2 dp (house convention for
+o_totalprice sums) / 6 dp (means) on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_etl_spark.registry import query
+from data_pipeline_etl_spark.sources.tables import table
+
+
+@query(
+    "q_xml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           count(*) AS n_xpath_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML codec proof: serialize each order to an XML document with
+    `to_xml`, parse it back with `from_xml`, re-extract one field a
+    second way with `xpath_long`, and aggregate ONLY parsed values.
+
+    The oracle aggregates the original columns directly, so the hash
+    check proves the roundtrip is lossless for BIGINT, VARCHAR and
+    DOUBLE (Spark formats doubles with Java's shortest-roundtrip
+    representation, which `from_xml` re-parses bit-exactly — verified,
+    not assumed). `n_xpath_ok` counts rows where the xpath extraction
+    agrees with the struct parse; parity with `count(*)` proves the two
+    XML readers agree on every row.
+
+    Scale: per-row codec work is map-side (WholeStageCodegen around the
+    serialize/parse pair), followed by one |status|-group aggregate —
+    the plan a 100 TB XML-interchange validation pass wants: no second
+    scan, no join, shuffle carries only partial aggregate states.
+    """
+    o = table(spark, sf_dir, "orders")
+    xml = F.to_xml(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("s"),
+            F.col("o_totalprice").alias("p"),
+        )
+    )
+    docs = o.select(xml.alias("doc"))
+    parsed = docs.select(
+        F.from_xml("doc", "k BIGINT, s STRING, p DOUBLE").alias("r"),
+        F.expr("xpath_long(doc, '/ROW/k')").alias("k_xpath"),
+    )
+    return (
+        parsed.groupBy(F.col("r.s").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("r.p"), 2).alias("total"),
+            F.sum(
+                F.when(F.col("k_xpath") == F.col("r.k"), F.lit(1)).otherwise(0)
+            ).alias("n_xpath_ok"),
+        )
+    )
+
+
+@query(
+    "q_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k,
+           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
+           CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER))
+                AS BIGINT) AS n_distinct_k,
+           CAST(sum(CASE WHEN json_extract(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_absent
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema ingestion through the VARIANT type: `parse_json` the
+    event properties ONCE into a variant column, carry the variant
+    through the groupBy shuffle, and probe fields with typed
+    `variant_get` (present path) and `try_variant_get` (absent path —
+    returns NULL instead of throwing, the semantics a schemaless 100 TB
+    event firehose needs when producers add fields at will).
+
+    Contrast with q_events_enrich (scans.py), which re-parses the JSON
+    string per access via get_json_object: VARIANT is decoded to the
+    shredded binary form at scan time, so each field probe afterwards is
+    an offset lookup. At 100 TB that is the difference between one parse
+    per row and one parse per row PER FIELD.
+
+    Scale: single events scan, map-side parse, one partial+final
+    HashAggregate on |event_type| groups; the distinct-count adds the
+    standard two-level expand+agg, still keyed on the same column. The
+    int sum is exact (int64); the mean rounds at 6 dp on both engines.
+    """
+    e = table(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "int")
+    absent = F.try_variant_get("v", "$.missing", "string")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+            F.countDistinct(k).alias("n_distinct_k"),
+            F.sum(F.when(absent.isNull(), F.lit(1)).otherwise(0)).alias("n_absent"),
+        )
+    )

@@ -249,6 +249,18 @@ def main() -> int:
             F.round(F.sum(F.abs("cov")), 6).alias("abs_mass"),
         )
 
+    def pca_case(edf):
+        # power-iteration PCA: corpus cost = the covariance pass, the
+        # k=6 iteration loop after it is d-sized (its slope vs
+        # cov_matrix's is the overhead of the checkpointed loop)
+        from data_pipeline_etl_spark.operators.llm_similarity import pca_power_for
+
+        return pca_power_for(edf).agg(
+            F.count("*").alias("n_dims"),
+            F.round(F.max("lam"), 6).alias("lam"),
+            F.round(F.sum(F.abs("loading")), 6).alias("l1_mass"),
+        )
+
     def pqenc(edf):
         # corpus-side PQ encode (the at-scale cost of q_sim_pq_adc; the
         # ADC scoring joins are shortlist-sized). Codebook = the declared
@@ -425,6 +437,7 @@ def main() -> int:
         "win_topn": lambda L, O, E, D, V: wtopn(L),
         "substr_spans": lambda L, O, E, D, V: substr(D),
         "cov_matrix": lambda L, O, E, D, V: covm(E),
+        "embed_pca": lambda L, O, E, D, V: pca_case(E),
         "bigram_lm": lambda L, O, E, D, V: bigram(D),
         "pq_encode": lambda L, O, E, D, V: pqenc(E),
         "basket_aff": lambda L, O, E, D, V: basket(L),

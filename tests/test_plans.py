@@ -535,3 +535,61 @@ def test_cc_checkpoint_storage_bounded(spark):
     assert {r["cluster_id"] for r in labels} == {0}
     assert len(labels) == 33
     assert len(persisted() - before) == 1, persisted() - before
+
+
+def test_corpus_report_single_scan_no_explode(spark):
+    """The corpus health report must read the corpus exactly ONCE and
+    never explode it: token counts come from size(split(..)) per row,
+    so the only corpus-sized shuffle keys on distinct (source, lang,
+    text) rows — the q_dedup_exact shape — and every later aggregate is
+    metadata-scale."""
+    df = QUERIES["q_corpus_report"](spark, SF_DIR)
+    plan = _plan(df)
+    # the (source, lang) barrier is checkpointed upstream (q_text_kl
+    # pattern): the returned plan reads the metadata-scale RDD, never
+    # the corpus — and the corpus subtree ran exactly once to build it
+    assert len(re.findall(r"FileScan parquet.*documents", plan)) == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Generate explode" not in plan, plan
+    # cascading partial+final aggregates, no window, no sort
+    assert "HashAggregate" in plan and "Window" not in plan, plan
+
+
+def test_pca_iterations_read_checkpoint_not_corpus(spark):
+    """q_embed_pca's returned frame is the LAST power-iteration step: it
+    must read the d-row matvec checkpoint (Scan ExistingRDD), never the
+    embeddings parquet — the corpus pass happened exactly once, at the
+    mirrored-covariance checkpoint. All iteration joins are broadcasts
+    (d- and 1-row frames); an exchange-based join here would mean the
+    loop shuffles dimension-sized frames k times for nothing."""
+    plan = _plan(QUERIES["q_embed_pca"](spark, SF_DIR))
+    assert "FileScan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_semistructured_single_scan_jvm_side(spark):
+    """XML roundtrip and VARIANT extraction are single-scan map-side
+    codecs + one partial+final aggregate: one FileScan, no join, no
+    Python eval (the codec expressions are JVM-native), shuffle carries
+    only |group| partial states."""
+    for name, tbl in (("q_xml_roundtrip", "orders"), ("q_variant_extract", "events")):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert len(re.findall(rf"FileScan parquet.*{tbl}", plan)) == 1, (name, plan)
+        assert "Join" not in plan, (name, plan)
+        assert "HashAggregate" in plan, (name, plan)
+
+
+def test_mix_curriculum_no_global_window(spark):
+    """The curriculum's total order must come from the TWO-LEVEL prefix
+    scan: the corpus window is partitioned on (bucket, range-bucket) —
+    never on bucket alone (3 tasks) or nothing (1 task); the
+    unpartitioned running-sum window exists only on the metadata-sized
+    count frame, and offsets come back via a broadcast join."""
+    plan = _plan(QUERIES["q_mix_curriculum"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the corpus row_number window partitions on BOTH keys
+    m = re.search(r"windowspecdefinition\(bucket#\d+, rb#\d+L", plan)
+    assert m, plan

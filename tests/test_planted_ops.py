@@ -4056,3 +4056,135 @@ def test_events_enrich_planted(spark, tmp_path):
         2: (7, 8, 2, 2.0, 2),
         3: (None, 9, 2, 3.0, 1),
     }
+
+
+def test_embed_pca_rank1_planted(spark, tmp_path):
+    """Rank-1 eigenstructure makes power iteration EXACT in one step:
+    vectors a*u for a in {-3,-1,0,1,3} and unit u = (0.6, 0.8, 0, ...)
+    give cov = var(a) * u u^T = 5 u u^T with every entry exact at 6 dp
+    (1.8 / 2.4 / 3.2). C v0 is proportional to u for ANY v0 with
+    u.v0 != 0 (here 0.125*(0.6+0.8) > 0, fixing the sign), so every
+    round reproduces loading = +u and the matvec norm — the lam
+    estimate — is exactly var(a) * ||u||^2 = 5."""
+    u = [0.6, 0.8] + [0.0] * 62
+    rows = [
+        (int(i), [float(a * c) for c in u], 0)
+        for i, a in enumerate([-3, -1, 0, 1, 3])
+    ]
+    sf = str(tmp_path / "planted_pca")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    out = {r["dim"]: r for r in QUERIES["q_embed_pca"](spark, sf).collect()}
+    assert len(out) == 64
+    assert abs(out[0]["loading"] - 0.6) < 2e-6
+    assert abs(out[1]["loading"] - 0.8) < 2e-6
+    for d in range(2, 64):
+        assert abs(out[d]["loading"]) < 2e-6, d
+    assert abs(out[0]["lam"] - 5.0) < 2e-6
+
+
+def test_xml_roundtrip_planted(spark, tmp_path):
+    """The XML codec must survive entity escaping and shortest-roundtrip
+    double formatting: statuses contain <, &, > and quotes; prices
+    include non-terminating binary fractions (0.1, 1/3) and a
+    17-significant-digit value. The aggregate over PARSED values must
+    equal the aggregate over the originals, and the xpath extraction
+    must agree with the struct parse on every row."""
+    rows = [
+        (1, "A<B", 0.1),
+        (2, "A<B", 1.0 / 3.0),
+        (3, "X&\"Y'", 12345.678901234567),
+        (4, "plain", 2.5),
+    ]
+    sf = str(tmp_path / "planted_xml")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    out = {r["status"]: r for r in QUERIES["q_xml_roundtrip"](spark, sf).collect()}
+    assert set(out) == {"A<B", "X&\"Y'", "plain"}
+    assert out["A<B"]["n"] == 2 and out["A<B"]["n_xpath_ok"] == 2
+    assert out["A<B"]["total"] == round(0.1 + 1.0 / 3.0, 2)
+    assert out["X&\"Y'"]["total"] == round(12345.678901234567, 2)
+    assert out["plain"]["total"] == 2.5
+    assert all(r["n_xpath_ok"] == r["n"] for r in out.values())
+
+
+def test_variant_extract_planted(spark, tmp_path):
+    """Known VARIANT payloads: three clicks with k = 1, 2, 2 and one
+    view with k = 7 (plus an extra field the schema never declared —
+    open-schema by construction). Every row lacks '$.missing', so
+    try_variant_get must count 100% absent instead of throwing."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0, '{"k": 1}'),
+        (2, "2024-01-01 00:00:01", 1, "click", 0.0, '{"k": 2, "extra": [1, 2]}'),
+        (3, "2024-01-01 00:00:02", 2, "click", 0.0, '{"k": 2}'),
+        (4, "2024-01-01 00:00:03", 2, "view", 0.0, '{"k": 7}'),
+    ]
+    sf = str(tmp_path / "planted_variant")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/events.parquet")
+    out = {r["event_type"]: r for r in QUERIES["q_variant_extract"](spark, sf).collect()}
+    click = out["click"]
+    assert (click["n"], click["sum_k"], click["n_distinct_k"]) == (3, 5, 2)
+    assert abs(click["avg_k"] - round(5 / 3, 6)) < 1e-9
+    assert click["n_absent"] == 3
+    view = out["view"]
+    assert (view["n"], view["sum_k"], view["n_absent"]) == (1, 7, 1)
+
+
+def test_corpus_report_planted(spark, tmp_path):
+    """Hand-checkable corpus health: src0 has 3 en docs (one exact dup
+    pair) + 1 de doc; src1 has 2 unique en docs. Entropy of (3, 1) is
+    -(0.75 ln 0.75 + 0.25 ln 0.25); dup_rate of src0 = 1 - 3/4."""
+    import math
+
+    docs = [
+        (0, "a b c", "en", "src0"),
+        (1, "a b c", "en", "src0"),   # exact dup of doc 0, same block
+        (2, "d e", "en", "src0"),
+        (3, "f", "de", "src0"),
+        (4, "g h", "en", "src1"),
+        (5, "i", "en", "src1"),
+    ]
+    sf = str(tmp_path / "planted_report")
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {r["source"]: r for r in QUERIES["q_corpus_report"](spark, sf).collect()}
+    s0 = out["src0"]
+    assert (s0["n_docs"], s0["total_tokens"], s0["n_langs"]) == (4, 9, 2)
+    assert s0["avg_chars"] == round((5 + 5 + 3 + 1) / 4, 6)
+    ent = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(s0["lang_entropy"] - round(ent, 6)) < 1e-9
+    assert s0["dup_rate"] == 0.25
+    s1 = out["src1"]
+    assert (s1["n_docs"], s1["n_langs"], s1["dup_rate"]) == (2, 1, 0.0)
+    assert s1["lang_entropy"] == 0.0  # single lang: -1*ln(1) = -0.0 -> +0.0
+
+
+def test_mix_curriculum_planted(spark, tmp_path):
+    """Known token counts across all three buckets: positions must be a
+    collision-free 1..N total order, short buckets first, doc_id order
+    within a bucket."""
+    docs = [
+        (0, " ".join(_toks("a", 10))),   # bucket 0
+        (1, " ".join(_toks("b", 45))),   # bucket 1
+        (2, " ".join(_toks("c", 80))),   # bucket 2
+        (3, " ".join(_toks("d", 39))),   # bucket 0 (boundary: 39 < 40)
+        (4, " ".join(_toks("e", 60))),   # bucket 2 (boundary: 60 >= 60)
+    ]
+    sf = str(tmp_path / "planted_curriculum")
+    _write_documents(spark, sf, docs)
+    out = {r["doc_id"]: r for r in QUERIES["q_mix_curriculum"](spark, sf).collect()}
+    assert [out[i]["bucket"] for i in range(5)] == [0, 1, 2, 0, 2]
+    assert (out[0]["pos"], out[3]["pos"]) == (1, 2)   # bucket 0 by doc_id
+    assert out[1]["pos"] == 3
+    assert (out[2]["pos"], out[4]["pos"]) == (4, 5)
+    assert sorted(r["pos"] for r in out.values()) == [1, 2, 3, 4, 5]
