@@ -922,3 +922,22 @@ def test_bpe_decode_roundtrip(spark, docs):
         for d, ws in enumerate(docs)
     }
     assert got == expected
+
+
+def test_embed_pca_repeat_run_bit_identical(spark):
+    """Regression pin for the power-iteration determinism design: the
+    first draft iterated on 6-dp-rounded DOUBLES and produced three
+    distinct results in five runs of the same plan (v0 = 1/sqrt(64) is
+    exactly binary and covariance sits on the 1e-6 decimal grid, so
+    ~1/8 of matvec sums landed exactly on decimal rounding
+    half-boundaries where float summation ORDER decided the tie). The
+    shipped ladder does the matvec in exact int64 micro-units, so two
+    independent constructions must agree to the BIT on every loading."""
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    runs = []
+    for _ in range(2):
+        rows = QUERIES["q_embed_pca"](spark, SF_DIR).collect()
+        runs.append(sorted((r["dim"], repr(r["loading"]), repr(r["lam"])) for r in rows))
+    assert runs[0] == runs[1]
