@@ -41,6 +41,25 @@ def roundtrip_json(df: DataFrame, spark: SparkSession, out_dir: str) -> DataFram
     return spark.read.schema(df.schema).json(out_dir)
 
 
+def roundtrip_xml(
+    df: DataFrame, spark: SparkSession, out_dir: str, row_tag: str = "row"
+) -> DataFrame:
+    """XML file write + schema-pinned read-back via Spark 4's built-in
+    XML source — the third text interchange format after csv/json (the
+    expression-level codec lives in operators/semistructured.py;
+    this is the file-level source/sink). The explicit schema matters
+    for the same reason as the json helper: inference re-reads the
+    data and can widen types, while a pinned schema makes the read a
+    single pass that must reproduce the written values exactly."""
+    df.write.format("xml").option("rowTag", row_tag).mode("overwrite").save(out_dir)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(df.schema)
+        .load(out_dir)
+    )
+
+
 # Manifest fingerprint algorithm version. v1 was plain bit_xor(xxhash64(line))
 # (even-count duplicate lines XOR-cancel); v2 salts the hash with the
 # within-shard line count, closing that blind spot. The version rides in

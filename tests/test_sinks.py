@@ -344,3 +344,28 @@ def test_corrupt_record_quarantine_routes_bad_lines(spark, tmp_path):
     back = [r["_corrupt_record"] for r in spark.read.parquet(dl).collect()]
     assert sorted(back) == sorted(bad)
     df.unpersist()
+
+
+def test_xml_file_roundtrip(spark, tmp_path):
+    """XML source/sink parity (Spark 4 built-in XML data source): nation
+    (strings + ints) survives a write/read cycle with pinned schema and
+    exact values — the file-level counterpart of the expression codec
+    proven by q_xml_roundtrip."""
+    out = str(tmp_path / "nation_xml")
+    nation = table(spark, SF_DIR, "nation")
+    back = sinks.roundtrip_xml(nation, spark, out)
+    assert back.schema == nation.schema
+    assert _multiset(back, nation.columns) == _multiset(nation, nation.columns)
+
+
+def test_xml_file_roundtrip_doubles_and_escapes(spark, tmp_path):
+    """The XML file path must preserve shortest-roundtrip doubles and
+    escape markup in values, same contract the expression codec pins."""
+    src = spark.createDataFrame(
+        [(1, "A<B&C", 0.1), (2, 'q"u\'o', 1.0 / 3.0), (3, "plain", 2.5)],
+        "id long, s string, p double",
+    )
+    out = str(tmp_path / "esc_xml")
+    back = sinks.roundtrip_xml(src, spark, out)
+    assert back.schema == src.schema
+    assert _multiset(back, src.columns) == _multiset(src, src.columns)
