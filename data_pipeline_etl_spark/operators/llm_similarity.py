@@ -2116,7 +2116,7 @@ def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCA_K = 6  # power-iteration rounds; oracle ladder unrolls the same k
 
 
-def _pca_oracle(k: int = _PCA_K) -> str:
+def _pca_oracle(k: int = _PCA_K, final: str | None = None) -> str:
     """Unrolled power-iteration CTE ladder over the covariance oracle —
     the same generated-SQL pattern as llm_text._bpe_oracle_ladder: one
     (w, n, v) CTE triple per iteration.
@@ -2188,16 +2188,12 @@ def _pca_oracle(k: int = _PCA_K) -> str:
       FROM w{r} CROSS JOIN n{r}
     )"""
         )
-    return (
-        "WITH "
-        + base
-        + ","
-        + ",".join(steps)
-        + f"""
+    if final is None:
+        final = f"""
     SELECT v.dim, CAST(v.vi AS DOUBLE) / 1000000 AS loading, n.nrm AS lam
     FROM v{k} v CROSS JOIN n{k} n
     """
-    )
+    return "WITH " + base + "," + ",".join(steps) + final
 
 
 def pca_power_for(e: DataFrame, k: int = _PCA_K) -> DataFrame:
@@ -2292,3 +2288,46 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     float fold to diverge).
     """
     return pca_power_for(table(spark, sf_dir, "embeddings"))
+
+
+_PCA_PROJECT_FINAL = f"""
+    , ld AS (
+      SELECT list(CAST(vi AS DOUBLE) / 1000000 ORDER BY dim) AS pc
+      FROM v{_PCA_K}
+    )
+    SELECT e.vec_id,
+           round({_dot_sql("e.embedding", "ld.pc")}, 6) + 0.0 AS pc1
+    FROM embeddings e CROSS JOIN ld
+"""
+
+
+@query("q_embed_pca_project", oracle=_pca_oracle(final=_PCA_PROJECT_FINAL))
+def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the top principal component — the
+    dimensionality-REDUCTION step q_embed_pca's loading vector exists
+    for: pc1 scores feed drift monitors (score distribution shift),
+    coreset selection (extremes along the dominant direction) and 1-D
+    binning for stratified sampling.
+
+    Scale: the loading comes from the dimension-bound power-iteration
+    loop (pca_power_for — corpus cost = one covariance pass), collapses
+    to a SINGLE d-element array row, and broadcasts onto one linear
+    corpus scan; the per-vector score is the house sequential float64
+    fold (dot64 / _dot_sql, module docstring), so both engines fold the
+    same bit-identical loading over the same element order — rounded at
+    6 dp with the signed zero normalized. Two corpus passes total
+    (covariance + projection), nothing pairwise, shuffle volume zero on
+    the projection pass (map-side crossJoin of a broadcast 1-row frame).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    loading = pca_power_for(e)
+    pc = loading.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, loading))), "
+            "s -> s.loading)"
+        ).alias("pc")
+    )
+    return e.crossJoin(F.broadcast(pc)).select(
+        "vec_id",
+        (F.round(dot64("embedding", "pc"), 6) + F.lit(0.0)).alias("pc1"),
+    )

@@ -4188,3 +4188,25 @@ def test_mix_curriculum_planted(spark, tmp_path):
     assert out[1]["pos"] == 3
     assert (out[2]["pos"], out[4]["pos"]) == (4, 5)
     assert sorted(r["pos"] for r in out.values()) == [1, 2, 3, 4, 5]
+
+
+def test_embed_pca_project_rank1_planted(spark, tmp_path):
+    """On the rank-1 fixture (vectors a*u, unit u — see
+    test_embed_pca_rank1_planted) the loading converges to exactly +u,
+    so every projection is a * (u . u) = a: scores must reproduce the
+    planted coefficients to rounding."""
+    u = [0.6, 0.8] + [0.0] * 62
+    coeffs = [-3, -1, 0, 1, 3]
+    rows = [
+        (int(i), [float(a * c) for c in u], 0) for i, a in enumerate(coeffs)
+    ]
+    sf = str(tmp_path / "planted_pca_proj")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    out = {
+        r["vec_id"]: r["pc1"]
+        for r in QUERIES["q_embed_pca_project"](spark, sf).collect()
+    }
+    for i, a in enumerate(coeffs):
+        assert abs(out[i] - a) < 5e-6, (i, a, out[i])
