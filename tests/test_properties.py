@@ -941,3 +941,68 @@ def test_embed_pca_repeat_run_bit_identical(spark):
         rows = QUERIES["q_embed_pca"](spark, SF_DIR).collect()
         runs.append(sorted((r["dim"], repr(r["loading"]), repr(r["lam"])) for r in rows))
     assert runs[0] == runs[1]
+
+
+def test_corpus_report_algebra(spark):
+    """Structural invariants of the corpus health report on the real
+    fixture: source doc counts sum to the corpus size, token totals
+    equal an independently computed per-doc sum, entropy is bounded by
+    ln(n_langs), and dup_rate lives in [0, 1)."""
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+    from data_pipeline_etl_spark.sources.tables import table
+
+    load_all_operators()
+    rows = QUERIES["q_corpus_report"](spark, SF_DIR).collect()
+    d = table(spark, SF_DIR, "documents")
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    tok_total = d.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r["total_tokens"] for r in rows) == tok_total
+    for r in rows:
+        assert 0.0 <= r["lang_entropy"] <= math.log(r["n_langs"]) + 1e-9, r
+        assert 0.0 <= r["dup_rate"] < 1.0, r
+        assert r["n_docs"] >= r["n_langs"] >= 1, r
+
+
+def test_mix_curriculum_total_order(spark):
+    """pos must be a 1..N permutation whose order refines
+    (bucket, doc_id) — the loader can sort by pos alone and get the
+    curriculum."""
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    rows = QUERIES["q_mix_curriculum"](spark, SF_DIR).collect()
+    n = len(rows)
+    assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+    by_pos = sorted(rows, key=lambda r: r["pos"])
+    keys = [(r["bucket"], r["doc_id"]) for r in by_pos]
+    assert keys == sorted(keys)
+
+
+def test_variant_extract_agrees_with_string_json_path(spark):
+    """Cross-implementation equivalence inside Spark: the VARIANT field
+    probe must aggregate to the same numbers as the string-JSON
+    get_json_object path (q_events_enrich's mechanism) on the real
+    fixture."""
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+    from data_pipeline_etl_spark.sources.tables import table
+
+    load_all_operators()
+    got = {
+        r["event_type"]: (r["n"], r["sum_k"])
+        for r in QUERIES["q_variant_extract"](spark, SF_DIR).collect()
+    }
+    ref = {
+        r["event_type"]: (r["n"], r["sum_k"])
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.get_json_object("props", "$.k").cast("int")
+            ).cast("bigint").alias("sum_k"),
+        )
+        .collect()
+    }
+    assert got == ref
