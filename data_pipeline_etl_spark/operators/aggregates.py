@@ -601,6 +601,16 @@ def q_agg_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific, so there is no cross-engine hash; rank error vs
     exact percentiles is pinned in tests/test_ops_edge.py (KLL k=200
     default: ~1.65% normalized rank error with high probability).
+
+    Known (and intended) nondeterminism: above the k=200 capacity,
+    DataSketches KLL compaction keeps alternate items chosen by RANDOM
+    offsets with no seed surface, so quantile estimates differ slightly
+    RUN TO RUN on the same data (measured by the r13 repeat-run sweep:
+    the only value-unstable query of 240, wobbling within the published
+    rank-error bound). That is the sketch's accuracy contract, not a
+    bug; the rows-only gate (row count + schema) is stable, and the
+    exact-mode value pin (tests/test_rows_only.py) runs strictly below
+    capacity where KLL is exact and deterministic.
     """
     return kll_quantile_for(table(spark, sf_dir, "lineitem"))
 
