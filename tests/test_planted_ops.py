@@ -4210,3 +4210,41 @@ def test_embed_pca_project_rank1_planted(spark, tmp_path):
     }
     for i, a in enumerate(coeffs):
         assert abs(out[i] - a) < 5e-6, (i, a, out[i])
+
+
+def test_xml_roundtrip_null_field_planted(spark, tmp_path):
+    """A NULL price must survive the XML cycle as NULL (to_xml omits the
+    element, from_xml reads the absence back as NULL): the group's sum
+    skips it — NULL in, NULL-skipping aggregate out, no coercion to 0."""
+    rows = [(1, "s", 10.0), (2, "s", None), (3, "t", None)]
+    sf = str(tmp_path / "planted_xml_null")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    out = {r["status"]: r for r in QUERIES["q_xml_roundtrip"](spark, sf).collect()}
+    assert out["s"]["n"] == 2 and out["s"]["total"] == 10.0
+    assert out["t"]["n"] == 1 and out["t"]["total"] is None
+    assert all(r["n_xpath_ok"] == r["n"] for r in out.values())
+
+
+def test_variant_extract_null_and_malformed_props(spark, tmp_path):
+    """NULL props and non-k payloads must flow through as NULL variant /
+    NULL field — counted in n, excluded from sum/avg/distinct — instead
+    of erroring the scan (the open-schema contract)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0, '{"k": 4}'),
+        (2, "2024-01-01 00:00:01", 1, "click", 0.0, None),
+        (3, "2024-01-01 00:00:02", 2, "click", 0.0, '{"other": true}'),
+    ]
+    sf = str(tmp_path / "planted_variant_null")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/events.parquet")
+    out = {r["event_type"]: r for r in QUERIES["q_variant_extract"](spark, sf).collect()}
+    click = out["click"]
+    assert (click["n"], click["sum_k"], click["n_distinct_k"]) == (3, 4, 1)
+    assert abs(click["avg_k"] - 4.0) < 1e-9  # avg over the one non-NULL k
