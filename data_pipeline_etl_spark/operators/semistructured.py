@@ -13,8 +13,8 @@ JSON (scans.py already proves from_json/to_json/from_csv both ways):
   open-schema binary JSON type (Spark 4 / Parquet VARIANT). At 100 TB
   the practical difference vs. string JSON is that the shredded binary
   encoding is parsed ONCE at ingest and field access is a byte-offset
-  probe, not a per-row re-parse; the query keeps the variant column
-  through a shuffle boundary to prove the type is shuffle-stable.
+  probe, not a per-row re-parse; here the probes run map-side inside
+  the partial aggregate, so only aggregate states ever shuffle.
 
 Scale shape: both operators are single-scan map-side transforms feeding
 one partial+final HashAggregate — no joins, no windows; shuffle volume
