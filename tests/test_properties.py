@@ -420,7 +420,19 @@ def test_results_invariant_under_shuffle_partitioning(spark):
     from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
 
     load_all_operators()
-    names = ["q_agg_groupby", "q_dedup_exact", "q_win_gaps_islands", "q_sample_weighted"]
+    names = [
+        "q_agg_groupby",
+        "q_dedup_exact",
+        "q_win_gaps_islands",
+        "q_sample_weighted",
+        # r13: the exact-int power iteration must be partition-count-free
+        # by construction (integer matvec has no fold order), and the
+        # curriculum's two-level prefix scan must produce the same total
+        # order however the range windows are distributed
+        "q_embed_pca",
+        "q_mix_curriculum",
+        "q_corpus_report",
+    ]
 
     def run_all():
         return {
