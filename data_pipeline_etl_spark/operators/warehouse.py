@@ -1239,3 +1239,57 @@ def q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# One template, two bindings: the engine runs it over a registered temp
+# view of the normalized orders frame, the oracle over DuckDB's `orders`
+# view — textually identical SQL, so the recursion semantics cannot
+# drift between engines (the _bpe_oracle_ladder lockstep discipline).
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS TIMESTAMP) AS mn,
+         CAST(date_trunc('MONTH', max(o_orderdate)) AS TIMESTAMP) AS mx
+  FROM {tbl}
+),
+m(mon, end_mon) AS (
+  SELECT mn, mx FROM bounds
+  UNION ALL
+  SELECT mon + INTERVAL '1' MONTH, end_mon FROM m WHERE mon < end_mon
+),
+agg AS (
+  SELECT CAST(date_trunc('MONTH', o_orderdate) AS TIMESTAMP) AS mon,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(o_totalprice), 2) AS total
+  FROM {tbl} GROUP BY date_trunc('MONTH', o_orderdate)
+)
+SELECT m.mon,
+       COALESCE(agg.n, CAST(0 AS BIGINT)) AS n_orders,
+       COALESCE(agg.total, 0.0) AS total
+FROM m LEFT JOIN agg ON m.mon = agg.mon
+"""
+
+
+@query("q_sql_recursive", oracle=_RECURSIVE_SPINE_SQL.format(tbl="orders"))
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE) driving a zero-filled
+    monthly rollup: the month spine is generated by DATA-DRIVEN
+    iteration — anchor at min month, step +1 month until max, the end
+    bound carried as a recursion COLUMN so neither the anchor nor the
+    step needs a correlated scalar subquery — then left-joined against
+    the per-month aggregate so empty months surface as explicit zero
+    rows (the q_date_spine contract, previously only expressible via
+    sequence()+explode; recursion is the form a SQL-first user ports
+    from Postgres/DuckDB unchanged).
+
+    Scale: each recursion step produces exactly ONE row (the working
+    set is |months|, metadata-sized) and the step count is bounded by
+    the data's calendar span — the shape recursion is FOR. The corpus
+    cost is the one orders aggregate. The inverse shape — recursing
+    over a cyclic corpus-sized graph — is deliberately NOT expressed
+    this way: Spark 4.1 supports only UNION ALL recursion (verified:
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), which path-ENUMERATES a
+    cyclic graph instead of frontier-deduping it; bounded-hop
+    reachability stays with q_graph_bfs's checkpointed frontier joins.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rec_v")
+    return spark.sql(_RECURSIVE_SPINE_SQL.format(tbl="orders_rec_v"))

@@ -4248,3 +4248,32 @@ def test_variant_extract_null_and_malformed_props(spark, tmp_path):
     click = out["click"]
     assert (click["n"], click["sum_k"], click["n_distinct_k"]) == (3, 4, 1)
     assert abs(click["avg_k"] - 4.0) < 1e-9  # avg over the one non-NULL k
+
+
+def test_sql_recursive_spine_planted(spark, tmp_path):
+    """Three orders spanning Jan..Apr with February and March empty-ish:
+    the recursive spine must emit one row per calendar month INCLUSIVE
+    of empty months, zero-filled."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 10), "O", 100.0),
+            (2, 1, dt.datetime(2024, 1, 20), "O", 50.0),
+            (3, 2, dt.datetime(2024, 4, 5), "F", 25.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_orderstatus string, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/planted_rec/orders.parquet")
+    out = {
+        r["mon"].strftime("%Y-%m"): (r["n_orders"], r["total"])
+        for r in QUERIES["q_sql_recursive"](
+            spark, str(tmp_path / "planted_rec")
+        ).collect()
+    }
+    assert out == {
+        "2024-01": (2, 150.0),
+        "2024-02": (0, 0.0),
+        "2024-03": (0, 0.0),
+        "2024-04": (1, 25.0),
+    }
