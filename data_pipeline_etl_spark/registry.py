@@ -73,26 +73,10 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # (All r4/r5 entries pruned at r6 open: CORRECTNESS_r05.json graded every
 # one of them green post-touch, so each had expired by its own rule.)
 _FORCE_FRONT: dict[str, int] = {
-    # (r12 entries pruned at r13 open: CORRECTNESS_r12 graded all four
-    # post-touch callers — q_text_bpe_merge/train/apply +
-    # q_dedup_cluster — hash-green, so every entry expired by its own
-    # rule. Add only queries r13 touches.)
-    # round-13 touch: the disposition report is now TOTAL over the
-    # train doc set (ADVICE r12 — <2-token docs get a default keep row
-    # via a left join back to the train doc ids, engine + oracle in
-    # lockstep):
-    "q_decontaminate": 13,
-    # the doc->token join shape moved into the shared _bpe_doc_tokens
-    # helper (new q_text_bpe_decode inverts the same frame); encode's
-    # plan and values are unchanged (planted trajectory + plan pin),
-    # but touched-query discipline re-grades it regardless:
-    "q_text_bpe_encode": 13,
-    # bodies moved into frame-parameterized helpers (sketch_merge_for /
-    # kll_quantile_for) so the planted exact-mode pins can drive them
-    # with known frames; pure refactor, values unchanged, re-graded
-    # (rows-only) regardless:
-    "q_agg_sketch_merge": 13,
-    "q_agg_kll_quantile": 13,
+    # (r13 entries pruned at r14 open: CORRECTNESS_r13 graded all four
+    # post-touch queries — q_decontaminate, q_text_bpe_encode,
+    # q_agg_sketch_merge, q_agg_kll_quantile — green, so every entry
+    # expired by its own rule. Add only queries r14 touches.)
 }
 
 
