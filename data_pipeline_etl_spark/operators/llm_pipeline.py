@@ -1078,6 +1078,14 @@ def q_mix_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     free 1..N total order from one corpus scan, one properly-partitioned
     window shuffle, and one broadcast join — and the hash gate proves the
     two-phase plan equals the naive global formulation row for row.
+
+    The bucketed frame feeds BOTH phases (the counts branch and the join
+    probe), so it is localCheckpoint'ed (q_corpus_report pattern) —
+    without the barrier the documents parquet is scanned and tokenized
+    twice. The checkpoint holds the 4-int projection (text already
+    dropped), a small fraction of corpus bytes; it backs the RETURNED
+    frame, so it is never freed (checkpoints.free_local_checkpoint rule).
+    The plan test pins scan count == 1.
     """
     from pyspark.sql import Window
 
@@ -1090,7 +1098,7 @@ def q_mix_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bucket"),
         F.floor(F.col("doc_id") / 64).alias("rb"),
-    )
+    ).localCheckpoint()
     counts = b.groupBy("bucket", "rb").agg(F.count("*").alias("n"))
     # |buckets x ranges| rows: the documented metadata-scale single-
     # partition prefix-sum window (two-phase scan pattern)

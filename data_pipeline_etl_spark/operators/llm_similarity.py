@@ -2211,6 +2211,17 @@ def pca_power_for(e: DataFrame, k: int = _PCA_K) -> DataFrame:
     squares) and the renormalized vector, whose inputs are bit-identical
     on both engines, so every rounding decision is reproducible.
 
+    Residual dependency (ADVICE r13): the ladder's determinism still
+    rests on the UPSTREAM covariance doubles — covariance_for's sxy/sx
+    are order-dependent float sums rounded at 6 dp, so a decimal
+    half-boundary tie THERE would flip ci = round(cov * 1e6) and
+    reintroduce the nondeterminism this design fixed downstream.
+    Empirically pinned (repeat-run bit-identity + partition-invariance
+    tests) and unlikely for non-grid embedding data; if a future fixture
+    ships grid-aligned embeddings and the bit-identity pin starts
+    flaking, THIS sum — not the ladder — is where to look (the fix would
+    be carrying sxy/sx as exact micro-unit int64 too).
+
     Loop discipline (BPE-trainer pattern, llm_text._bpe_rounds): the
     mirrored covariance is localCheckpointed ONCE (that materialization
     is the only corpus pass), and each iteration eagerly checkpoints its

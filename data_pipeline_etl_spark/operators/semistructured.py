@@ -96,24 +96,38 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
-               AS sum_k,
-           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
-           CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER))
-                AS BIGINT) AS n_distinct_k,
-           CAST(sum(CASE WHEN json_extract(props, '$.missing') IS NULL
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_absent
-    FROM events
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           round(avg(k), 6) AS avg_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           CAST(sum(CASE WHEN missing IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_absent
+    FROM (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS INTEGER) END AS k,
+             CASE WHEN json_valid(props)
+                  THEN json_extract(props, '$.missing') END AS missing
+      FROM events
+    )
     GROUP BY event_type
     """,
 )
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Open-schema ingestion through the VARIANT type: `parse_json` the
-    event properties ONCE into a variant column, carry the variant
+    """Open-schema ingestion through the VARIANT type: `try_parse_json`
+    the event properties ONCE into a variant column, carry the variant
     through the groupBy shuffle, and probe fields with typed
     `variant_get` (present path) and `try_variant_get` (absent path —
     returns NULL instead of throwing, the semantics a schemaless 100 TB
     event firehose needs when producers add fields at will).
+
+    `try_parse_json` (not strict `parse_json`) is the parse-side half of
+    the same contract (ADVICE r13): a genuinely malformed payload — a
+    producer bug, a truncated write — becomes a NULL variant whose field
+    probes are NULL (counted in `n`, excluded from sum/avg/distinct)
+    instead of erroring the scan and killing the whole ingest job. The
+    oracle mirrors it with a `json_valid` guard (DuckDB's json_extract
+    is equally strict); the planted test feeds a truncated-JSON row
+    through both paths.
 
     Contrast with q_events_enrich (scans.py), which re-parses the JSON
     string per access via get_json_object: VARIANT is decoded to the
@@ -127,7 +141,7 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     int sum is exact (int64); the mean rounds at 6 dp on both engines.
     """
     e = table(spark, sf_dir, "events")
-    v = e.select("event_type", F.parse_json("props").alias("v"))
+    v = e.select("event_type", F.try_parse_json("props").alias("v"))
     k = F.variant_get("v", "$.k", "int")
     absent = F.try_variant_get("v", "$.missing", "string")
     return (

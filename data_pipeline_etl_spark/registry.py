@@ -77,6 +77,16 @@ _FORCE_FRONT: dict[str, int] = {
     # post-touch queries — q_decontaminate, q_text_bpe_encode,
     # q_agg_sketch_merge, q_agg_kll_quantile — green, so every entry
     # expired by its own rule. Add only queries r14 touches.)
+    # round-14 touch (ADVICE r13): the bucketed frame is now
+    # localCheckpoint'ed so documents parquet is scanned/tokenized once
+    # instead of twice (counts branch + join probe); values unchanged
+    # (plan-only), re-graded regardless:
+    "q_mix_curriculum": 14,
+    # round-14 touch (ADVICE r13): parse_json -> try_parse_json and a
+    # json_valid-guarded oracle — malformed payloads become NULL
+    # variants instead of erroring the scan; identical values on the
+    # all-valid fixtures, re-graded regardless:
+    "q_variant_extract": 14,
 }
 
 

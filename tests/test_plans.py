@@ -593,3 +593,7 @@ def test_mix_curriculum_no_global_window(spark):
     # the corpus row_number window partitions on BOTH keys
     m = re.search(r"windowspecdefinition\(bucket#\d+, rb#\d+L", plan)
     assert m, plan
+    # the bucketed frame is checkpointed so documents parquet is scanned
+    # (and tokenized) exactly once; both phases read the checkpoint
+    assert "FileScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan

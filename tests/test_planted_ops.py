@@ -4228,13 +4228,16 @@ def test_xml_roundtrip_null_field_planted(spark, tmp_path):
 
 
 def test_variant_extract_null_and_malformed_props(spark, tmp_path):
-    """NULL props and non-k payloads must flow through as NULL variant /
-    NULL field — counted in n, excluded from sum/avg/distinct — instead
-    of erroring the scan (the open-schema contract)."""
+    """NULL props, non-k payloads AND genuinely malformed JSON (a
+    truncated write) must flow through as NULL variant / NULL field —
+    counted in n, excluded from sum/avg/distinct — instead of erroring
+    the scan (the open-schema firehose contract: try_parse_json, not
+    strict parse_json)."""
     rows = [
         (1, "2024-01-01 00:00:00", 1, "click", 0.0, '{"k": 4}'),
         (2, "2024-01-01 00:00:01", 1, "click", 0.0, None),
         (3, "2024-01-01 00:00:02", 2, "click", 0.0, '{"other": true}'),
+        (4, "2024-01-01 00:00:03", 2, "click", 0.0, '{"k": 5'),  # truncated
     ]
     sf = str(tmp_path / "planted_variant_null")
     spark.createDataFrame(
@@ -4246,8 +4249,9 @@ def test_variant_extract_null_and_malformed_props(spark, tmp_path):
     ).parquet(f"{sf}/events.parquet")
     out = {r["event_type"]: r for r in QUERIES["q_variant_extract"](spark, sf).collect()}
     click = out["click"]
-    assert (click["n"], click["sum_k"], click["n_distinct_k"]) == (3, 4, 1)
+    assert (click["n"], click["sum_k"], click["n_distinct_k"]) == (4, 4, 1)
     assert abs(click["avg_k"] - 4.0) < 1e-9  # avg over the one non-NULL k
+    assert click["n_absent"] == 4  # no row has $.missing; malformed/NULL count too
 
 
 def test_sql_recursive_spine_planted(spark, tmp_path):
