@@ -2170,30 +2170,104 @@ def _pca_oracle(k: int = _PCA_K, final: str | None = None) -> str:
     nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM dims),
     v0 AS (SELECT dim, CAST(round(1000000 / sqrt(nd)) AS BIGINT) AS vi
            FROM dims CROSS JOIN nd)"""
-    steps = []
-    for r in range(1, k + 1):
-        steps.append(
-            f"""
-    w{r} AS MATERIALIZED (
-      SELECT f.i AS dim, CAST(sum(f.ci * v.vi) AS BIGINT) AS wi
-      FROM fm f JOIN v{r - 1} v ON f.j = v.dim GROUP BY f.i
-    ),
-    n{r} AS MATERIALIZED (
-      SELECT round(sqrt(CAST(sum(CAST(wi AS HUGEINT) * wi) AS DOUBLE))
-                   / 1e12, 6) AS nrm
-      FROM w{r}
-    ),
-    v{r} AS MATERIALIZED (
-      SELECT dim, CAST(round(CAST(wi AS DOUBLE) / 1e6 / nrm) AS BIGINT) AS vi
-      FROM w{r} CROSS JOIN n{r}
-    )"""
-        )
+    steps = _pca_ladder_steps("fm", "", k)
     if final is None:
         final = f"""
     SELECT v.dim, CAST(v.vi AS DOUBLE) / 1000000 AS loading, n.nrm AS lam
     FROM v{k} v CROSS JOIN n{k} n
     """
     return "WITH " + base + "," + ",".join(steps) + final
+
+
+def _pca_ladder_steps(
+    mat: str, pfx: str, k: int, ortho: str | None = None
+) -> list[str]:
+    """One (w, n, v) CTE triple per power-iteration round over matrix CTE
+    `mat`, names prefixed `w{pfx}r`/`n{pfx}r`/`v{pfx}r` so the PC1 ladder
+    (pfx='') and the deflated PC2 ladder (pfx='2_') coexist in one WITH.
+    Requires `v{pfx}0` to already be defined. With `ortho` (a prior
+    eigenvector CTE), each raw matvec is re-orthogonalized against it
+    before normalization — exact-int inner product in HUGEINT (the
+    engine's DECIMAL(38,0) twin), identical expression structure to
+    _pca_power_loop's projection (see its docstring for why deflation
+    alone fails on a near-degenerate spectrum)."""
+    steps = []
+    for r in range(1, k + 1):
+        if ortho is None:
+            steps.append(
+                f"""
+    w{pfx}{r} AS MATERIALIZED (
+      SELECT f.i AS dim, CAST(sum(f.ci * v.vi) AS BIGINT) AS wi
+      FROM {mat} f JOIN v{pfx}{r - 1} v ON f.j = v.dim GROUP BY f.i
+    )"""
+            )
+        else:
+            steps.append(
+                f"""
+    wr{pfx}{r} AS MATERIALIZED (
+      SELECT f.i AS dim, CAST(sum(f.ci * v.vi) AS BIGINT) AS wi
+      FROM {mat} f JOIN v{pfx}{r - 1} v ON f.j = v.dim GROUP BY f.i
+    ),
+    s{pfx}{r} AS MATERIALIZED (
+      SELECT CAST(sum(CAST(w.wi AS HUGEINT) * u.vi) AS DOUBLE) AS s
+      FROM wr{pfx}{r} w JOIN {ortho} u ON w.dim = u.dim
+    ),
+    w{pfx}{r} AS MATERIALIZED (
+      SELECT w.dim,
+             w.wi - CAST(round(s.s * u.vi / 1e12) AS BIGINT) AS wi
+      FROM wr{pfx}{r} w
+      JOIN {ortho} u ON w.dim = u.dim
+      CROSS JOIN s{pfx}{r} s
+    )"""
+            )
+        steps.append(
+            f"""
+    n{pfx}{r} AS MATERIALIZED (
+      SELECT round(sqrt(CAST(sum(CAST(wi AS HUGEINT) * wi) AS DOUBLE))
+                   / 1e12, 6) AS nrm
+      FROM w{pfx}{r}
+    ),
+    v{pfx}{r} AS MATERIALIZED (
+      SELECT dim, CAST(round(CAST(wi AS DOUBLE) / 1e6 / nrm) AS BIGINT) AS vi
+      FROM w{pfx}{r} CROSS JOIN n{pfx}{r}
+    )"""
+        )
+    return steps
+
+
+def _pca2_oracle(k: int = _PCA_K) -> str:
+    """PC2-by-deflation oracle: the PC1 ladder, then the micro-unit
+    rank-1 deflation (same single-IEEE-op expression structure as
+    pca_deflate_for — `nrm * CAST(vi_i * vi_j AS DOUBLE) / 1e6`, left-
+    associative on both engines), then a second unrolled ladder on the
+    deflated matrix, closing with the explained-variance split over the
+    exact integer trace. Shares _pca_oracle's base + _pca_ladder_steps
+    (CLAUDE.md: edit the generator, never a per-query copy)."""
+    pc1 = _pca_oracle(k, final="@@DEFLATE@@").split("@@DEFLATE@@")[0]
+    deflate = f""",
+    fm2 AS MATERIALIZED (
+      SELECT f.i, f.j,
+             f.ci - CAST(round(n.nrm * CAST(a.vi * b.vi AS DOUBLE) / 1e6)
+                         AS BIGINT) AS ci
+      FROM fm f
+      JOIN v{k} a ON f.i = a.dim
+      JOIN v{k} b ON f.j = b.dim
+      CROSS JOIN n{k} n
+    ),
+    v2_0 AS (SELECT dim, CAST(round(1000000 / sqrt(nd)) AS BIGINT) AS vi
+             FROM dims CROSS JOIN nd)"""
+    steps2 = _pca_ladder_steps("fm2", "2_", k, ortho=f"v{k}")
+    final = f"""
+    , tr AS (SELECT CAST(sum(ci) AS DOUBLE) / 1e6 AS tr FROM fm WHERE i = j)
+    SELECT v.dim,
+           CAST(v.vi AS DOUBLE) / 1000000 AS loading,
+           n2.nrm AS lam,
+           n1.nrm AS lam1,
+           round(n1.nrm / tr.tr, 6) AS evr1,
+           round(n2.nrm / tr.tr, 6) AS evr2
+    FROM v2_{k} v CROSS JOIN n2_{k} n2 CROSS JOIN n{k} n1 CROSS JOIN tr
+    """
+    return pc1 + deflate + "," + ",".join(steps2) + final
 
 
 def pca_power_for(e: DataFrame, k: int = _PCA_K) -> DataFrame:
@@ -2233,9 +2307,24 @@ def pca_power_for(e: DataFrame, k: int = _PCA_K) -> DataFrame:
     independent), so storage is O(k * d^2) regardless of corpus scale
     and the free_local_checkpoint discipline doesn't apply.
     """
+    full = _pca_micro_cov(e)
+    v, nrm = _pca_power_loop(full, k)
+    return v.crossJoin(F.broadcast(nrm)).select(
+        "dim",
+        (F.col("vi").cast("double") / F.lit(1e6)).alias("loading"),
+        F.col("nrm").alias("lam"),
+    )
+
+
+def _pca_micro_cov(e: DataFrame) -> DataFrame:
+    """Mirrored integer micro-unit covariance of an embedding frame —
+    the ONE corpus pass of every PCA query, localCheckpoint'ed so both
+    power-iteration consumers (PC1 ladder, and after deflation the PC2
+    ladder + trace) read the materialized d^2-row frame, never the
+    corpus."""
     cov = covariance_for(e)
     ci = F.round(F.col("cov") * 1e6).cast("bigint").alias("ci")
-    full = (
+    return (
         cov.select("dim_i", "dim_j", ci)
         .union(
             cov.where(F.col("dim_i") < F.col("dim_j")).select(
@@ -2246,6 +2335,27 @@ def pca_power_for(e: DataFrame, k: int = _PCA_K) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+def _pca_power_loop(full: DataFrame, k: int, ortho: DataFrame | None = None):
+    """`k` rounds of exact-int64 power iteration on a mirrored micro-unit
+    matrix (dim_i, dim_j, ci BIGINT). Returns the (d-row vector frame
+    with micro-unit `vi`, 1-row `nrm` frame) pair after round k — the
+    shared body of pca_power_for and pca_deflate_for (one loop, two
+    callers: the _bpe_rounds discipline).
+
+    With `ortho` (a prior micro-unit eigenvector frame), every matvec is
+    re-orthogonalized against it BEFORE normalization: w -= round(S * ui
+    / 1e12) per dim, where S = sum(wi * ui) is the exact integer inner
+    product (DECIMAL(38,0) here / HUGEINT in the oracle — the same
+    proven cast pairing as the norm's sum of squares). Deflation alone
+    is not enough on a near-degenerate spectrum: the k-round v1 is a
+    MIXTURE of close eigenvectors, so the deflated matrix's dominant
+    direction keeps a v1 component (measured cos(v1, v2) = -0.116 on
+    the near-isotropic fixture without this step; ~1e-6 with it). The
+    projection pins every iterate to the v1-orthogonal complement up to
+    one rounding, which is the textbook deflation-with-
+    reorthogonalization remedy."""
     dims = full.select(F.col("dim_i").alias("dim")).distinct()
     nd = dims.agg(F.count("*").alias("nd"))
     v = dims.crossJoin(F.broadcast(nd)).select(
@@ -2254,6 +2364,9 @@ def pca_power_for(e: DataFrame, k: int = _PCA_K) -> DataFrame:
     )
     w = nrm = None
     dec = "decimal(19,0)"
+    u = None
+    if ortho is not None:
+        u = ortho.select("dim", F.col("vi").alias("ui"))
     for _ in range(k):
         w = (
             full.join(F.broadcast(v), full.dim_j == v.dim)
@@ -2261,6 +2374,29 @@ def pca_power_for(e: DataFrame, k: int = _PCA_K) -> DataFrame:
             .agg(F.sum(F.col("ci") * F.col("vi")).alias("wi"))
             .localCheckpoint()
         )
+        if u is not None:
+            s = (
+                w.join(F.broadcast(u), "dim")
+                .agg(
+                    F.sum(F.col("wi").cast(dec) * F.col("ui").cast(dec))
+                    .cast("double")
+                    .alias("s")
+                )
+            )
+            w = (
+                w.join(F.broadcast(u), "dim")
+                .crossJoin(F.broadcast(s))
+                .select(
+                    "dim",
+                    (
+                        F.col("wi")
+                        - F.round(
+                            F.col("s") * F.col("ui") / F.lit(1e12)
+                        ).cast("bigint")
+                    ).alias("wi"),
+                )
+                .localCheckpoint()
+            )
         ss = F.sum(F.col("wi").cast(dec) * F.col("wi").cast(dec))
         nrm = w.agg(
             F.round(F.sqrt(ss.cast("double")) / F.lit(1e12), 6).alias("nrm")
@@ -2271,10 +2407,79 @@ def pca_power_for(e: DataFrame, k: int = _PCA_K) -> DataFrame:
             .cast("bigint")
             .alias("vi"),
         )
-    return v.crossJoin(F.broadcast(nrm)).select(
-        "dim",
-        (F.col("vi").cast("double") / F.lit(1e6)).alias("loading"),
-        F.col("nrm").alias("lam"),
+    return v, nrm
+
+
+def pca_deflate_for(e: DataFrame, k: int = _PCA_K) -> DataFrame:
+    """Second principal component by rank-1 deflation — the body of
+    :func:`q_embed_pca2`, frame-parameterized for the scaling probe and
+    the planted two-eigenvalue pin.
+
+    Deflation stays on the exact-integer grid: with PC1's micro-unit
+    vector v1 (vi1 = loading x 1e6, BIGINT) and its 6-dp eigenvalue
+    lam1, the deflated matrix is
+
+        ci2 = ci - round(lam1 * CAST(vi1_i * vi1_j AS DOUBLE) / 1e6)
+
+    i.e. cov2 = cov - lam1 * v1 v1^T in micro-units. The int64 product
+    vi1_i * vi1_j (<= 1e12) is exactly representable as a double, lam1
+    is the same 6-dp-rounded double on both engines, and the multiply/
+    divide/round chain is single IEEE ops on bit-identical inputs — so
+    ci2 is the same int64 on both engines and the SECOND power-iteration
+    ladder runs on exact integers again (same associativity in the
+    oracle: `nrm * CAST(a.vi * b.vi AS DOUBLE) / 1e6`). The
+    explained-variance split divides both 6-dp eigenvalues by the exact
+    trace (sum of diagonal micro-units / 1e6, int64-exact).
+
+    Scale: identical envelope to pca_power_for — the corpus is touched
+    exactly once (the shared _pca_micro_cov checkpoint); the deflation
+    join is d^2-row x broadcast d-row, and the second ladder adds k more
+    d^2-sized broadcast-join rounds. Everything after the covariance
+    pass is dimension-bound, so a 100x corpus changes only that first
+    pass. Residual caveat: v1 is the k-round ESTIMATE, so deflation
+    leaves O(gap^-k) variance along PC1 in cov2 — with real embedding
+    eigen-gaps that residual is orders below lam2 and the second ladder
+    converges to PC2, not the leftover (the planted two-eigenvalue test
+    pins exactly this).
+    """
+    full = _pca_micro_cov(e)
+    v1, n1 = _pca_power_loop(full, k)
+    a = v1.select(F.col("dim").alias("dim_i"), F.col("vi").alias("vi_i"))
+    b = v1.select(F.col("dim").alias("dim_j"), F.col("vi").alias("vi_j"))
+    full2 = (
+        full.join(F.broadcast(a), "dim_i")
+        .join(F.broadcast(b), "dim_j")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "dim_i",
+            "dim_j",
+            (
+                F.col("ci")
+                - F.round(
+                    F.col("nrm")
+                    * (F.col("vi_i") * F.col("vi_j")).cast("double")
+                    / F.lit(1e6)
+                ).cast("bigint")
+            ).alias("ci"),
+        )
+        .localCheckpoint()
+    )
+    v2, n2 = _pca_power_loop(full2, k, ortho=v1)
+    tr = full.where(F.col("dim_i") == F.col("dim_j")).agg(
+        (F.sum("ci").cast("double") / F.lit(1e6)).alias("tr")
+    )
+    return (
+        v2.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n1.select(F.col("nrm").alias("lam1"))))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "dim",
+            (F.col("vi").cast("double") / F.lit(1e6)).alias("loading"),
+            F.col("nrm").alias("lam"),
+            F.col("lam1"),
+            F.round(F.col("lam1") / F.col("tr"), 6).alias("evr1"),
+            F.round(F.col("nrm") / F.col("tr"), 6).alias("evr2"),
+        )
     )
 
 
@@ -2342,3 +2547,24 @@ def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (F.round(dot64("embedding", "pc"), 6) + F.lit(0.0)).alias("pc1"),
     )
+
+
+@query("q_embed_pca2", oracle=_pca2_oracle())
+def q_embed_pca2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal component + explained-variance split via rank-1
+    deflation — what an embedding-diagnostics user reads AFTER
+    q_embed_pca: is the corpus effectively one-dimensional (evr1 >>
+    evr2, e.g. a collapsed or template-dominated embedding space), or is
+    there real structure along a second axis worth keeping before
+    quantization / 1-D curriculum binning? Returns PC2's per-dim
+    loadings, both eigenvalue estimates (lam, lam1) and both variance
+    ratios against the exact covariance trace.
+
+    The deflation subtracts lam1 * v1 v1^T from the micro-unit
+    covariance in exact int64 (see pca_deflate_for for the full numeric
+    argument) and re-runs the SAME power-iteration loop — proving the
+    exact-integer machinery generalizes beyond one eigenvector. Scale:
+    identical to q_embed_pca — one corpus pass (the shared covariance
+    checkpoint), everything else d- or d^2-sized broadcast joins.
+    """
+    return pca_deflate_for(table(spark, sf_dir, "embeddings"))

@@ -87,6 +87,13 @@ _FORCE_FRONT: dict[str, int] = {
     # variants instead of erroring the scan; identical values on the
     # all-valid fixtures, re-graded regardless:
     "q_variant_extract": 14,
+    # round-14 touch: pca_power_for's body split into the shared
+    # _pca_micro_cov + _pca_power_loop helpers so the new q_embed_pca2
+    # deflation reuses one loop; values byte-identical (PC1 oracle
+    # regeneration pinned identical, parity re-run), re-graded
+    # regardless per the touched-query discipline:
+    "q_embed_pca": 14,
+    "q_embed_pca_project": 14,
 }
 
 

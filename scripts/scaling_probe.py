@@ -261,6 +261,19 @@ def main() -> int:
             F.round(F.sum(F.abs("loading")), 6).alias("l1_mass"),
         )
 
+    def pca2_case(edf):
+        # PC2 by deflation + reorthogonalization: corpus cost is STILL
+        # the one covariance pass (shared checkpoint); the second k=6
+        # ladder and the per-round projection are d-/d^2-sized, so the
+        # slope should track embed_pca's
+        from data_pipeline_etl_spark.operators.llm_similarity import pca_deflate_for
+
+        return pca_deflate_for(edf).agg(
+            F.count("*").alias("n_dims"),
+            F.round(F.max("lam"), 6).alias("lam2"),
+            F.round(F.max("evr2"), 6).alias("evr2"),
+        )
+
     def pqenc(edf):
         # corpus-side PQ encode (the at-scale cost of q_sim_pq_adc; the
         # ADC scoring joins are shortlist-sized). Codebook = the declared
@@ -438,6 +451,7 @@ def main() -> int:
         "substr_spans": lambda L, O, E, D, V: substr(D),
         "cov_matrix": lambda L, O, E, D, V: covm(E),
         "embed_pca": lambda L, O, E, D, V: pca_case(E),
+        "embed_pca2": lambda L, O, E, D, V: pca2_case(E),
         "bigram_lm": lambda L, O, E, D, V: bigram(D),
         "pq_encode": lambda L, O, E, D, V: pqenc(E),
         "basket_aff": lambda L, O, E, D, V: basket(L),

@@ -556,17 +556,21 @@ def test_corpus_report_single_scan_no_explode(spark):
 
 
 def test_pca_iterations_read_checkpoint_not_corpus(spark):
-    """q_embed_pca's returned frame is the LAST power-iteration step: it
-    must read the d-row matvec checkpoint (Scan ExistingRDD), never the
-    embeddings parquet — the corpus pass happened exactly once, at the
-    mirrored-covariance checkpoint. All iteration joins are broadcasts
-    (d- and 1-row frames); an exchange-based join here would mean the
-    loop shuffles dimension-sized frames k times for nothing."""
-    plan = _plan(QUERIES["q_embed_pca"](spark, SF_DIR))
-    assert "FileScan parquet" not in plan, plan
-    assert "Scan ExistingRDD" in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    """q_embed_pca's (and q_embed_pca2's) returned frame is the LAST
+    power-iteration step: it must read the d-row matvec checkpoint
+    (Scan ExistingRDD), never the embeddings parquet — the corpus pass
+    happened exactly once, at the mirrored-covariance checkpoint. All
+    iteration joins are broadcasts (d- and 1-row frames); an
+    exchange-based join here would mean the loop shuffles
+    dimension-sized frames k times for nothing."""
+    for name in ("q_embed_pca", "q_embed_pca2"):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "FileScan parquet" not in plan, (name, plan)
+        assert "Scan ExistingRDD" in plan, (name, plan)
+        assert (
+            "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        ), (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
 
 
 def test_semistructured_single_scan_jvm_side(spark):

@@ -4084,6 +4084,48 @@ def test_embed_pca_rank1_planted(spark, tmp_path):
     assert abs(out[0]["lam"] - 5.0) < 2e-6
 
 
+def test_embed_pca2_two_eigenvalue_planted(spark, tmp_path):
+    """Planted TWO-eigenvalue spectrum: vectors a*u + b*w with
+    orthonormal u = (0.6, 0.8, 0, ...), w = (-0.8, 0.6, 0, ...) and
+    coefficient columns a = (-3,-1,0,1,3), b = (1,-1,0,-1,1) chosen so
+    sum(a) = sum(b) = sum(a*b) = 0 — giving cov = 5 u u^T + 1 w w^T
+    exactly (entries 2.44 / 1.92 / 3.56, exact on the 6-dp grid; trace
+    6.0). PC1 must be +u with lam1 = 5 (sign fixed by u.v0 > 0); after
+    deflation + reorthogonalization PC2 must be the w axis with lam = 1,
+    sign fixed to -w = (0.8, -0.6) by w.v2_0 < 0; the variance split is
+    5/6 and 1/6 of the trace. The two returned axes must be orthogonal
+    at rounding scale."""
+    u = [0.6, 0.8] + [0.0] * 62
+    w = [-0.8, 0.6] + [0.0] * 62
+    ab = [(-3, 1), (-1, -1), (0, 0), (1, -1), (3, 1)]
+    rows = [
+        (int(i), [float(a * uc + b * wc) for uc, wc in zip(u, w)], 0)
+        for i, (a, b) in enumerate(ab)
+    ]
+    sf = str(tmp_path / "planted_pca2")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    pc1 = {r["dim"]: r for r in QUERIES["q_embed_pca"](spark, sf).collect()}
+    out = {r["dim"]: r for r in QUERIES["q_embed_pca2"](spark, sf).collect()}
+    assert len(out) == 64
+    # PC1 is +u, untouched by the deflation machinery
+    assert abs(pc1[0]["loading"] - 0.6) < 1e-4
+    assert abs(pc1[1]["loading"] - 0.8) < 1e-4
+    # PC2 is the w axis, sign -w from the all-positive start
+    assert abs(out[0]["loading"] - 0.8) < 1e-4
+    assert abs(out[1]["loading"] - (-0.6)) < 1e-4
+    for d in range(2, 64):
+        assert abs(out[d]["loading"]) < 1e-4, d
+    r0 = out[0]
+    assert abs(r0["lam1"] - 5.0) < 1e-5
+    assert abs(r0["lam"] - 1.0) < 1e-5
+    assert abs(r0["evr1"] - 5.0 / 6.0) < 2e-6
+    assert abs(r0["evr2"] - 1.0 / 6.0) < 2e-6
+    dot = sum(pc1[d]["loading"] * out[d]["loading"] for d in range(64))
+    assert abs(dot) < 1e-4, dot
+
+
 def test_xml_roundtrip_planted(spark, tmp_path):
     """The XML codec must survive entity escaping and shortest-roundtrip
     double formatting: statuses contain <, &, > and quotes; prices

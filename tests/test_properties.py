@@ -432,6 +432,10 @@ def test_results_invariant_under_shuffle_partitioning(spark):
         "q_embed_pca",
         "q_mix_curriculum",
         "q_corpus_report",
+        # r14: the deflated+reorthogonalized second ladder inherits the
+        # same exact-int invariance (projection inner product is an
+        # exact DECIMAL(38,0) sum, no fold order)
+        "q_embed_pca2",
     ]
 
     def run_all():
@@ -953,6 +957,48 @@ def test_embed_pca_repeat_run_bit_identical(spark):
         rows = QUERIES["q_embed_pca"](spark, SF_DIR).collect()
         runs.append(sorted((r["dim"], repr(r["loading"]), repr(r["lam"])) for r in rows))
     assert runs[0] == runs[1]
+
+
+def test_embed_pca2_orthogonal_and_bit_identical(spark):
+    """PC2 contract on the real fixture: (a) the deflated+reorthogonal-
+    ized second component is orthogonal to PC1 — per-round exact-int
+    projection pins every iterate to the v1-complement up to one
+    rounding, so |cos| stays at the 1e-6 scale even on this
+    near-isotropic corpus where plain deflation measured |cos| = 0.116
+    (the v1-mixture failure mode, see _pca_power_loop's docstring);
+    (b) the eigenvalue estimates are ordered (lam1 >= lam) and the
+    variance split is consistent with them against the exact trace;
+    (c) two independent constructions agree to the BIT on every column
+    (the same exact-int determinism pin as PC1)."""
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    v1 = {r["dim"]: r["loading"] for r in QUERIES["q_embed_pca"](spark, SF_DIR).collect()}
+    runs = []
+    for _ in range(2):
+        rows = QUERIES["q_embed_pca2"](spark, SF_DIR).collect()
+        runs.append(
+            sorted(
+                (
+                    r["dim"],
+                    repr(r["loading"]),
+                    repr(r["lam"]),
+                    repr(r["lam1"]),
+                    repr(r["evr1"]),
+                    repr(r["evr2"]),
+                )
+                for r in rows
+            )
+        )
+    assert runs[0] == runs[1]
+    r0 = rows[0]
+    assert r0["lam1"] >= r0["lam"] > 0
+    assert 0 < r0["evr2"] <= r0["evr1"] < 1
+    # evr ratio consistent with the eigenvalue ratio (same trace divisor)
+    assert abs(r0["evr1"] / r0["evr2"] - r0["lam1"] / r0["lam"]) < 1e-3
+    v2 = {r["dim"]: r["loading"] for r in rows}
+    dot = sum(v1[d] * v2[d] for d in v1)
+    assert abs(dot) < 1e-4, dot
 
 
 def test_corpus_report_algebra(spark):
