@@ -60,6 +60,22 @@ def roundtrip_xml(
     )
 
 
+def roundtrip_variant(df: DataFrame, spark: SparkSession, out_dir: str) -> DataFrame:
+    """Parquet write + read-back of a frame carrying VARIANT columns —
+    the PHYSICAL half of the open-schema story q_variant_extract proves
+    in memory: Spark 4 stores VariantType as the Parquet variant binary
+    encoding (metadata + value byte pair), so the read-back is a
+    byte-offset-probe column again, never a re-parse of JSON text. At
+    100 TB this is the lakehouse storage path for schemaless event
+    props: parse once at ingest (try_parse_json), pay binary probes
+    forever after, keep producer-added fields without schema migration.
+    The read pins no schema — parquet carries the variant logical type,
+    and the assertion that it arrives back AS VariantType (not string /
+    struct) is part of the test contract."""
+    df.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir)
+
+
 # Manifest fingerprint algorithm version. v1 was plain bit_xor(xxhash64(line))
 # (even-count duplicate lines XOR-cancel); v2 salts the hash with the
 # within-shard line count, closing that blind spot. The version rides in

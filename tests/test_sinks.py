@@ -369,3 +369,44 @@ def test_xml_file_roundtrip_doubles_and_escapes(spark, tmp_path):
     back = sinks.roundtrip_xml(src, spark, out)
     assert back.schema == src.schema
     assert _multiset(back, src.columns) == _multiset(src, src.columns)
+
+
+def test_variant_parquet_roundtrip(spark, tmp_path):
+    """VARIANT survives the Parquet storage path as the variant LOGICAL
+    TYPE (the shredded binary encoding), not a string or struct
+    downgrade: heterogeneous per-row schemas, nested arrays/objects,
+    a NULL variant (from a malformed payload via try_parse_json) and
+    typed field probes must all read back exactly — the physical half
+    of q_variant_extract's open-schema contract."""
+    from pyspark.sql.types import VariantType
+
+    rows = [
+        (1, '{"k": 4, "s": "x"}'),
+        (2, '{"k": 7, "arr": [1, {"deep": true}]}'),
+        (3, '{"other": 1.5}'),  # no k: typed probe must be NULL
+        (4, None),
+        (5, '{"k": 9'),  # malformed: NULL variant via try_parse_json
+    ]
+    src = spark.createDataFrame(rows, "id long, props string").select(
+        "id", F.try_parse_json("props").alias("v")
+    )
+    out = str(tmp_path / "var_parquet")
+    back = sinks.roundtrip_variant(src, spark, out)
+    assert isinstance(back.schema["v"].dataType, VariantType)
+
+    def probe(df):
+        return df.select(
+            "id",
+            F.variant_get("v", "$.k", "int").alias("k"),
+            F.try_variant_get("v", "$.arr[1].deep", "boolean").alias("deep"),
+            F.to_json("v").alias("j"),
+        )
+
+    assert _multiset(probe(back), ["id", "k", "deep", "j"]) == _multiset(
+        probe(src), ["id", "k", "deep", "j"]
+    )
+    got = {r["id"]: r for r in probe(back).collect()}
+    assert got[1]["k"] == 4 and got[2]["k"] == 7
+    assert got[2]["deep"] is True
+    assert got[3]["k"] is None and got[3]["j"] == '{"other":1.5}'
+    assert got[4]["j"] is None and got[5]["j"] is None
