@@ -1187,6 +1187,57 @@ def _bpe_encode_oracle(k: int) -> str:
     )
 
 
+def _bpe_fertility_oracle(k: int) -> str:
+    """Per-lang FERTILITY oracle: the shared ladder in sentinel mode,
+    then per-word token counts (no id table needed — fertility is a
+    count metric), the lang-carrying word explode, one per-lang
+    aggregate, and the totality left-join from the per-lang doc counts
+    (a lang with only whitespace-only docs gets a 0/NULL row, never a
+    missing one). chars-per-token divides word lengths, exact because
+    BPE tokens partition each word's characters."""
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_oracle_ladder(k, tokenize=True))
+        + f""",
+    wt AS (
+      SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS w_toks
+      FROM seq{k + 1}
+    ),
+    dwords AS (
+      SELECT d.lang, d.arr[g.i] AS w
+      FROM (SELECT lang, string_split_regex(lower(text), '\\s+') AS arr
+            FROM documents) d,
+           unnest(generate_series(1, len(d.arr))) AS g(i)
+      WHERE length(d.arr[g.i]) > 0
+    ),
+    per_lang AS (
+      SELECT wo.lang,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(wt.w_toks) AS BIGINT) AS n_tokens,
+             CAST(sum(length(wo.w)) AS BIGINT) AS n_chars
+      FROM dwords wo JOIN wt ON wo.w = wt.w
+      GROUP BY wo.lang
+    ),
+    dl AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    )
+    SELECT dl.lang,
+           dl.n_docs,
+           coalesce(p.n_words, CAST(0 AS BIGINT)) AS n_words,
+           coalesce(p.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+           CASE WHEN coalesce(p.n_words, CAST(0 AS BIGINT)) = 0 THEN NULL
+                ELSE round(CAST(p.n_tokens AS DOUBLE)
+                           / CAST(p.n_words AS DOUBLE), 6)
+           END AS fertility,
+           CASE WHEN coalesce(p.n_tokens, CAST(0 AS BIGINT)) = 0 THEN NULL
+                ELSE round(CAST(p.n_chars AS DOUBLE)
+                           / CAST(p.n_tokens AS DOUBLE), 6)
+           END AS chars_per_token
+    FROM dl LEFT JOIN per_lang p ON dl.lang = p.lang"""
+    )
+
+
 def _bpe_vocab_table_oracle(k: int) -> str:
     """Token-vocabulary-report oracle: the shared ladder in sentinel
     mode, then one explode + one aggregate over the tokenized vocab
@@ -1325,6 +1376,72 @@ def bpe_encode_for(docs: DataFrame, k: int) -> DataFrame:
             ",",
         ).alias("head_ids"),
     ).select("doc_id", "n_words", "n_chars", "n_tokens", "head_ids")
+
+
+def bpe_fertility_for(docs: DataFrame, k: int) -> DataFrame:
+    """Per-language tokenizer FERTILITY report for a ``(doc_id, lang,
+    text)`` corpus under its own k-merge BPE tokenizer: tokens per
+    whitespace word (the fertility metric tokenizer evaluations are
+    built on — a lang whose fertility runs high is paying more context
+    window per word) and characters per token (the compression the
+    merges bought), plus exact doc/word/token volumes.
+
+    No token ids are needed — fertility is a pure COUNT metric — so the
+    shape is lighter than encode: the merge loop runs |vocab|-sized
+    behind checkpoints (``bpe_apply_for``), per-word token counts
+    broadcast onto ONE lang-carrying word explode of the corpus, and
+    everything reduces in a single |langs|-group aggregate.
+    chars-per-token sums ``length(w)`` directly — exact because BPE
+    tokens partition each word's characters (the bpe_encode_for
+    invariant), so no per-token explode is ever built. The report is
+    TOTAL over languages (q_decontaminate discipline): a lang whose
+    docs are all whitespace-only keeps its doc count with NULL ratios
+    via the left-join from the lang-pruned doc-count scan.
+
+    Float discipline: the two ratios are single IEEE divisions of exact
+    int64 sums (bit-identical on both engines), rounded at 6 dp; the
+    zero-word/zero-token guards are CASE NULLs in lockstep with the
+    oracle."""
+    toks = bpe_apply_for(_bpe_vocab_of(docs), k)
+    wtoks = toks.select(
+        "w", F.size(F.split("seq", " ")).cast("long").alias("w_toks")
+    )
+    words = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).where(F.length("w") > 0)
+    per_lang = (
+        words.join(F.broadcast(wtoks), "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("w_toks").cast("long").alias("n_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+    )
+    dl = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    zero = F.lit(0).cast("long")
+    return dl.join(per_lang, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_words", zero).alias("n_words"),
+        F.coalesce("n_tokens", zero).alias("n_tokens"),
+        F.when(F.coalesce("n_words", zero) == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words").cast("double"),
+                6,
+            )
+        )
+        .alias("fertility"),
+        F.when(F.coalesce("n_tokens", zero) == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            )
+        )
+        .alias("chars_per_token"),
+    )
 
 
 def _bpe_doc_tokens(docs: DataFrame, k: int):
@@ -1778,4 +1895,26 @@ def q_text_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape."""
     return bpe_decode_for(
         table(spark, sf_dir, "documents").select("doc_id", "text"), 4
+    )
+
+
+@query("q_text_bpe_fertility", oracle=_bpe_fertility_oracle(4))
+def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language FERTILITY of the k=4 tokenizer — the evaluation
+    panel a tokenizer build is judged on before a model ever trains:
+    tokens per whitespace word by language (high-fertility languages
+    pay more context window per word — the metric multilingual data
+    mixes are rebalanced on) and characters per token (the compression
+    the merge budget bought), over exact doc/word/token volumes.
+
+    Rides the SAME trained tokenizer as the bpe apply/encode/vocab/
+    decode family (one merge loop, one vocabulary — a fertility number
+    from a drifted second tokenizer would be unusable), but skips the
+    token-id machinery entirely: counts broadcast from the |vocab|-row
+    tokenized frame onto one lang-carrying corpus explode, one
+    |langs|-group aggregate, and a totality left-join from the
+    lang-pruned doc counts. See :func:`bpe_fertility_for` for the
+    100 TB shape."""
+    return bpe_fertility_for(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text"), 4
     )

@@ -94,6 +94,8 @@ _FORCE_FRONT: dict[str, int] = {
     # regardless per the touched-query discipline:
     "q_embed_pca": 14,
     "q_embed_pca_project": 14,
+    # (q_embed_pca2 and q_text_bpe_fertility are NEW in r14 — never
+    # graded, so they auto-front at r0 without an entry here.)
 }
 
 

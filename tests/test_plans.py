@@ -452,6 +452,21 @@ def test_bpe_decode_plan_shape(spark):
     assert plan.count("text:string") == 1, plan
 
 
+def test_bpe_fertility_plan_shape(spark):
+    """q_text_bpe_fertility's 100 TB contract: the corpus TEXT is
+    exploded exactly once (one full-width scan), per-word token counts
+    come in by one broadcast join from the checkpoint-backed tokenized
+    vocab (no token-id machinery, no per-token explode), and the only
+    shuffle join is the |langs|-sized totality left-join whose probe
+    side is a lang-pruned second scan."""
+    plan = _plan(QUERIES["q_text_bpe_fertility"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("text:string") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    shuffle_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert shuffle_joins == 1, (shuffle_joins, plan)
+
+
 def test_bpe_checkpoint_storage_bounded(spark):
     """Superseded vocab checkpoints are freed FOR REAL each round
     (ADVICE r11: ``DataFrame.unpersist()`` on a localCheckpoint frame is

@@ -4084,6 +4084,41 @@ def test_embed_pca_rank1_planted(spark, tmp_path):
     assert abs(out[0]["lam"] - 5.0) < 2e-6
 
 
+def test_bpe_fertility_planted(spark, tmp_path):
+    """Hand-derived k=4 trajectory: vocab {ab:3, stuv:2, qr:1} -> pairs
+    (a,b):3 / (s,t),(t,u),(u,v):2 / (q,r):1. Merge 1 takes (a,b); merge
+    2 breaks the freq-2 tie lexicographically to (s,t); merges 3-4 fuse
+    'st u v' -> 'stuv'. The merge budget exhausts before (q,r), so qr
+    alone stays 2 tokens: en = 4 words / 4 tokens / 10 chars
+    (fertility 1.0, chars_per_token 2.5), de = 2 words / 3 tokens /
+    6 chars (1.5, 2.0), and the whitespace-only lang zz keeps its doc
+    count with NULL ratios (totality)."""
+    rows = [
+        (1, "en", "ab ab"),
+        (2, "en", "ab stuv"),
+        (3, "de", "qr stuv"),
+        (4, "zz", "   "),
+    ]
+    sf = str(tmp_path / "planted_fertility")
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {
+        r["lang"]: r
+        for r in QUERIES["q_text_bpe_fertility"](spark, sf).collect()
+    }
+    assert set(out) == {"en", "de", "zz"}
+    en = out["en"]
+    assert (en["n_docs"], en["n_words"], en["n_tokens"]) == (2, 4, 4)
+    assert en["fertility"] == 1.0 and en["chars_per_token"] == 2.5
+    de = out["de"]
+    assert (de["n_docs"], de["n_words"], de["n_tokens"]) == (1, 2, 3)
+    assert de["fertility"] == 1.5 and de["chars_per_token"] == 2.0
+    zz = out["zz"]
+    assert (zz["n_docs"], zz["n_words"], zz["n_tokens"]) == (1, 0, 0)
+    assert zz["fertility"] is None and zz["chars_per_token"] is None
+
+
 def test_embed_pca2_two_eigenvalue_planted(spark, tmp_path):
     """Planted TWO-eigenvalue spectrum: vectors a*u + b*w with
     orthonormal u = (0.6, 0.8, 0, ...), w = (-0.8, 0.6, 0, ...) and

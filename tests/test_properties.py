@@ -959,6 +959,25 @@ def test_embed_pca_repeat_run_bit_identical(spark):
     assert runs[0] == runs[1]
 
 
+def test_bpe_fertility_lockstep_with_encode(spark):
+    """Family-lockstep pin: q_text_bpe_fertility and q_text_bpe_encode
+    run the SAME k=4 tokenizer (one merge loop, one vocabulary), so
+    their corpus-wide word and token totals must agree exactly even
+    though fertility never builds the per-token frame — a drifted
+    second tokenizer or a changed explode would break the equality."""
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    fert = QUERIES["q_text_bpe_fertility"](spark, SF_DIR).collect()
+    enc = QUERIES["q_text_bpe_encode"](spark, SF_DIR).collect()
+    assert sum(r["n_words"] for r in fert) == sum(r["n_words"] for r in enc)
+    assert sum(r["n_tokens"] for r in fert) == sum(r["n_tokens"] for r in enc)
+    for r in fert:
+        if r["fertility"] is not None:
+            assert r["fertility"] >= 1.0  # BPE never splits below 1 tok/word
+            assert r["chars_per_token"] >= 1.0
+
+
 def test_embed_pca2_orthogonal_and_bit_identical(spark):
     """PC2 contract on the real fixture: (a) the deflated+reorthogonal-
     ized second component is orthogonal to PC1 — per-round exact-int
