@@ -305,6 +305,81 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINDOW = 64  # context-window token budget for the truncation report
+
+
+@query(
+    "q_pack_truncation",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN nt > {_WINDOW} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truncated,
+           CAST(sum(greatest(nt - {_WINDOW}, 0)) AS BIGINT) AS tokens_lost,
+           round(CAST(sum(greatest(nt - {_WINDOW}, 0)) AS DOUBLE)
+                 / CAST(sum(nt) AS DOUBLE), 6) AS frac_lost,
+           CAST(sum((nt + {_WINDOW} - 1) // {_WINDOW}) AS BIGINT)
+               AS n_segments,
+           CAST(sum((nt + {_WINDOW} - 1) // {_WINDOW}) * {_WINDOW} - sum(nt)
+                AS BIGINT) AS pad_waste,
+           round(CAST(sum((nt + {_WINDOW} - 1) // {_WINDOW}) * {_WINDOW}
+                      - sum(nt) AS DOUBLE)
+                 / CAST(sum((nt + {_WINDOW} - 1) // {_WINDOW}) * {_WINDOW}
+                        AS DOUBLE), 6) AS frac_pad
+    FROM sized
+    GROUP BY source
+    """,
+)
+def q_pack_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window budget report at W=64 tokens — the two-sided
+    accounting a sequence-length decision is actually made on, per
+    source: if documents are TRUNCATED to one window, how many tokens
+    are lost (`tokens_lost`, `frac_lost`); if they are instead SPLIT
+    into ceil(nt/W) segments, how much padding is wasted (`pad_waste`,
+    `frac_pad` of the padded token grid). A source with high frac_lost
+    wants splitting; one with high frac_pad wants packing
+    (q_pack_bins); the pair of fractions is the decision input.
+
+    Everything is exact integer arithmetic — the segment count is the
+    int ceil division (nt + W - 1) div W, never a float ceil — folded
+    map-side into ONE partial+final HashAggregate on |source| groups:
+    single corpus scan, shuffle carries only aggregate states, nothing
+    per-segment is ever materialized (contrast q_text_chunk, which
+    explodes real chunks). The two fractions are single IEEE divisions
+    of exact int64 sums, rounded at 6 dp; denominators are >= n_docs
+    >= 1 per group by construction (size(split(...)) is >= 1 even for
+    empty text on both engines), so no zero guard is needed.
+    """
+    d = table(spark, sf_dir, "documents")
+    nt = F.size(F.split("text", " ")).cast("long")
+    segs = F.expr(f"(nt + {_WINDOW} - 1) div {_WINDOW}")
+    sized = d.select("source", nt.alias("nt"))
+    lost = F.sum(F.greatest(F.col("nt") - _WINDOW, F.lit(0)))
+    grid = F.sum(segs) * _WINDOW
+    return sized.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("tokens_total"),
+        F.sum(F.when(F.col("nt") > _WINDOW, 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated"),
+        lost.cast("long").alias("tokens_lost"),
+        F.round(
+            lost.cast("double") / F.sum("nt").cast("double"), 6
+        ).alias("frac_lost"),
+        F.sum(segs).cast("long").alias("n_segments"),
+        (grid - F.sum("nt")).cast("long").alias("pad_waste"),
+        F.round(
+            (grid - F.sum("nt")).cast("double") / grid.cast("double"), 6
+        ).alias("frac_pad"),
+    )
+
+
 @query(
     "q_funnel",
     oracle="""

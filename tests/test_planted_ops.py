@@ -4084,6 +4084,39 @@ def test_embed_pca_rank1_planted(spark, tmp_path):
     assert abs(out[0]["lam"] - 5.0) < 2e-6
 
 
+def test_pack_truncation_planted(spark, tmp_path):
+    """Hand-computed W=64 budget report: source a = docs of 100 and 64
+    tokens (one truncated, 36 tokens lost of 164; split = 3 segments on
+    a 192-token grid wasting 28), source b = docs of 1 and 65 tokens
+    (one truncated by exactly ONE token — the boundary case; split
+    wastes 126 of 192). Exercises nt == W (no truncation, zero pad),
+    nt = W + 1 (the off-by-one edge) and the int-ceil segment count."""
+    rows = [
+        (1, "a", " ".join(["t"] * 100)),
+        (2, "a", " ".join(["t"] * 64)),
+        (3, "b", "x"),
+        (4, "b", " ".join(["t"] * 65)),
+    ]
+    sf = str(tmp_path / "planted_trunc")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {
+        r["source"]: r
+        for r in QUERIES["q_pack_truncation"](spark, sf).collect()
+    }
+    a = out["a"]
+    assert (a["n_docs"], a["tokens_total"], a["n_truncated"]) == (2, 164, 1)
+    assert (a["tokens_lost"], a["n_segments"], a["pad_waste"]) == (36, 3, 28)
+    assert a["frac_lost"] == round(36 / 164, 6)
+    assert a["frac_pad"] == round(28 / 192, 6)
+    b = out["b"]
+    assert (b["n_docs"], b["tokens_total"], b["n_truncated"]) == (2, 66, 1)
+    assert (b["tokens_lost"], b["n_segments"], b["pad_waste"]) == (1, 3, 126)
+    assert b["frac_lost"] == round(1 / 66, 6)
+    assert b["frac_pad"] == round(126 / 192, 6)
+
+
 def test_bpe_fertility_planted(spark, tmp_path):
     """Hand-derived k=4 trajectory: vocab {ab:3, stuv:2, qr:1} -> pairs
     (a,b):3 / (s,t),(t,u),(u,v):2 / (q,r):1. Merge 1 takes (a,b); merge
