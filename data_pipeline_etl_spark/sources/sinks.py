@@ -60,6 +60,30 @@ def roundtrip_xml(
     )
 
 
+def write_bucketed(
+    df: DataFrame, n_buckets: int, key: str, path: str, table_name: str
+) -> DataFrame:
+    """Persist a frame hash-bucketed (and sorted) on `key` and return the
+    catalog-backed read — the storage layout that makes repeated joins
+    and aggregations on `key` SHUFFLE-FREE: two tables bucketed with the
+    same bucket count co-locate matching keys per bucket file, so the
+    join plan carries ZERO Exchange on either side (pinned in
+    tests/test_sinks.py). At 100 TB this is the difference between
+    re-shuffling a fact table for every join against its dimension and
+    paying the shuffle ONCE at write time — the layout the dedup-store
+    docstrings (llm_dedup.py: 'bucketed by band_key') assume; Spark
+    needs a catalog entry for bucket metadata, hence saveAsTable with an
+    explicit external path rather than a bare parquet write."""
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    return df.sparkSession.table(table_name)
+
+
 def roundtrip_variant(df: DataFrame, spark: SparkSession, out_dir: str) -> DataFrame:
     """Parquet write + read-back of a frame carrying VARIANT columns —
     the PHYSICAL half of the open-schema story q_variant_extract proves

@@ -371,6 +371,38 @@ def test_xml_file_roundtrip_doubles_and_escapes(spark, tmp_path):
     assert _multiset(back, src.columns) == _multiset(src, src.columns)
 
 
+def test_bucketed_join_shuffle_free(spark, tmp_path):
+    """The co-located-join storage layout: orders and customer written
+    bucketed+sorted on the join key with the SAME bucket count must join
+    with ZERO Exchange on either side (the shuffle was paid once at
+    write time — the 100 TB fact/dimension pattern the dedup-store
+    docstrings assume), and the shuffle-free plan must produce exactly
+    the same multiset as the plain shuffled join."""
+    orders = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo = sinks.write_bucketed(
+            orders, 8, "o_custkey", str(tmp_path / "bo"), "t_skbj_orders"
+        )
+        bc = sinks.write_bucketed(
+            cust, 8, "o_custkey", str(tmp_path / "bc"), "t_skbj_cust"
+        )
+        j = bo.join(bc, "o_custkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        cols = ["o_orderkey", "o_custkey", "c_name"]
+        assert _multiset(j, cols) == _multiset(orders.join(cust, "o_custkey"), cols)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_skbj_orders")
+        spark.sql("DROP TABLE IF EXISTS t_skbj_cust")
+
+
 def test_variant_parquet_roundtrip(spark, tmp_path):
     """VARIANT survives the Parquet storage path as the variant LOGICAL
     TYPE (the shredded binary encoding), not a string or struct
