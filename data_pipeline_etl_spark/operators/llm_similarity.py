@@ -2235,13 +2235,14 @@ def _pca_ladder_steps(
     return steps
 
 
-def _pca2_oracle(k: int = _PCA_K) -> str:
+def _pca2_oracle(k: int = _PCA_K, final: str | None = None) -> str:
     """PC2-by-deflation oracle: the PC1 ladder, then the micro-unit
     rank-1 deflation (same single-IEEE-op expression structure as
     pca_deflate_for — `nrm * CAST(vi_i * vi_j AS DOUBLE) / 1e6`, left-
     associative on both engines), then a second unrolled ladder on the
     deflated matrix, closing with the explained-variance split over the
-    exact integer trace. Shares _pca_oracle's base + _pca_ladder_steps
+    exact integer trace (default final) or a caller-provided final (the
+    2-D projection). Shares _pca_oracle's base + _pca_ladder_steps
     (CLAUDE.md: edit the generator, never a per-query copy)."""
     pc1 = _pca_oracle(k, final="@@DEFLATE@@").split("@@DEFLATE@@")[0]
     deflate = f""",
@@ -2257,7 +2258,8 @@ def _pca2_oracle(k: int = _PCA_K) -> str:
     v2_0 AS (SELECT dim, CAST(round(1000000 / sqrt(nd)) AS BIGINT) AS vi
              FROM dims CROSS JOIN nd)"""
     steps2 = _pca_ladder_steps("fm2", "2_", k, ortho=f"v{k}")
-    final = f"""
+    if final is None:
+        final = f"""
     , tr AS (SELECT CAST(sum(ci) AS DOUBLE) / 1e6 AS tr FROM fm WHERE i = j)
     SELECT v.dim,
            CAST(v.vi AS DOUBLE) / 1000000 AS loading,
@@ -2410,6 +2412,39 @@ def _pca_power_loop(full: DataFrame, k: int, ortho: DataFrame | None = None):
     return v, nrm
 
 
+def _pca_two_axes(e: DataFrame, k: int):
+    """Both principal axes of an embedding frame — the one copy of the
+    (covariance -> PC1 ladder -> exact-int deflation -> reorthogonalized
+    PC2 ladder) composition shared by pca_deflate_for and
+    q_embed_pca_project2. Returns (full, v1, n1, v2, n2): the
+    checkpointed micro-unit covariance plus both (vector, norm) pairs.
+    See pca_deflate_for for the numeric argument."""
+    full = _pca_micro_cov(e)
+    v1, n1 = _pca_power_loop(full, k)
+    a = v1.select(F.col("dim").alias("dim_i"), F.col("vi").alias("vi_i"))
+    b = v1.select(F.col("dim").alias("dim_j"), F.col("vi").alias("vi_j"))
+    full2 = (
+        full.join(F.broadcast(a), "dim_i")
+        .join(F.broadcast(b), "dim_j")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "dim_i",
+            "dim_j",
+            (
+                F.col("ci")
+                - F.round(
+                    F.col("nrm")
+                    * (F.col("vi_i") * F.col("vi_j")).cast("double")
+                    / F.lit(1e6)
+                ).cast("bigint")
+            ).alias("ci"),
+        )
+        .localCheckpoint()
+    )
+    v2, n2 = _pca_power_loop(full2, k, ortho=v1)
+    return full, v1, n1, v2, n2
+
+
 def pca_deflate_for(e: DataFrame, k: int = _PCA_K) -> DataFrame:
     """Second principal component by rank-1 deflation — the body of
     :func:`q_embed_pca2`, frame-parameterized for the scaling probe and
@@ -2442,29 +2477,7 @@ def pca_deflate_for(e: DataFrame, k: int = _PCA_K) -> DataFrame:
     converges to PC2, not the leftover (the planted two-eigenvalue test
     pins exactly this).
     """
-    full = _pca_micro_cov(e)
-    v1, n1 = _pca_power_loop(full, k)
-    a = v1.select(F.col("dim").alias("dim_i"), F.col("vi").alias("vi_i"))
-    b = v1.select(F.col("dim").alias("dim_j"), F.col("vi").alias("vi_j"))
-    full2 = (
-        full.join(F.broadcast(a), "dim_i")
-        .join(F.broadcast(b), "dim_j")
-        .crossJoin(F.broadcast(n1))
-        .select(
-            "dim_i",
-            "dim_j",
-            (
-                F.col("ci")
-                - F.round(
-                    F.col("nrm")
-                    * (F.col("vi_i") * F.col("vi_j")).cast("double")
-                    / F.lit(1e6)
-                ).cast("bigint")
-            ).alias("ci"),
-        )
-        .localCheckpoint()
-    )
-    v2, n2 = _pca_power_loop(full2, k, ortho=v1)
+    full, v1, n1, v2, n2 = _pca_two_axes(e, k)
     tr = full.where(F.col("dim_i") == F.col("dim_j")).agg(
         (F.sum("ci").cast("double") / F.lit(1e6)).alias("tr")
     )
@@ -2568,3 +2581,66 @@ def q_embed_pca2(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint), everything else d- or d^2-sized broadcast joins.
     """
     return pca_deflate_for(table(spark, sf_dir, "embeddings"))
+
+
+_PCA_PROJECT2_FINAL = f"""
+    , ld1 AS (
+      SELECT list(CAST(vi AS DOUBLE) / 1000000 ORDER BY dim) AS pc
+      FROM v{_PCA_K}
+    ),
+    ld2 AS (
+      SELECT list(CAST(vi AS DOUBLE) / 1000000 ORDER BY dim) AS pc
+      FROM v2_{_PCA_K}
+    )
+    SELECT e.vec_id,
+           round({_dot_sql("e.embedding", "ld1.pc")}, 6) + 0.0 AS pc1,
+           round({_dot_sql("e.embedding", "ld2.pc")}, 6) + 0.0 AS pc2
+    FROM embeddings e CROSS JOIN ld1 CROSS JOIN ld2
+"""
+
+
+@query(
+    "q_embed_pca_project2", oracle=_pca2_oracle(final=_PCA_PROJECT2_FINAL)
+)
+def q_embed_pca_project2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto BOTH principal axes — the 2-D corpus
+    map (vec_id, pc1, pc2) a curation team actually plots: cluster
+    structure, outlier pockets and source separation live in this
+    plane, and 2-D grid binning over it is the stratification key for
+    visual sampling. Completes the spectrum story: q_embed_pca /
+    q_embed_pca2 produce the axes, q_embed_pca_project /
+    q_embed_pca_project2 carry them onto the corpus.
+
+    Scale: the axes come from the shared dimension-bound two-ladder
+    composition (_pca_two_axes — corpus cost = ONE covariance pass),
+    each collapses to a single d-element array row, and both broadcast
+    onto ONE linear corpus scan; per-vector scores are the house
+    sequential float64 fold (dot64/_dot_sql) over bit-identical
+    loadings, rounded at 6 dp with signed zeros normalized. Two corpus
+    passes total (covariance + projection) — adding the second axis
+    costs no extra corpus work over q_embed_pca_project.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    _, v1, _, v2, _ = _pca_two_axes(e, _PCA_K)
+
+    def arr(v: DataFrame) -> DataFrame:
+        return v.select(
+            "dim", (F.col("vi").cast("double") / F.lit(1e6)).alias("loading")
+        ).agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, loading))), "
+                "s -> s.loading)"
+            ).alias("pc")
+        )
+
+    p1 = arr(v1).withColumnRenamed("pc", "p1")
+    p2 = arr(v2).withColumnRenamed("pc", "p2")
+    return (
+        e.crossJoin(F.broadcast(p1))
+        .crossJoin(F.broadcast(p2))
+        .select(
+            "vec_id",
+            (F.round(dot64("embedding", "p1"), 6) + F.lit(0.0)).alias("pc1"),
+            (F.round(dot64("embedding", "p2"), 6) + F.lit(0.0)).alias("pc2"),
+        )
+    )

@@ -4194,6 +4194,35 @@ def test_embed_pca2_two_eigenvalue_planted(spark, tmp_path):
     assert abs(dot) < 1e-4, dot
 
 
+def test_embed_pca_project2_planted(spark, tmp_path):
+    """On the same planted two-eigenvalue corpus (x = a*u + b*w,
+    orthonormal u/w), the 2-D projection must recover the generating
+    coefficients: pc1 = dot(x, +u) = a and pc2 = dot(x, -w) = -b (axis
+    signs fixed by the all-positive iteration starts, see the pca2
+    planted test). This is the end-to-end proof that the two axes plus
+    the corpus projection reconstruct the plane the data was drawn
+    from."""
+    u = [0.6, 0.8] + [0.0] * 62
+    w = [-0.8, 0.6] + [0.0] * 62
+    ab = [(-3, 1), (-1, -1), (0, 0), (1, -1), (3, 1)]
+    rows = [
+        (int(i), [float(a * uc + b * wc) for uc, wc in zip(u, w)], 0)
+        for i, (a, b) in enumerate(ab)
+    ]
+    sf = str(tmp_path / "planted_proj2")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    out = {
+        r["vec_id"]: r
+        for r in QUERIES["q_embed_pca_project2"](spark, sf).collect()
+    }
+    assert len(out) == 5
+    for i, (a, b) in enumerate(ab):
+        assert abs(out[i]["pc1"] - a) < 1e-3, (i, out[i]["pc1"], a)
+        assert abs(out[i]["pc2"] - (-b)) < 1e-3, (i, out[i]["pc2"], -b)
+
+
 def test_xml_roundtrip_planted(spark, tmp_path):
     """The XML codec must survive entity escaping and shortest-roundtrip
     double formatting: statuses contain <, &, > and quotes; prices
