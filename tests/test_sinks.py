@@ -371,6 +371,48 @@ def test_xml_file_roundtrip_doubles_and_escapes(spark, tmp_path):
     assert _multiset(back, src.columns) == _multiset(src, src.columns)
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """The partition-layout payoff at join time: a fact table
+    partitioned on the join key, joined against a dim with a selective
+    predicate, must get a runtime `dynamicpruningexpression` in its
+    PartitionFilters — the scan reads ONLY the partitions whose keys
+    survive the dim filter, decided at execution from the dim's actual
+    rows (at 100 TB: skip years/months wholesale instead of scanning
+    and discarding). Caveat discovered while pinning this: Spark's
+    PartitionPruning rule requires a LIKELY-SELECTIVE predicate shape
+    (equality/IN/LIKE) on the dim side — a bare boolean column filter
+    does not qualify and silently falls back to a full scan."""
+    out = str(tmp_path / "dpp_fact")
+    orders = table(spark, SF_DIR, "orders")
+    sinks.write_fact_partitioned(orders, out)
+    fact = sinks.read_fact_partitioned(spark, out)
+    dim = (
+        fact.select("o_year")
+        .distinct()
+        .withColumn(
+            "tag", F.when(F.col("o_year") % 2 == 0, "even").otherwise("odd")
+        )
+    )
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dpp_dim"))
+    dimr = spark.read.parquet(str(tmp_path / "dpp_dim"))
+    j = (
+        fact.join(dimr.where(F.col("tag") == "even"), "o_year")
+        .groupBy("o_year")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan
+    got = {r["o_year"]: r["count"] for r in j.collect()}
+    expect = {
+        r["o_year"]: r["count"]
+        for r in fact.where(F.col("o_year") % 2 == 0)
+        .groupBy("o_year")
+        .count()
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+
+
 def test_bucketed_join_shuffle_free(spark, tmp_path):
     """The co-located-join storage layout: orders and customer written
     bucketed+sorted on the join key with the SAME bucket count must join
