@@ -434,8 +434,12 @@ def test_results_invariant_under_shuffle_partitioning(spark):
         "q_corpus_report",
         # r14: the deflated+reorthogonalized second ladder inherits the
         # same exact-int invariance (projection inner product is an
-        # exact DECIMAL(38,0) sum, no fold order)
+        # exact DECIMAL(38,0) sum, no fold order); fertility's broadcast
+        # count-join and the 2-D projection's per-row sequential fold
+        # must likewise be split-free
         "q_embed_pca2",
+        "q_text_bpe_fertility",
+        "q_embed_pca_project2",
     ]
 
     def run_all():
