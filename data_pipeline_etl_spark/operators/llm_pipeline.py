@@ -676,6 +676,79 @@ def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_BUDGET = 1_000_000  # training-token budget for the epoch report
+
+
+@query(
+    "q_mix_epochs",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+             CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4',
+                                       'src5','src6','src7','src8','src9')
+                       THEN 2 ELSE 1 END AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM t)
+    SELECT source, n_docs, tokens,
+           round(CAST(w AS DOUBLE) / sw, 6) AS target_frac,
+           round(CAST({_EPOCH_BUDGET} * w AS DOUBLE)
+                 / CAST(sw * tokens AS DOUBLE), 6) AS epochs,
+           (CAST({_EPOCH_BUDGET} * w AS DOUBLE)
+            / CAST(sw * tokens AS DOUBLE)) > 1.0 AS repeated
+    FROM t CROSS JOIN tot
+    """,
+)
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epochs-per-source under a token budget — the REPETITION report a
+    data-constrained mixing design is built on (how many times will
+    each source be seen if the target mixture is honored for
+    {budget} training tokens?): target_frac from the tier weights
+    (tier A sources weighted 2:1, the q_mix_weighted convention),
+    epochs = budget * target_frac / available tokens, and a `repeated`
+    flag marking sources the budget forces past one epoch — the
+    sources whose marginal value diminishes first and the first knob a
+    mixture rebalance turns.
+
+    Scale shape: one corpus scan into a |source|-group aggregate (token
+    counts are map-side int sums), a 1-row broadcast total, and pure
+    arithmetic — no window, no second scan. Exactness: weights, token
+    sums and the budget are exact int64; each ratio is ONE IEEE
+    division of exact integers (numerator budget*w, denominator
+    sw*tokens — both products exact in int64), so 6-dp rounds and the
+    `repeated` comparison agree bit-for-bit on both engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("long")
+            .alias("tokens"),
+        )
+        .withColumn(
+            "w",
+            F.when(F.col("source").isin(*_TIER_A), 2)
+            .otherwise(1)
+            .cast("long"),
+        )
+    )
+    tot = t.agg(F.sum("w").alias("sw"))
+    num = (F.lit(_EPOCH_BUDGET) * F.col("w")).cast("double")
+    den = (F.col("sw") * F.col("tokens")).cast("double")
+    return t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(F.col("w").cast("double") / F.col("sw"), 6).alias("target_frac"),
+        F.round(num / den, 6).alias("epochs"),
+        (num / den > 1.0).alias("repeated"),
+    )
+
+
 @query(
     "q_dedup_chunkdup",
     oracle=f"""

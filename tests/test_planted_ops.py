@@ -4084,6 +4084,35 @@ def test_embed_pca_rank1_planted(spark, tmp_path):
     assert abs(out[0]["lam"] - 5.0) < 2e-6
 
 
+def test_mix_epochs_planted(spark, tmp_path):
+    """Hand-computed epoch report under the 1M-token budget: src0
+    (tier A, weight 2) holds 10 tokens -> epochs = 1e6*2/(3*10) =
+    66666.666667 (repeated); 'extra' (weight 1) holds 400000 tokens ->
+    epochs = 1e6/(3*400000) = 0.833333 (NOT repeated — the one source
+    the budget does not exhaust). target fracs are the exact 2/3 and
+    1/3 of the tier weights."""
+    rows = [
+        (1, "src0", "t t t t t"),
+        (2, "src0", "t t t t t"),
+        (3, "extra", " ".join(["t"] * 400000)),
+    ]
+    sf = str(tmp_path / "planted_epochs")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {r["source"]: r for r in QUERIES["q_mix_epochs"](spark, sf).collect()}
+    a = out["src0"]
+    assert (a["n_docs"], a["tokens"]) == (2, 10)
+    assert a["target_frac"] == round(2 / 3, 6)
+    assert abs(a["epochs"] - round(2_000_000 / 30, 6)) < 1e-9
+    assert a["repeated"] is True
+    b = out["extra"]
+    assert (b["n_docs"], b["tokens"]) == (1, 400000)
+    assert b["target_frac"] == round(1 / 3, 6)
+    assert b["epochs"] == round(1_000_000 / 1_200_000, 6)
+    assert b["repeated"] is False
+
+
 def test_pack_truncation_planted(spark, tmp_path):
     """Hand-computed W=64 budget report: source a = docs of 100 and 64
     tokens (one truncated, 36 tokens lost of 164; split = 3 segments on
