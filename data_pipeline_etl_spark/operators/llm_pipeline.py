@@ -676,6 +676,64 @@ def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPK_SAMPLE = 10  # exactly-k sample size per source stratum
+
+
+@query(
+    "q_sample_topk",
+    oracle=f"""
+    SELECT source, doc_id, h,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                AS BIGINT) AS rk
+    FROM (SELECT source, doc_id, md5(text) AS h FROM documents)
+    QUALIFY rk <= {_TOPK_SAMPLE}
+    """,
+)
+def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k deterministic uniform sample per source: the k docs
+    with the smallest content hash in each stratum. Rate-based hash
+    sampling (q_sample_hash) cannot promise a fixed sample SIZE — audit
+    workflows ('pull exactly 10 docs from every source for human
+    review, the same 10 every run') need k-smallest-hash order
+    statistics, reproducible across runs, retries and partitionings
+    because md5(text) is a pure content function.
+
+    The oracle states the semantics as one row_number per source — but
+    a window partitioned on |sources| (20 here, rarely more than
+    thousands in production) over a CORPUS-sized frame is the
+    low-cardinality-partition trap (q_mix_curriculum docstring). The
+    engine runs the house TWO-LEVEL shape instead: (1) row_number
+    within (source, salt-bucket) — |sources| x 32 partitions, parallel
+    at any scale — keeps k candidates per bucket, collapsing the corpus
+    to a |sources| x 32 x k candidate frame; (2) the final per-source
+    row_number runs on THAT metadata-sized frame. Top-k of a union is
+    top-k of per-bucket top-ks, so phase 2 loses nothing; the hash gate
+    proves the two-phase plan equals the naive global window row for
+    row. Salt = 4 independent md5 hex digits (not the order digits, so
+    bucket membership and within-bucket order are independent) mod 32.
+    """
+    d = table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    base = d.select("source", "doc_id", h.alias("h"))
+    salt = F.conv(F.substring("h", 29, 4), 16, 10).cast("long") % 32
+    w_local = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
+    cands = (
+        base.withColumn("salt", salt)
+        .withColumn("lrk", F.row_number().over(w_local))
+        .where(F.col("lrk") <= _TOPK_SAMPLE)
+    )
+    w_final = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        cands.select(
+            "source",
+            "doc_id",
+            "h",
+            F.row_number().over(w_final).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= _TOPK_SAMPLE)
+    )
+
+
 _EPOCH_BUDGET = 1_000_000  # training-token budget for the epoch report
 
 

@@ -1898,6 +1898,114 @@ def q_text_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_text_novelty",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> length(x) > 0) AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             arr[g.i] || ' ' || arr[g.i + 1] || ' ' || arr[g.i + 2] AS g
+      FROM base,
+           unnest(generate_series(1, greatest(len(arr) - 2, 0))) AS g(i)
+    ),
+    df AS (
+      SELECT source, g, count(DISTINCT doc_id) AS df
+      FROM grams GROUP BY source, g
+    ),
+    per AS (
+      SELECT gr.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel
+      FROM grams gr
+      JOIN df ON gr.source = df.source AND gr.g = df.g
+      GROUP BY gr.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+           coalesce(p.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+           CASE WHEN p.n_grams IS NULL THEN NULL
+                ELSE round(CAST(p.n_novel AS DOUBLE)
+                           / CAST(p.n_grams AS DOUBLE), 6)
+           END AS novelty
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN per p ON d.doc_id = p.doc_id
+    """,
+)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram NOVELTY within its source: the fraction of a
+    document's word trigrams that appear in NO other document of the
+    same source — the memorization/boilerplate screen between exact
+    dedup (identical text) and near-dup (high overlap): a document
+    whose novelty collapses toward 0 is assembled from phrases the
+    source already contains (templates, mirrors, quote farms) even when
+    no single pair of documents is near-duplicate.
+
+    Scale shape: the inverted-index discipline (q_sim_jaccard /
+    q_dedup_chunkdup family) — one corpus scan explodes trigrams,
+    document frequency is a (source, gram)-keyed aggregate (map-side
+    combine collapses within-doc repeats first via the DISTINCT
+    doc_id), the df joins back to the gram stream on the same
+    (source, gram) key (one shuffle partitioning reused, blocked by
+    source per the house dedup convention — never corpus-global), and
+    everything reduces per doc. The report is TOTAL (q_decontaminate
+    discipline): a document with fewer than 3 words keeps its row with
+    0 grams and NULL novelty via the doc_id-pruned left join. The
+    ratio is one IEEE division of exact int64 counts, rounded at 6 dp.
+    """
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)"
+        ).alias("arr"),
+    )
+    grams = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(arr) >= 3 THEN "
+                "transform(sequence(1, size(arr) - 2), "
+                "i -> concat(arr[i - 1], ' ', arr[i], ' ', arr[i + 1])) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    df = grams.groupBy("source", "g").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    per = (
+        grams.join(df, ["source", "g"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return d.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+        F.when(F.col("n_grams").isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+                6,
+            )
+        )
+        .alias("novelty"),
+    )
+
+
 @query("q_text_bpe_fertility", oracle=_bpe_fertility_oracle(4))
 def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language FERTILITY of the k=4 tokenizer — the evaluation

@@ -452,6 +452,18 @@ def test_bpe_decode_plan_shape(spark):
     assert plan.count("text:string") == 1, plan
 
 
+def test_sample_topk_two_level_window(spark):
+    """q_sample_topk's corpus window must be the TWO-LEVEL shape: the
+    corpus-sized row_number partitions on (source, salt) — |sources| x
+    32 keys, parallel at any scale — and only the candidate frame (k
+    rows per bucket) sees the per-source window. A single-level
+    per-source window over the corpus is the low-cardinality-partition
+    trap."""
+    plan = _plan(QUERIES["q_sample_topk"](spark, SF_DIR))
+    assert re.search(r"windowspecdefinition\(source#\d+, salt#\d+L", plan), plan
+    assert re.search(r"windowspecdefinition\(source#\d+, h#\d+ ASC", plan), plan
+
+
 def test_bpe_fertility_plan_shape(spark):
     """q_text_bpe_fertility's 100 TB contract: the corpus TEXT is
     exploded exactly once (one full-width scan), per-word token counts

@@ -4084,6 +4084,56 @@ def test_embed_pca_rank1_planted(spark, tmp_path):
     assert abs(out[0]["lam"] - 5.0) < 2e-6
 
 
+def test_text_novelty_planted(spark, tmp_path):
+    """Hand-built novelty matrix: within source s, 'a b c d' shares its
+    first trigram with 'a b c' (df=2) but owns 'b c d' (df=1) ->
+    novelty 0.5; 'a b c' has no novel gram -> 0.0; the two-word doc
+    has no trigram at all -> 0 grams, NULL novelty (totality); the SAME
+    text 'a b c' in a different source is df=1 THERE -> novelty 1.0
+    (blocking by source is part of the semantics, not an
+    optimization)."""
+    rows = [
+        (1, "s", "a b c d"),
+        (2, "s", "a b c"),
+        (3, "s", "x y"),
+        (4, "t", "a b c"),
+    ]
+    sf = str(tmp_path / "planted_novelty")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r for r in QUERIES["q_text_novelty"](spark, sf).collect()}
+    assert (out[1]["n_grams"], out[1]["n_novel"], out[1]["novelty"]) == (2, 1, 0.5)
+    assert (out[2]["n_grams"], out[2]["n_novel"], out[2]["novelty"]) == (1, 0, 0.0)
+    assert (out[3]["n_grams"], out[3]["n_novel"], out[3]["novelty"]) == (0, 0, None)
+    assert (out[4]["n_grams"], out[4]["n_novel"], out[4]["novelty"]) == (1, 1, 1.0)
+
+
+def test_sample_topk_planted(spark, tmp_path):
+    """Exactly-k-per-stratum against an independent reference: 25 docs
+    in source 'big' -> the 10 with the smallest md5(text) computed
+    directly with hashlib, in hash order; source 'tiny' holds only 3
+    docs -> ALL of them, ranks 1..3 (k is a cap, not a requirement)."""
+    import hashlib
+
+    big = [(int(i), "big", f"doc number {i} text") for i in range(25)]
+    tiny = [(100 + i, "tiny", f"tiny {i}") for i in range(3)]
+    sf = str(tmp_path / "planted_topk")
+    spark.createDataFrame(
+        big + tiny, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = QUERIES["q_sample_topk"](spark, sf).collect()
+    got_big = sorted(
+        (r["rk"], r["doc_id"]) for r in out if r["source"] == "big"
+    )
+    expect = sorted(
+        (hashlib.md5(t.encode()).hexdigest(), i) for i, _, t in big
+    )[:10]
+    assert got_big == [(rk + 1, doc_id) for rk, (_, doc_id) in enumerate(expect)]
+    got_tiny = sorted((r["rk"], r["doc_id"]) for r in out if r["source"] == "tiny")
+    assert len(got_tiny) == 3 and [rk for rk, _ in got_tiny] == [1, 2, 3]
+
+
 def test_mix_epochs_planted(spark, tmp_path):
     """Hand-computed epoch report under the 1M-token budget: src0
     (tier A, weight 2) holds 10 tokens -> epochs = 1e6*2/(3*10) =
