@@ -1957,8 +1957,16 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline): a document with fewer than 3 words keeps its row with
     0 grams and NULL novelty via the doc_id-pruned left join. The
     ratio is one IEEE division of exact int64 counts, rounded at 6 dp.
+    Body in :func:`novelty_for` (frame-parameterized for the scaling
+    probe).
     """
-    d = table(spark, sf_dir, "documents")
+    return novelty_for(table(spark, sf_dir, "documents"))
+
+
+def novelty_for(d: DataFrame) -> DataFrame:
+    """Per-doc trigram novelty for any (doc_id, source, text) frame —
+    the body of :func:`q_text_novelty`, split out so the scaling probe
+    can feed replicated corpora through the identical plan."""
     base = d.select(
         "doc_id",
         "source",

@@ -261,6 +261,18 @@ def main() -> int:
             F.round(F.sum(F.abs("loading")), 6).alias("l1_mass"),
         )
 
+    def novelty(ddf):
+        # trigram inverted index: the probe's token prefixes keep each
+        # replica's gram space disjoint, so the (source, gram) df table
+        # grows linearly — the honest new-content corpus model
+        from data_pipeline_etl_spark.operators.llm_text import novelty_for
+
+        return novelty_for(ddf).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_novel").alias("novel"),
+            F.round(F.avg("novelty"), 6).alias("avg_nov"),
+        )
+
     def pca2_case(edf):
         # PC2 by deflation + reorthogonalization: corpus cost is STILL
         # the one covariance pass (shared checkpoint); the second k=6
@@ -452,6 +464,7 @@ def main() -> int:
         "cov_matrix": lambda L, O, E, D, V: covm(E),
         "embed_pca": lambda L, O, E, D, V: pca_case(E),
         "embed_pca2": lambda L, O, E, D, V: pca2_case(E),
+        "text_novelty": lambda L, O, E, D, V: novelty(D),
         "bigram_lm": lambda L, O, E, D, V: bigram(D),
         "pq_encode": lambda L, O, E, D, V: pqenc(E),
         "basket_aff": lambda L, O, E, D, V: basket(L),
