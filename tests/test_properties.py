@@ -1087,3 +1087,144 @@ def test_variant_extract_agrees_with_string_json_path(spark):
         .collect()
     }
     assert got == ref
+
+
+_novelty_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["s", "t"]),
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_novelty_docs)
+@SETTINGS
+def test_novelty_matches_reference(spark, docs):
+    """q_text_novelty's inverted-index plan vs a direct per-doc Python
+    reference on arbitrary tiny corpora: trigram counts, within-source
+    document frequency (repeats inside one doc count once), the novel
+    fraction, and the NULL-for-sub-trigram totality row must all agree
+    exactly — including cross-source isolation (the same trigram in
+    sources s and t must not see each other)."""
+    from collections import Counter
+
+    from data_pipeline_etl_spark.operators.llm_text import novelty_for
+
+    frame = spark.createDataFrame(
+        [(i, src, " ".join(ws)) for i, (src, ws) in enumerate(docs)],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in novelty_for(frame).collect()
+    }
+    grams = {
+        i: [tuple(ws[j : j + 3]) for j in range(max(len(ws) - 2, 0))]
+        for i, (_, ws) in enumerate(docs)
+    }
+    df: Counter = Counter()
+    for i, (src, _) in enumerate(docs):
+        for g in set(grams[i]):
+            df[(src, g)] += 1
+    expected = {}
+    for i, (src, _) in enumerate(docs):
+        gs = grams[i]
+        novel = sum(1 for g in gs if df[(src, g)] == 1)
+        expected[i] = (
+            len(gs),
+            novel,
+            round(novel / len(gs), 6) if gs else None,
+        )
+    assert got == expected
+
+
+_trunc_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["p", "q"]),
+        st.integers(min_value=1, max_value=200),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=_trunc_docs)
+@SETTINGS
+def test_pack_truncation_matches_reference(spark, docs):
+    """q_pack_truncation vs direct arithmetic on arbitrary (source,
+    n_tokens) corpora spanning the W=64 boundary: losses, int-ceil
+    segment counts, the grid identity n_segments*W = tokens_total +
+    pad_waste, and both 6-dp fractions must agree exactly."""
+    import tempfile
+
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    W = 64
+    sf = tempfile.mkdtemp(prefix="prop_trunc_")
+    spark.createDataFrame(
+        [(i, src, " ".join(["t"] * nt)) for i, (src, nt) in enumerate(docs)],
+        "doc_id long, source string, text string",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {
+        r["source"]: (
+            r["n_docs"], r["tokens_total"], r["n_truncated"],
+            r["tokens_lost"], r["frac_lost"], r["n_segments"],
+            r["pad_waste"], r["frac_pad"],
+        )
+        for r in QUERIES["q_pack_truncation"](spark, sf).collect()
+    }
+    expected = {}
+    for src in {s for s, _ in docs}:
+        nts = [nt for s, nt in docs if s == src]
+        total = sum(nts)
+        lost = sum(max(nt - W, 0) for nt in nts)
+        segs = sum((nt + W - 1) // W for nt in nts)
+        expected[src] = (
+            len(nts), total, sum(1 for nt in nts if nt > W),
+            lost, round(lost / total, 6), segs,
+            segs * W - total, round((segs * W - total) / (segs * W), 6),
+        )
+    assert got == expected
+    for src, row in got.items():
+        assert row[5] * W == row[1] + row[6]  # grid identity
+
+
+@given(docs=_trunc_docs)
+@SETTINGS
+def test_sample_topk_matches_reference(spark, docs):
+    """q_sample_topk's two-level window vs the direct per-source md5
+    order statistic on arbitrary corpora (doc texts vary by token
+    count, so hashes are distinct): exactly min(k, |stratum|) rows per
+    source, ranked 1..n in hash order, matching hashlib exactly."""
+    import hashlib
+    import tempfile
+
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    sf = tempfile.mkdtemp(prefix="prop_topk_")
+    rows = [
+        (i, src, " ".join([f"w{i}"] * nt))
+        for i, (src, nt) in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = sorted(
+        (r["source"], r["rk"], r["doc_id"])
+        for r in QUERIES["q_sample_topk"](spark, sf).collect()
+    )
+    expected = []
+    for src in {s for s, _ in docs}:
+        hashed = sorted(
+            (hashlib.md5(t.encode()).hexdigest(), i)
+            for i, s, t in rows
+            if s == src
+        )[:10]
+        expected.extend((src, rk + 1, i) for rk, (_, i) in enumerate(hashed))
+    assert got == sorted(expected)
