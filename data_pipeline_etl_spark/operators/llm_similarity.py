@@ -930,6 +930,82 @@ def q_embed_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embed_outliers",
+    oracle="""
+    WITH ex AS (
+      SELECT CAST(i - 1 AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+    ),
+    st AS (
+      SELECT dim, round(avg(v), 6) AS mu, round(stddev_samp(v), 6) AS sd
+      FROM ex GROUP BY dim
+    ),
+    sv AS (SELECT list(mu ORDER BY dim) AS mus, list(sd ORDER BY dim) AS sds
+           FROM st)
+    SELECT vec_id,
+           round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+             i -> CASE WHEN sds[i] > 0
+                       THEN ((CAST(e.embedding[i] AS DOUBLE) - mus[i]) / sds[i])
+                            * ((CAST(e.embedding[i] AS DOUBLE) - mus[i]) / sds[i])
+                       ELSE CAST(0 AS DOUBLE) END)), 6) AS score
+    FROM embeddings e CROSS JOIN sv
+    ORDER BY score DESC, vec_id
+    LIMIT 20
+    """,
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding OUTLIERS by diagonal-whitened squared distance —
+    the 'which vectors are broken' diagnostic an embedding-quality gate
+    runs before admitting a batch: score = sum over dims of
+    ((x_d - mu_d) / sd_d)^2, i.e. the Mahalanobis distance under the
+    diagonal covariance (full-covariance whitening lives in
+    q_embed_whiten; this is its per-VECTOR anomaly companion). A junk
+    vector (zeroed dims, wrong scale, NaN-replaced payloads, an encoder
+    version mismatch) lands at the top of exactly this ranking.
+
+    Scale: the per-dim (mu, sd) profile is the q_embed_dimstats pass
+    (posexplode + |dims|-group aggregate, shuffle = partial states);
+    both profiles collapse to ONE broadcast 1-row pair of d-element
+    arrays, and the score is the house sequential float64 fold
+    (dot64/_dot_sql pairing) over each vector in element order — one
+    linear corpus pass, top-20 via TakeOrderedAndProject (distributed
+    partial top-k, never a global sort). Parity: mu/sd round at 6 dp
+    so both engines fold bit-identical constants; each element term is
+    the same IEEE op tree; zero/NULL sd dims contribute exactly 0 on
+    both engines (constant dims carry no anomaly signal).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    stats = ex.groupBy("dim").agg(
+        F.round(F.avg("v"), 6).alias("mu"),
+        F.round(F.stddev_samp("v"), 6).alias("sd"),
+    )
+    sv = stats.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, mu))), s -> s.mu)"
+        ).alias("mus"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, sd))), s -> s.sd)"
+        ).alias("sds"),
+    )
+    zsq = F.expr(
+        "aggregate(zip_with(zip_with(embedding, mus, "
+        "(x, m) -> CAST(x AS DOUBLE) - m), sds, "
+        "(d, s) -> CASE WHEN s > 0 THEN (d / s) * (d / s) "
+        "ELSE CAST(0 AS DOUBLE) END), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        e.crossJoin(F.broadcast(sv))
+        .select("vec_id", F.round(zsq, 6).alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(20)
+    )
+
+
+@query(
     "q_embed_covariance",
     oracle="""
     WITH x AS (

@@ -452,6 +452,16 @@ def test_bpe_decode_plan_shape(spark):
     assert plan.count("text:string") == 1, plan
 
 
+def test_embed_outliers_take_ordered(spark):
+    """q_embed_outliers' top-20 must plan as TakeOrderedAndProject
+    (distributed partial top-k per partition, merged on the driver) —
+    never a global Sort of the scored corpus; the mu/sd profile arrives
+    by broadcast, so no shuffle join touches the vectors."""
+    plan = _plan(QUERIES["q_embed_outliers"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_sample_topk_two_level_window(spark):
     """q_sample_topk's corpus window must be the TWO-LEVEL shape: the
     corpus-sized row_number partitions on (source, salt) — |sources| x

@@ -4273,6 +4273,54 @@ def test_embed_pca2_two_eigenvalue_planted(spark, tmp_path):
     assert abs(dot) < 1e-4, dot
 
 
+def test_embed_outliers_planted(spark, tmp_path):
+    """A planted junk vector (wrong scale on every dim) must rank first
+    with the exact diagonal-Mahalanobis score computed independently in
+    Python under the same 6-dp mu/sd rounding and per-element fold; the
+    near-constant inliers follow with tiny scores; ranking and scores
+    agree to float precision."""
+    import statistics
+
+    vecs = [
+        [0.0, 0.1, 0.0, 0.1],
+        [0.1, 0.0, 0.1, 0.0],
+        [0.0, 0.0, 0.1, 0.1],
+        [0.1, 0.1, 0.0, 0.0],
+        [10.0, 10.0, 10.0, 10.0],
+    ]
+    rows = [(int(i), [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    sf = str(tmp_path / "planted_outliers")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    out = QUERIES["q_embed_outliers"](spark, sf).collect()
+    assert len(out) == 5  # top-20 caps, corpus has 5
+    assert out[0]["vec_id"] == 4  # the junk vector ranks first
+    # independent reference under the same rounding discipline
+    cols = list(zip(*vecs))
+    mus = [round(statistics.mean(c), 6) for c in cols]
+    sds = [round(statistics.stdev(c), 6) for c in cols]
+
+    def score(v):
+        s = 0.0
+        for x, m, sd in zip(v, mus, sds):
+            if sd > 0:
+                d = x - m
+                s += (d / sd) * (d / sd)
+        return round(s, 6)
+
+    expect = {i: score(v) for i, v in enumerate(vecs)}
+    for r in out:
+        assert abs(r["score"] - expect[r["vec_id"]]) < 1e-9, r
+    # descending order with vec_id tie-break
+    scores = [(r["score"], -r["vec_id"]) for r in out]
+    assert scores == sorted(scores, reverse=True) or [
+        (r["score"], r["vec_id"]) for r in out
+    ] == sorted(
+        [(r["score"], r["vec_id"]) for r in out], key=lambda t: (-t[0], t[1])
+    )
+
+
 def test_embed_pca_project2_planted(spark, tmp_path):
     """On the same planted two-eigenvalue corpus (x = a*u + b*w,
     orthonormal u/w), the 2-D projection must recover the generating
