@@ -629,16 +629,20 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hex digits 0..7 (50%), tier B keeps 0..3 (25%). Same hash-based
 # determinism rationale as q_sample_hash.
 _TIER_A = tuple(f"src{i}" for i in range(10))
+# The ONE tier-A definition, shared by the engine `.isin(*_TIER_A)` calls
+# and every oracle's `source IN (...)` list (generated below, ADVICE r14):
+# a hardcoded copy of the list in an oracle string silently desynchronizes
+# from a future _TIER_A edit until parity flags it.
+_TIER_A_SQL = ", ".join(f"'{s}'" for s in _TIER_A)
 
 
 @query(
     "q_mix_weighted",
-    oracle="""
+    oracle=f"""
     WITH kept AS (
       SELECT source, lang
       FROM documents
-      WHERE CASE WHEN source IN ('src0','src1','src2','src3','src4',
-                                 'src5','src6','src7','src8','src9')
+      WHERE CASE WHEN source IN ({_TIER_A_SQL})
                  THEN substring(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7')
                  ELSE substring(md5(text), 1, 1) IN ('0','1','2','3')
             END
@@ -709,8 +713,11 @@ def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number runs on THAT metadata-sized frame. Top-k of a union is
     top-k of per-bucket top-ks, so phase 2 loses nothing; the hash gate
     proves the two-phase plan equals the naive global window row for
-    row. Salt = 4 independent md5 hex digits (not the order digits, so
-    bucket membership and within-bucket order are independent) mod 32.
+    row. Salt = md5 hex digits 29-32 mod 32 — digits the full-hash
+    ORDER key also covers, so bucket membership and within-bucket order
+    are NOT independent (ADVICE r14); correctness never needed
+    independence, because every bucket's local top-k contains its
+    members of the global top-k under ANY row-to-bucket assignment.
     """
     d = table(spark, sf_dir, "documents")
     h = F.md5("text")
@@ -744,8 +751,7 @@ _EPOCH_BUDGET = 1_000_000  # training-token budget for the epoch report
       SELECT source,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
-             CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4',
-                                       'src5','src6','src7','src8','src9')
+             CAST(CASE WHEN source IN ({_TIER_A_SQL})
                        THEN 2 ELSE 1 END AS BIGINT) AS w
       FROM documents GROUP BY source
     ),

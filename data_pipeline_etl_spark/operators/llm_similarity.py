@@ -40,7 +40,17 @@ from data_pipeline_etl_spark.sources.tables import table
 
 
 def dot64(a: str, b: str) -> Column:
-    """Sequential float64 fold of a float32 vector dot product (Spark)."""
+    """Sequential float64 fold of a float32 vector dot product (Spark).
+
+    PRECONDITION (shared with _dot_sql, its DuckDB twin — ADVICE r14):
+    no NULL ELEMENTS inside the arrays. On a NULL element this fold
+    returns NULL for the whole dot product (acc + NULL = NULL), while
+    DuckDB's list_sum SKIPS NULL elements — a silent parity divergence,
+    not an error. NULL at the COLUMN level is fine (both sides yield
+    NULL). The fixtures' embeddings are dense by construction
+    (TESTDATA.md); any future consumer feeding sparse/NULL-padded
+    vectors must coalesce elements first, on both sides.
+    """
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -48,7 +58,12 @@ def dot64(a: str, b: str) -> Column:
 
 
 def _dot_sql(a: str, b: str) -> str:
-    """The DuckDB twin of dot64: same element order, same float64 fold."""
+    """The DuckDB twin of dot64: same element order, same float64 fold.
+
+    Same no-NULL-elements precondition as dot64 (whose docstring has the
+    divergence mechanics): list_sum skips NULL elements where the Spark
+    fold propagates them.
+    """
     return (
         f"list_sum(list_transform(generate_series(1, len({a})), "
         f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"

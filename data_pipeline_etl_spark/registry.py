@@ -73,29 +73,29 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # (All r4/r5 entries pruned at r6 open: CORRECTNESS_r05.json graded every
 # one of them green post-touch, so each had expired by its own rule.)
 _FORCE_FRONT: dict[str, int] = {
-    # (r13 entries pruned at r14 open: CORRECTNESS_r13 graded all four
-    # post-touch queries — q_decontaminate, q_text_bpe_encode,
-    # q_agg_sketch_merge, q_agg_kll_quantile — green, so every entry
-    # expired by its own rule. Add only queries r14 touches.)
-    # round-14 touch (ADVICE r13): the bucketed frame is now
-    # localCheckpoint'ed so documents parquet is scanned/tokenized once
-    # instead of twice (counts branch + join probe); values unchanged
-    # (plan-only), re-graded regardless:
-    "q_mix_curriculum": 14,
-    # round-14 touch (ADVICE r13): parse_json -> try_parse_json and a
-    # json_valid-guarded oracle — malformed payloads become NULL
-    # variants instead of erroring the scan; identical values on the
-    # all-valid fixtures, re-graded regardless:
-    "q_variant_extract": 14,
-    # round-14 touch: pca_power_for's body split into the shared
-    # _pca_micro_cov + _pca_power_loop helpers so the new q_embed_pca2
-    # deflation reuses one loop; values byte-identical (PC1 oracle
-    # regeneration pinned identical, parity re-run), re-graded
-    # regardless per the touched-query discipline:
-    "q_embed_pca": 14,
-    "q_embed_pca_project": 14,
-    # (q_embed_pca2 and q_text_bpe_fertility are NEW in r14 — never
-    # graded, so they auto-front at r0 without an entry here.)
+    # (r14 entries pruned at r15 open: CORRECTNESS_r14 graded all four
+    # post-touch queries — q_mix_curriculum, q_variant_extract,
+    # q_embed_pca, q_embed_pca_project — green, so every entry expired
+    # by its own rule. Add only queries r15 touches.)
+    # round-15 touch (VERDICT r14 item 1): the xpath second-reader
+    # agreement proof moved out of the declared query into
+    # tests/test_planted_ops.py; the query now does serialize + ONE
+    # parse (to_xml -> from_xml -> aggregate). Values unchanged (the
+    # xpath column only ever echoed the struct field), re-graded
+    # regardless:
+    "q_xml_roundtrip": 15,
+    # round-15 touch (ADVICE r14 item 1): variant_get -> try_variant_get
+    # with TRY_CAST in the oracle, in lockstep — a valid payload whose
+    # $.k is non-castable now yields NULL on both sides instead of
+    # erroring the scan. Identical values on the all-castable fixtures,
+    # re-graded regardless:
+    "q_variant_extract": 15,
+    # round-15 touch (ADVICE r14 item 4): both oracles' tier-A
+    # `source IN (...)` lists are now generated from the one _TIER_A
+    # definition (_TIER_A_SQL) instead of hardcoded copies. Semantically
+    # identical SQL (same list), re-graded regardless:
+    "q_mix_weighted": 15,
+    "q_mix_epochs": 15,
 }
 
 

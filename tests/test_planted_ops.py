@@ -4355,8 +4355,7 @@ def test_xml_roundtrip_planted(spark, tmp_path):
     double formatting: statuses contain <, &, > and quotes; prices
     include non-terminating binary fractions (0.1, 1/3) and a
     17-significant-digit value. The aggregate over PARSED values must
-    equal the aggregate over the originals, and the xpath extraction
-    must agree with the struct parse on every row."""
+    equal the aggregate over the originals."""
     rows = [
         (1, "A<B", 0.1),
         (2, "A<B", 1.0 / 3.0),
@@ -4369,11 +4368,46 @@ def test_xml_roundtrip_planted(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
     out = {r["status"]: r for r in QUERIES["q_xml_roundtrip"](spark, sf).collect()}
     assert set(out) == {"A<B", "X&\"Y'", "plain"}
-    assert out["A<B"]["n"] == 2 and out["A<B"]["n_xpath_ok"] == 2
+    assert out["A<B"]["n"] == 2 and out["A<B"]["sum_k"] == 3
     assert out["A<B"]["total"] == round(0.1 + 1.0 / 3.0, 2)
     assert out["X&\"Y'"]["total"] == round(12345.678901234567, 2)
-    assert out["plain"]["total"] == 2.5
-    assert all(r["n_xpath_ok"] == r["n"] for r in out.values())
+    assert out["plain"]["total"] == 2.5 and out["plain"]["sum_k"] == 4
+
+
+def test_xml_two_readers_agree(spark):
+    """The xpath-vs-struct two-reader agreement proof, relocated from the
+    declared q_xml_roundtrip query (VERDICT r14 item 1: it was a third
+    XML pass per row in every bench run — here it checks every row of
+    the sf0.001 fixture once per suite run instead).
+
+    Serialize each order with to_xml, then read the key back through
+    BOTH readers — the schema-driven StAX `from_xml` and the DOM-based
+    `xpath_long` expression — and assert they agree on every row. Any
+    escaping or formatting asymmetry between the two parsers would
+    surface as a disagreement count > 0."""
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    docs = o.select(
+        F.to_xml(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("s"),
+                F.col("o_totalprice").alias("p"),
+            )
+        ).alias("doc")
+    )
+    parsed = docs.select(
+        F.from_xml("doc", "k BIGINT, s STRING, p DOUBLE").alias("r"),
+        F.expr("xpath_long(doc, '/ROW/k')").alias("k_xpath"),
+    )
+    agg = parsed.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("k_xpath") == F.col("r.k"), F.lit(1)).otherwise(0)
+        ).alias("n_agree"),
+    ).collect()[0]
+    assert agg["n"] > 0
+    assert agg["n_agree"] == agg["n"]
 
 
 def test_variant_extract_planted(spark, tmp_path):
@@ -4490,20 +4524,22 @@ def test_xml_roundtrip_null_field_planted(spark, tmp_path):
     out = {r["status"]: r for r in QUERIES["q_xml_roundtrip"](spark, sf).collect()}
     assert out["s"]["n"] == 2 and out["s"]["total"] == 10.0
     assert out["t"]["n"] == 1 and out["t"]["total"] is None
-    assert all(r["n_xpath_ok"] == r["n"] for r in out.values())
+    assert out["s"]["sum_k"] == 3 and out["t"]["sum_k"] == 3
 
 
 def test_variant_extract_null_and_malformed_props(spark, tmp_path):
-    """NULL props, non-k payloads AND genuinely malformed JSON (a
-    truncated write) must flow through as NULL variant / NULL field —
-    counted in n, excluded from sum/avg/distinct — instead of erroring
-    the scan (the open-schema firehose contract: try_parse_json, not
-    strict parse_json)."""
+    """NULL props, non-k payloads, genuinely malformed JSON (a truncated
+    write) AND a valid payload whose $.k is not castable to int must all
+    flow through as NULL variant / NULL field — counted in n, excluded
+    from sum/avg/distinct — instead of erroring the scan (the
+    open-schema firehose contract: try_parse_json for the parse axis,
+    try_variant_get for the cast axis — ADVICE r13 + r14)."""
     rows = [
         (1, "2024-01-01 00:00:00", 1, "click", 0.0, '{"k": 4}'),
         (2, "2024-01-01 00:00:01", 1, "click", 0.0, None),
         (3, "2024-01-01 00:00:02", 2, "click", 0.0, '{"other": true}'),
         (4, "2024-01-01 00:00:03", 2, "click", 0.0, '{"k": 5'),  # truncated
+        (5, "2024-01-01 00:00:04", 3, "click", 0.0, '{"k": "oops"}'),  # uncastable
     ]
     sf = str(tmp_path / "planted_variant_null")
     spark.createDataFrame(
@@ -4515,9 +4551,9 @@ def test_variant_extract_null_and_malformed_props(spark, tmp_path):
     ).parquet(f"{sf}/events.parquet")
     out = {r["event_type"]: r for r in QUERIES["q_variant_extract"](spark, sf).collect()}
     click = out["click"]
-    assert (click["n"], click["sum_k"], click["n_distinct_k"]) == (4, 4, 1)
+    assert (click["n"], click["sum_k"], click["n_distinct_k"]) == (5, 4, 1)
     assert abs(click["avg_k"] - 4.0) < 1e-9  # avg over the one non-NULL k
-    assert click["n_absent"] == 4  # no row has $.missing; malformed/NULL count too
+    assert click["n_absent"] == 5  # no row has $.missing; malformed/NULL count too
 
 
 def test_sql_recursive_spine_planted(spark, tmp_path):

@@ -1176,25 +1176,32 @@ def test_pack_truncation_matches_reference(spark, docs):
     pad_waste, and both 6-dp fractions must agree exactly (reference
     rounds half-away-from-zero like both engines — see
     _round_half_away)."""
+    import shutil
     import tempfile
 
     from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
 
     load_all_operators()
     W = 64
+    # tmp_path is function-scoped, not per-hypothesis-example, so a
+    # fresh mkdtemp per example is correct — but it must be cleaned up
+    # or examples accumulate tmp dirs across runs (ADVICE r14).
     sf = tempfile.mkdtemp(prefix="prop_trunc_")
-    spark.createDataFrame(
-        [(i, src, " ".join(["t"] * nt)) for i, (src, nt) in enumerate(docs)],
-        "doc_id long, source string, text string",
-    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
-    got = {
-        r["source"]: (
-            r["n_docs"], r["tokens_total"], r["n_truncated"],
-            r["tokens_lost"], r["frac_lost"], r["n_segments"],
-            r["pad_waste"], r["frac_pad"],
-        )
-        for r in QUERIES["q_pack_truncation"](spark, sf).collect()
-    }
+    try:
+        spark.createDataFrame(
+            [(i, src, " ".join(["t"] * nt)) for i, (src, nt) in enumerate(docs)],
+            "doc_id long, source string, text string",
+        ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+        got = {
+            r["source"]: (
+                r["n_docs"], r["tokens_total"], r["n_truncated"],
+                r["tokens_lost"], r["frac_lost"], r["n_segments"],
+                r["pad_waste"], r["frac_pad"],
+            )
+            for r in QUERIES["q_pack_truncation"](spark, sf).collect()
+        }
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
     expected = {}
     for src in {s for s, _ in docs}:
         nts = [nt for s, nt in docs if s == src]
@@ -1219,23 +1226,29 @@ def test_sample_topk_matches_reference(spark, docs):
     count, so hashes are distinct): exactly min(k, |stratum|) rows per
     source, ranked 1..n in hash order, matching hashlib exactly."""
     import hashlib
+    import shutil
     import tempfile
 
     from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
 
     load_all_operators()
+    # per-example mkdtemp + cleanup, same rationale as
+    # test_pack_truncation_matches_reference above (ADVICE r14).
     sf = tempfile.mkdtemp(prefix="prop_topk_")
     rows = [
         (i, src, " ".join([f"w{i}"] * nt))
         for i, (src, nt) in enumerate(docs)
     ]
-    spark.createDataFrame(
-        rows, "doc_id long, source string, text string"
-    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
-    got = sorted(
-        (r["source"], r["rk"], r["doc_id"])
-        for r in QUERIES["q_sample_topk"](spark, sf).collect()
-    )
+    try:
+        spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+        got = sorted(
+            (r["source"], r["rk"], r["doc_id"])
+            for r in QUERIES["q_sample_topk"](spark, sf).collect()
+        )
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
     expected = []
     for src in {s for s, _ in docs}:
         hashed = sorted(
