@@ -1332,3 +1332,83 @@ def q_mix_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("off") + F.row_number().over(w_in)).cast("bigint").alias("pos"),
         )
     )
+
+
+# Split-fraction rule for the leakage-safe train/val split: first hex digit
+# of md5(cluster_id) in 0..2 => 'val' (3/16 = 18.75%), else 'train'. Same
+# deterministic-hex-bucket convention as _SAMPLE_HEX above — but hashed on
+# the near-dup CLUSTER label, never the doc id.
+_VAL_HEX = ("0", "1", "2")
+
+
+@query(
+    "q_split_leakage_safe",
+    oracle="""
+    WITH RECURSIVE sets AS (
+      SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM sets a JOIN sets b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+    ),
+    edges AS (
+      SELECT da AS src, db AS dst FROM pairs
+      UNION ALL SELECT db, da FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+                     IN ('0', '1', '2')
+                THEN 'val' ELSE 'train' END AS split
+    FROM clusters
+    """,
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: assign every document by hashing its
+    near-dup CLUSTER id (q_dedup_cluster's connected-component label over
+    the Jaccard>=0.8 pair graph), never the doc id — so a near-duplicate
+    chain can NEVER straddle the split. This PREVENTS at assignment time
+    the eval-contamination failure mode q_decontaminate can only screen
+    for after the fact: split-by-doc-hash puts ~18.75% of each near-dup
+    cluster's members in val, training on the rest — memorization
+    measured as generalization. Here split is a pure function of the
+    cluster label, so the whole cluster moves as one unit, and the
+    assignment is reproducible across runs, retries and partitionings
+    (md5 on the label, the _SAMPLE_HEX determinism rationale).
+
+    Scale shape: identical to q_dedup_cluster (whose iterated frame is
+    |docs-in-pairs|, orders of magnitude below the corpus at 100 TB;
+    singletons join in label-free) plus ONE more map-side hash on the
+    |docs|-row label frame — no extra shuffle, no window. The oracle
+    recomputes the same unique CC fixpoint via the recursive CTE and
+    applies the same hex rule; hash parity proves cluster labels AND
+    split assignments agree row for row. Cross-engine hash input is the
+    DECIMAL string of the BIGINT label on both sides (CAST AS
+    VARCHAR == Spark cast('string') for integers).
+    """
+    from data_pipeline_etl_spark.operators.llm_dedup import dedup_clusters_for
+
+    clusters = dedup_clusters_for(table(spark, sf_dir, "documents"))
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1).isin(
+                *_VAL_HEX
+            ),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

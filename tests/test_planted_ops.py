@@ -4583,3 +4583,43 @@ def test_sql_recursive_spine_planted(spark, tmp_path):
         "2024-03": (0, 0.0),
         "2024-04": (1, 25.0),
     }
+
+
+def test_split_leakage_safe_planted(spark, tmp_path):
+    """A 3-doc near-dup CHAIN (A~B and B~C at Jaccard >= 0.8, but A-C
+    below threshold — connected only transitively) must land WHOLLY in
+    one split: split is a function of the CC cluster label, so the chain
+    moves as one unit. Two unrelated singletons get their own
+    independent assignments. Expected splits recomputed with hashlib
+    from the known cluster labels (min doc_id per component)."""
+    import hashlib
+
+    t = [f"t{i}" for i in range(10)]
+    docs = [
+        (0, " ".join(t)),                      # A: t0..t9
+        (1, " ".join(t[:9] + ["u1"])),         # B: |A∩B|=9, |A∪B|=11 -> 0.818
+        (2, " ".join(t[:8] + ["u1", "u2"])),   # C: vs B 9/11=0.818; vs A 8/12=0.667
+        (3, "d0 d1 d2 d3 d4"),                 # singleton
+        (4, "e0 e1 e2 e3 e4"),                 # singleton
+    ]
+    sf = str(tmp_path / "planted_split")
+    _write_documents(spark, sf, docs)
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["q_split_leakage_safe"](spark, sf).collect()
+    }
+    assert len(out) == 5
+    # the chain collapses to one cluster labeled by its min doc_id
+    assert [out[i]["cluster_id"] for i in range(5)] == [0, 0, 0, 3, 4]
+
+    def expected_split(cid):
+        return (
+            "val"
+            if hashlib.md5(str(cid).encode()).hexdigest()[0] in "012"
+            else "train"
+        )
+
+    # the whole chain shares ONE split, and it is the hash of the label
+    assert {out[i]["split"] for i in range(3)} == {expected_split(0)}
+    assert out[3]["split"] == expected_split(3)
+    assert out[4]["split"] == expected_split(4)
