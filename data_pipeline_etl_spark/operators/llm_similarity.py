@@ -2448,7 +2448,23 @@ def _pca_power_loop(full: DataFrame, k: int, ortho: DataFrame | None = None):
     the near-isotropic fixture without this step; ~1e-6 with it). The
     projection pins every iterate to the v1-orthogonal complement up to
     one rounding, which is the textbook deflation-with-
-    reorthogonalization remedy."""
+    reorthogonalization remedy.
+
+    FUSED round (r15, VERDICT r14 item 7): the ortho path used to run
+    THREE blocking jobs per round — raw-matvec checkpoint, the
+    1-row S broadcast, the projected-w checkpoint — and the loop's cost
+    is sequential job LATENCY, corpus-independent (SCALE.md: dropping
+    only the middle checkpoint was measured value-identical and NOT
+    faster, because the S broadcast still forced its own job). Now S is
+    an unpartitioned DECIMAL window sum over the d-row joined frame —
+    the documented metadata-sized single-partition exception (two-phase
+    scan pattern; d = 64 rows here, never corpus) — so matvec +
+    projection fuse into ONE localCheckpoint action per round.
+    Value-identical by construction: the window's decimal sum is the
+    same exact order-independent integer fold as the old aggregate, S
+    casts to the same double, and the subtraction expression is
+    unchanged (pinned by the planted two-eigenvalue trajectory and the
+    repeat-run bit-identity property)."""
     dims = full.select(F.col("dim_i").alias("dim")).distinct()
     nd = dims.agg(F.count("*").alias("nd"))
     v = dims.crossJoin(F.broadcast(nd)).select(
@@ -2465,41 +2481,48 @@ def _pca_power_loop(full: DataFrame, k: int, ortho: DataFrame | None = None):
             full.join(F.broadcast(v), full.dim_j == v.dim)
             .groupBy(full.dim_i.alias("dim"))
             .agg(F.sum(F.col("ci") * F.col("vi")).alias("wi"))
-            .localCheckpoint()
         )
         if u is not None:
-            s = (
-                w.join(F.broadcast(u), "dim")
-                .agg(
-                    F.sum(F.col("wi").cast(dec) * F.col("ui").cast(dec))
-                    .cast("double")
-                    .alias("s")
-                )
+            # S as an unpartitioned window sum over the d-row frame (the
+            # metadata-sized single-partition exception), fusing matvec +
+            # projection into the ONE checkpoint action below.
+            s_col = (
+                F.sum(F.col("wi").cast(dec) * F.col("ui").cast(dec))
+                .over(Window.partitionBy())
+                .cast("double")
             )
-            w = (
-                w.join(F.broadcast(u), "dim")
-                .crossJoin(F.broadcast(s))
-                .select(
-                    "dim",
-                    (
-                        F.col("wi")
-                        - F.round(
-                            F.col("s") * F.col("ui") / F.lit(1e12)
-                        ).cast("bigint")
-                    ).alias("wi"),
-                )
-                .localCheckpoint()
+            w = w.join(F.broadcast(u), "dim").select(
+                "dim",
+                (
+                    F.col("wi")
+                    - F.round(s_col * F.col("ui") / F.lit(1e12)).cast("bigint")
+                ).alias("wi"),
             )
-        ss = F.sum(F.col("wi").cast(dec) * F.col("wi").cast(dec))
-        nrm = w.agg(
-            F.round(F.sqrt(ss.cast("double")) / F.lit(1e12), 6).alias("nrm")
+        w = w.localCheckpoint()
+        # normalize via the same unpartitioned d-row window (not a 1-row
+        # agg frame broadcast back): one fewer sub-job inside the next
+        # round's broadcast(v) evaluation, value-identical — the window's
+        # decimal sum of squares is the same exact fold, and the
+        # round/sqrt/divide chain is unchanged.
+        ss_col = (
+            F.sum(F.col("wi").cast(dec) * F.col("wi").cast(dec))
+            .over(Window.partitionBy())
+            .cast("double")
         )
-        v = w.crossJoin(F.broadcast(nrm)).select(
+        nrm_col = F.round(F.sqrt(ss_col) / F.lit(1e12), 6)
+        v = w.select(
             "dim",
-            F.round(F.col("wi").cast("double") / F.lit(1e6) / F.col("nrm"))
+            F.round(F.col("wi").cast("double") / F.lit(1e6) / nrm_col)
             .cast("bigint")
             .alias("vi"),
         )
+    # the RETURNED 1-row norm frame (the eigenvalue the callers read) is
+    # computed once from the final checkpointed w — same value as every
+    # round's window norm, just frame-shaped for the callers.
+    ss = F.sum(F.col("wi").cast(dec) * F.col("wi").cast(dec))
+    nrm = w.agg(
+        F.round(F.sqrt(ss.cast("double")) / F.lit(1e12), 6).alias("nrm")
+    )
     return v, nrm
 
 

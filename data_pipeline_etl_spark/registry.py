@@ -96,6 +96,17 @@ _FORCE_FRONT: dict[str, int] = {
     # identical SQL (same list), re-graded regardless:
     "q_mix_weighted": 15,
     "q_mix_epochs": 15,
+    # round-15 touch (VERDICT r14 item 7): _pca_power_loop fused — the
+    # ortho inner product S and the per-round norm both moved from
+    # 1-row agg-frames (crossJoin(broadcast(...)), each a sub-job) to
+    # unpartitioned d-row window sums, so each round is ONE checkpoint
+    # action. Values bit-identical (planted trajectories, repeat-run
+    # property, parity at both SFs), plan changed, re-graded regardless.
+    # All four queries ride the shared loop:
+    "q_embed_pca": 15,
+    "q_embed_pca2": 15,
+    "q_embed_pca_project": 15,
+    "q_embed_pca_project2": 15,
 }
 
 
