@@ -1412,3 +1412,117 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+@query(
+    "q_mix_dedup_aware",
+    oracle="""
+    WITH RECURSIVE sets AS (
+      SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM sets a JOIN sets b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+    ),
+    edges AS (
+      SELECT da AS src, db AS dst FROM pairs
+      UNION ALL SELECT db, da FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    per_doc AS (
+      SELECT d.source,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             (c.cluster_id = d.doc_id) AS survivor
+      FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+    ),
+    per_src AS MATERIALIZED (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN survivor THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_survivors,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens_raw,
+             CAST(sum(CASE WHEN survivor THEN n_tokens ELSE 0 END) AS BIGINT)
+                 AS tokens_dedup
+      FROM per_doc GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(tokens_dedup) AS BIGINT) AS t FROM per_src)
+    SELECT source, n_docs, n_survivors, tokens_raw, tokens_dedup,
+           round(1.0 - CAST(tokens_dedup AS DOUBLE) / tokens_raw, 6)
+               AS dup_token_frac,
+           round(CAST(tokens_dedup AS DOUBLE) / t, 6) AS mix_frac_dedup
+    FROM per_src CROSS JOIN tot
+    """,
+)
+def q_mix_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware mixture report: per-source token counts where each
+    near-dup CLUSTER contributes its tokens ONCE (the min-doc_id
+    survivor, q_dedup_cluster's label convention) — the mixture-weight
+    input a curated training run actually wants. Raw token counts
+    OVER-WEIGHT duplicate-heavy sources: a source that is 40% near-dups
+    claims 1.67x its unique content's share of the budget if the mix is
+    computed pre-dedup. `dup_token_frac` is per-source duplication
+    overhead; `mix_frac_dedup` is the corrected mixture share (the
+    number q_mix_weighted/q_mix_epochs would consume instead of raw
+    counts in a dedup-then-mix pipeline).
+
+    Scale shape: the q_dedup_cluster machinery (pair graph is
+    |docs-in-pairs|-sized, pointer-doubling CC, blocked by
+    (lang, source) so clusters never span sources) plus ONE
+    doc_id-keyed corpus join of the label frame onto a 3-column token
+    projection, a |source|-group aggregate, and a 1-row broadcast
+    total. Exactness: token sums and survivor counts are int64; each
+    fraction is one IEEE division of exact ints, 6-dp rounded on both
+    engines.
+    """
+    from data_pipeline_etl_spark.operators.llm_dedup import dedup_clusters_for
+
+    d = table(spark, sf_dir, "documents")
+    clusters = dedup_clusters_for(d)
+    per_doc = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    ).join(clusters, "doc_id")
+    surv = F.col("cluster_id") == F.col("doc_id")
+    # |source|-row frame fed to BOTH the total branch and the final
+    # probe: localCheckpoint so the corpus join+agg above runs ONCE
+    # (the q_mix_curriculum barrier discipline); it backs the returned
+    # frame, so it is never freed.
+    per_src = (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(surv, 1).otherwise(0)).cast("bigint").alias("n_survivors"),
+            F.sum("n_tokens").alias("tokens_raw"),
+            F.sum(F.when(surv, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_dedup"),
+        )
+        .localCheckpoint()
+    )
+    tot = per_src.agg(F.sum("tokens_dedup").alias("t"))
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_survivors",
+        "tokens_raw",
+        "tokens_dedup",
+        F.round(
+            F.lit(1.0) - F.col("tokens_dedup").cast("double") / F.col("tokens_raw"),
+            6,
+        ).alias("dup_token_frac"),
+        F.round(F.col("tokens_dedup").cast("double") / F.col("t"), 6).alias(
+            "mix_frac_dedup"
+        ),
+    )

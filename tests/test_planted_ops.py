@@ -4623,3 +4623,40 @@ def test_split_leakage_safe_planted(spark, tmp_path):
     assert {out[i]["split"] for i in range(3)} == {expected_split(0)}
     assert out[3]["split"] == expected_split(3)
     assert out[4]["split"] == expected_split(4)
+
+
+def test_mix_dedup_aware_planted(spark, tmp_path):
+    """Hand-checkable dedup-aware mixture: src0 has a 2-doc near-dup
+    pair (10 and 11 tokens; Jaccard 10/11 = 0.909) plus a 5-token
+    singleton; src1 has two unrelated singletons (4 + 6 tokens). The
+    survivor of the pair is the min doc_id (doc 0), so src0's dedup
+    token count drops from 26 to 15 while src1 keeps all 10."""
+    t = [f"t{i}" for i in range(10)]
+    docs = [
+        (0, " ".join(t)),                 # src0, 10 tokens, survivor
+        (1, " ".join(t + ["u1"])),        # src0, 11 tokens, dup of 0 (10/11)
+        (2, "a0 a1 a2 a3 a4"),            # src0 singleton, 5 tokens
+        (3, "b0 b1 b2 b3"),               # src1 singleton, 4 tokens
+        (4, "c0 c1 c2 c3 c4 c5"),         # src1 singleton, 6 tokens
+    ]
+    sf = str(tmp_path / "planted_mixdedup")
+    spark.createDataFrame(
+        [
+            (i, txt, "en", "src0" if i < 3 else "src1", len(txt))
+            for i, txt in docs
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {
+        r["source"]: r
+        for r in QUERIES["q_mix_dedup_aware"](spark, sf).collect()
+    }
+    s0, s1 = out["src0"], out["src1"]
+    assert (s0["n_docs"], s0["n_survivors"]) == (3, 2)
+    assert (s0["tokens_raw"], s0["tokens_dedup"]) == (26, 15)
+    assert s0["dup_token_frac"] == round(1 - 15 / 26, 6)
+    assert (s1["n_docs"], s1["n_survivors"]) == (2, 2)
+    assert (s1["tokens_raw"], s1["tokens_dedup"]) == (10, 10)
+    assert s1["dup_token_frac"] == 0.0
+    assert s0["mix_frac_dedup"] == round(15 / 25, 6)
+    assert s1["mix_frac_dedup"] == round(10 / 25, 6)
