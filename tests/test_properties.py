@@ -440,6 +440,11 @@ def test_results_invariant_under_shuffle_partitioning(spark):
         "q_embed_pca2",
         "q_text_bpe_fertility",
         "q_embed_pca_project2",
+        # r15: split/mixture assignments are pure md5 functions of the
+        # CC cluster label, and the label fixpoint (min over a
+        # component) has no fold order — both must be split-free
+        "q_split_leakage_safe",
+        "q_mix_dedup_aware",
     ]
 
     def run_all():
@@ -1258,3 +1263,49 @@ def test_sample_topk_matches_reference(spark, docs):
         )[:10]
         expected.extend((src, rk + 1, i) for rk, (_, i) in enumerate(hashed))
     assert got == sorted(expected)
+
+
+def test_split_leakage_safe_no_straddling_pairs(spark):
+    """The leakage-safety INVARIANT on the real sf0.001 fixture: compute
+    every Jaccard>=0.8 near-dup pair independently in Python (exact set
+    arithmetic over the same (lang, source) blocks the engine uses) and
+    assert (a) both endpoints of every pair share one cluster AND one
+    split — no pair straddles the train/val boundary, the failure mode
+    the operator exists to prevent — and (b) split is a pure function
+    of cluster_id across the whole assignment."""
+    from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
+    from data_pipeline_etl_spark.sources.tables import table
+
+    load_all_operators()
+    sf = "/root/testdata/sf0.001"
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .collect()
+    )
+    out = {
+        r["doc_id"]: r for r in QUERIES["q_split_leakage_safe"](spark, sf).collect()
+    }
+    assert set(out) == {r["doc_id"] for r in docs}
+    # (b) one split per cluster
+    by_cluster = {}
+    for r in out.values():
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # (a) exact near-dup pairs never straddle clusters (hence splits)
+    blocks = {}
+    for r in docs:
+        blocks.setdefault((r["lang"], r["source"]), []).append(
+            (r["doc_id"], set(r["text"].split(" ")))
+        )
+    n_pairs = 0
+    for members in blocks.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (da, ta), (db, tb) = members[i], members[j]
+                inter = len(ta & tb)
+                if inter / (len(ta) + len(tb) - inter) >= 0.8:
+                    n_pairs += 1
+                    assert out[da]["cluster_id"] == out[db]["cluster_id"], (da, db)
+                    assert out[da]["split"] == out[db]["split"], (da, db)
+    assert n_pairs > 0  # the fixture must actually exercise the invariant
