@@ -238,3 +238,59 @@ def test_transcendental_ulp_divergence_bounded_by_rounding(spark, duck):
     # the raw divergence is the measured reality the discipline exists for;
     # 0 would mean the engines converged (update the docstring, keep the gate)
     assert raw_diff < len(got) * 0.2, f"divergence rate {raw_diff/len(got)} looks wrong"
+
+
+def test_split_and_mixdedup_null_text_lockstep(spark, tmp_path):
+    """The fixtures carry no NULL text, so the driver gate never
+    exercises the NULL branch of the two r15 cluster-riding queries.
+    Inject one NULL-text doc and one empty-string doc and run BOTH the
+    engine and its registered oracle on the same planted parquet:
+
+    - q_split_leakage_safe: NULL/empty docs tokenize to nothing/[''],
+      join no near-dup pair, and must come back as SINGLETON clusters
+      with a deterministic split — never dropped, never erroring.
+    - q_mix_dedup_aware: Spark size(split(NULL)) is NULL (sizeOfNull
+      defaults false) and DuckDB len(string_split(NULL)) is NULL, so
+      the NULL doc contributes NULL tokens (skipped by both engines'
+      sums) while still counting in n_docs — pinned via full
+      hash-style comparison, not assumption."""
+    import duckdb as _duck
+
+    rows = [
+        (0, "a b c d e f g h i j", "en", "src0", 19),
+        (1, None, "en", "src0", 0),
+        (2, "", "en", "src0", 0),
+        (3, "k l m", "en", "src1", 5),
+    ]
+    sf = str(tmp_path / "planted_null_cluster")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    from data_pipeline_etl_spark.registry import ORACLES, QUERIES, load_all_operators
+
+    load_all_operators()
+    con = _duck.connect()
+    # Spark writes a parquet DIRECTORY; the driver's fixtures are single
+    # files, so the oracle string's bare path works there — here the
+    # view needs the part-file glob.
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+
+    def canon(v):
+        return repr(v) if isinstance(v, float) else str(v)
+
+    for name in ("q_split_leakage_safe", "q_mix_dedup_aware"):
+        sdf = QUERIES[name](spark, sf).toPandas()
+        ddf = con.sql(ORACLES[name]).df()
+        cols = sorted(sdf.columns)
+        a = sorted(tuple(canon(v) for v in r) for r in sdf[cols].itertuples(index=False, name=None))
+        b = sorted(tuple(canon(v) for v in r) for r in ddf[cols].itertuples(index=False, name=None))
+        assert a == b, (name, a, b)
+
+    out = {r["doc_id"]: r for r in QUERIES["q_split_leakage_safe"](spark, sf).collect()}
+    assert len(out) == 4
+    # no near-dup pairs exist, so every doc is its own singleton cluster
+    assert all(out[i]["cluster_id"] == i for i in range(4))
