@@ -1397,9 +1397,17 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL string of the BIGINT label on both sides (CAST AS
     VARCHAR == Spark cast('string') for integers).
     """
+    return split_leakage_for(table(spark, sf_dir, "documents"))
+
+
+def split_leakage_for(d: DataFrame) -> DataFrame:
+    """Frame-parameterized body of q_split_leakage_safe (doc_id,
+    cluster_id, split) so scripts/scaling_probe.py measures the declared
+    plan — the dedup_clusters_for pair-build + CC loop plus one
+    map-side hash projection."""
     from data_pipeline_etl_spark.operators.llm_dedup import dedup_clusters_for
 
-    clusters = dedup_clusters_for(table(spark, sf_dir, "documents"))
+    clusters = dedup_clusters_for(d)
     return clusters.select(
         "doc_id",
         "cluster_id",
@@ -1485,9 +1493,16 @@ def q_mix_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction is one IEEE division of exact ints, 6-dp rounded on both
     engines.
     """
+    return mix_dedup_aware_for(table(spark, sf_dir, "documents"))
+
+
+def mix_dedup_aware_for(d: DataFrame) -> DataFrame:
+    """Frame-parameterized body of q_mix_dedup_aware so
+    scripts/scaling_probe.py measures the declared plan — the
+    dedup_clusters_for body plus the doc_id-keyed token join and the
+    |source|-group aggregate."""
     from data_pipeline_etl_spark.operators.llm_dedup import dedup_clusters_for
 
-    d = table(spark, sf_dir, "documents")
     clusters = dedup_clusters_for(d)
     per_doc = d.select(
         "doc_id",

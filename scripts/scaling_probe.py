@@ -359,6 +359,28 @@ def main() -> int:
             F.count_distinct("cluster_id").alias("n_clusters"),
         )
 
+    def split_leak(ddf):
+        from data_pipeline_etl_spark.operators.llm_pipeline import split_leakage_for
+
+        # summarize the assignment (the label frame is corpus-sized;
+        # Arrow transfer must stay out of the measure) — the body is
+        # dedup_clusters_for plus one map-side hash projection, so the
+        # slope should track the dedup_cluster row
+        return split_leakage_for(ddf).groupBy("split").agg(
+            F.count("*").alias("n"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+        )
+
+    def mixdedup(ddf):
+        from data_pipeline_etl_spark.operators.llm_pipeline import mix_dedup_aware_for
+
+        # |source x replica|-row report — tiny output, the measure is
+        # the cluster body + the doc_id-keyed token join
+        return mix_dedup_aware_for(ddf).agg(
+            F.count("*").alias("n_sources"),
+            F.sum("tokens_dedup").alias("dedup_mass"),
+        )
+
     def compact(ddf):
         from data_pipeline_etl_spark.operators.llm_dedup import store_compact_for
 
@@ -473,6 +495,8 @@ def main() -> int:
         "bfs": lambda L, O, E, D, V: bfs(L),
         "ingest": lambda L, O, E, D, V: ingest(D),
         "dedup_cluster": lambda L, O, E, D, V: cluster(D),
+        "split_leakage": lambda L, O, E, D, V: split_leak(D),
+        "mix_dedup": lambda L, O, E, D, V: mixdedup(D),
         "store_compact": lambda L, O, E, D, V: compact(D),
         "bpe_train": lambda L, O, E, D, V: bpe(D),
         "bpe_encode": lambda L, O, E, D, V: bpe_enc(D),
