@@ -1541,3 +1541,156 @@ def mix_dedup_aware_for(d: DataFrame) -> DataFrame:
             "mix_frac_dedup"
         ),
     )
+
+
+@query(
+    "q_split_incremental",
+    oracle="""
+    WITH RECURSIVE
+    params AS MATERIALIZED (SELECT max(doc_id) / 2 AS cut FROM documents),
+    store AS MATERIALIZED (
+      SELECT d.* FROM documents d, params WHERE d.doc_id < cut
+    ),
+    batch AS MATERIALIZED (
+      SELECT d.* FROM documents d, params WHERE d.doc_id >= cut
+    ),
+    ssets AS MATERIALIZED (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM store
+    ),
+    spairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM ssets a JOIN ssets b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+    ),
+    sedges AS (
+      SELECT da AS src, db AS dst FROM spairs
+      UNION ALL SELECT db, da FROM spairs
+    ),
+    sreach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM store
+      UNION
+      SELECT r.src, e.dst FROM sreach r JOIN sedges e ON r.dst = e.src
+    ),
+    ssplit AS (
+      SELECT src AS doc_id,
+             CASE WHEN substring(md5(CAST(min(dst) AS VARCHAR)), 1, 1)
+                       IN ('0', '1', '2')
+                  THEN 'val' ELSE 'train' END AS split
+      FROM sreach GROUP BY src
+    ),
+    bsets AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM batch
+    ),
+    xmatch AS (
+      SELECT b.doc_id, min(s.doc_id) AS matched
+      FROM bsets b JOIN ssets s
+        ON b.lang = s.lang AND b.source = s.source
+      WHERE len(list_intersect(b.toks, s.toks))
+            / (len(b.toks) + len(s.toks) - len(list_intersect(b.toks, s.toks))) >= 0.8
+      GROUP BY b.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(m.matched AS BIGINT) AS matched_store_doc,
+           m.matched IS NOT NULL AS inherited,
+           COALESCE(ss.split,
+                    CASE WHEN substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 1)
+                              IN ('0', '1', '2')
+                         THEN 'val' ELSE 'train' END) AS split
+    FROM batch b
+    LEFT JOIN xmatch m ON b.doc_id = m.doc_id
+    LEFT JOIN ssplit ss ON m.matched = ss.doc_id
+    """,
+)
+def q_split_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split assignment at INGEST time — the production
+    counterpart of q_split_leakage_safe, which reclusters the whole
+    corpus and cannot run per batch at 100 TB. A NEW batch (the
+    arrival-ordered newer half, the q_dedup_incremental cut convention)
+    is screened against the EXISTING store: a batch doc that near-dups
+    (Jaccard >= 0.8, (lang, source)-blocked) any store doc INHERITS the
+    split of its matched store doc's cluster — so it can never land
+    opposite its near-duplicates already in train/val — and an unmatched
+    doc hashes its OWN id (its singleton cluster label under the
+    q_split_leakage_safe convention, so a later full recluster assigns
+    it identically).
+
+    Two boundaries stated, not hidden: (1) batch-INTERNAL near-dup pairs
+    that match no store doc each hash their own id and may straddle —
+    single-pass ingest cannot see batch-internal chains; the next full
+    recluster (q_split_leakage_safe) or the admitted-batch compaction
+    resolves them (the q_dedup_ingest disposition split has the same
+    contract). (2) a batch doc bridging TWO store clusters inherits the
+    min-doc_id match deterministically; the bridge merges those clusters
+    at the next recluster.
+
+    Scale shape: the store's own split assignment is the materialized
+    table production reads, recomputed here only so the query is
+    self-contained and oracle-able (store-side pair build + CC — the
+    probed dedup_clusters_for body at half corpus). The batch screen is
+    the asymmetric inverted-index join: store-elements x batch-elements
+    equi-join on (lang, source, el), per-pair intersection counts, set
+    sizes joined after — pairs only materialize for docs sharing an
+    element, and at 100 TB only batch-sized frames shuffle against a
+    band-bucketed store (q_dedup_incremental's topology with exact
+    Jaccard verification, i.e. LSH candidates -> verify -> inherit).
+    """
+    from data_pipeline_etl_spark.operators.llm_dedup import _unigram_elements
+
+    d = table(spark, sf_dir, "documents")
+    cut = d.agg((F.max("doc_id") / 2).alias("cut"))
+    dc = d.crossJoin(F.broadcast(cut))
+    store = dc.where(F.col("doc_id") < F.col("cut"))
+    batch = dc.where(F.col("doc_id") >= F.col("cut"))
+
+    # the store's materialized assignment (probed body at half corpus)
+    ssplit = split_leakage_for(store).select(
+        F.col("doc_id").alias("sid"), F.col("split").alias("store_split")
+    )
+
+    # asymmetric inverted-index Jaccard: store elements x batch elements
+    exs = _unigram_elements(store)
+    exb = _unigram_elements(batch)
+    ns = exs.groupBy("doc_id").agg(F.count("*").alias("n_s"))
+    nb = exb.groupBy("doc_id").agg(F.count("*").alias("n_b"))
+    s, b = exs.alias("s"), exb.alias("b")
+    inter = (
+        s.join(
+            b,
+            (F.col("s.lang") == F.col("b.lang"))
+            & (F.col("s.source") == F.col("b.source"))
+            & (F.col("s.el") == F.col("b.el")),
+        )
+        .groupBy(F.col("b.doc_id").alias("doc_id"), F.col("s.doc_id").alias("sid"))
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_b") + F.col("n_s") - F.col("inter"))
+    match = (
+        inter.join(ns.select(F.col("doc_id").alias("sid"), "n_s"), "sid")
+        .join(nb, "doc_id")
+        .where(jac >= 0.8)
+        .groupBy("doc_id")
+        .agg(F.min("sid").alias("matched_store_doc"))
+    )
+    own = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(*_VAL_HEX),
+        F.lit("val"),
+    ).otherwise(F.lit("train"))
+    return (
+        batch.select("doc_id")
+        .join(match, "doc_id", "left")
+        .join(
+            ssplit, F.col("matched_store_doc") == F.col("sid"), "left"
+        )
+        .select(
+            "doc_id",
+            "matched_store_doc",
+            F.col("matched_store_doc").isNotNull().alias("inherited"),
+            F.coalesce("store_split", own).alias("split"),
+        )
+    )

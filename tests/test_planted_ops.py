@@ -4660,3 +4660,48 @@ def test_mix_dedup_aware_planted(spark, tmp_path):
     assert s1["dup_token_frac"] == 0.0
     assert s0["mix_frac_dedup"] == round(15 / 25, 6)
     assert s1["mix_frac_dedup"] == round(10 / 25, 6)
+
+
+def test_split_incremental_planted(spark, tmp_path):
+    """Ingest-time split inheritance, hand-checkable: ids 0..7 cut at
+    3.5 (store {0..3}, batch {4..7}). Store docs 1,2 are a near-dup
+    cluster (label 1). Batch doc 4 duplicates doc 1 exactly -> inherits
+    the STORE CLUSTER's split (hash of label 1, not of 4). Doc 5
+    matches nothing -> hashes its own id. Docs 6,7 near-dup EACH OTHER
+    but match no store doc -> each hashes its own id (the documented
+    single-pass boundary: batch-internal chains resolve at the next
+    full recluster). Expected splits recomputed with hashlib."""
+    import hashlib
+
+    t = [f"t{i}" for i in range(10)]
+    d = [f"d{i}" for i in range(10)]
+    docs = [
+        (0, "a0 a1 a2 a3 a4"),
+        (1, " ".join(t)),
+        (2, " ".join(t[:9] + ["u"])),      # ~doc1: 9/11 = 0.818
+        (3, "b0 b1 b2 b3 b4"),
+        (4, " ".join(t)),                  # exact dup of store doc 1
+        (5, "c0 c1 c2 c3 c4"),
+        (6, " ".join(d)),
+        (7, " ".join(d[:9] + ["e"])),      # ~doc6, batch-internal only
+    ]
+    sf = str(tmp_path / "planted_split_inc")
+    _write_documents(spark, sf, docs)
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["q_split_incremental"](spark, sf).collect()
+    }
+    assert set(out) == {4, 5, 6, 7}  # batch side only
+
+    def rule(x):
+        return (
+            "val"
+            if hashlib.md5(str(x).encode()).hexdigest()[0] in "012"
+            else "train"
+        )
+
+    assert out[4]["inherited"] and out[4]["matched_store_doc"] == 1
+    assert out[4]["split"] == rule(1)  # the store CLUSTER label, not id 4
+    for i in (5, 6, 7):
+        assert not out[i]["inherited"] and out[i]["matched_store_doc"] is None
+        assert out[i]["split"] == rule(i)

@@ -442,9 +442,11 @@ def test_results_invariant_under_shuffle_partitioning(spark):
         "q_embed_pca_project2",
         # r15: split/mixture assignments are pure md5 functions of the
         # CC cluster label, and the label fixpoint (min over a
-        # component) has no fold order — both must be split-free
+        # component) has no fold order — all three must be split-free
+        # (incremental's match is a min over matched store ids)
         "q_split_leakage_safe",
         "q_mix_dedup_aware",
+        "q_split_incremental",
     ]
 
     def run_all():
