@@ -1628,3 +1628,103 @@ def q_dedup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("degree")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "q_dedup_cluster_stats",
+    oracle="""
+    WITH RECURSIVE sets AS (
+      SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM sets a JOIN sets b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+    ),
+    edges AS (
+      SELECT da AS src, db AS dst FROM pairs
+      UNION ALL SELECT db, da FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    sized AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+      FROM clusters GROUP BY cluster_id
+    ),
+    bucketed AS MATERIALIZED (
+      SELECT CASE WHEN sz = 1 THEN 'singleton'
+                  WHEN sz = 2 THEN 'pair'
+                  WHEN sz <= 5 THEN 'small_3_5'
+                  ELSE 'large_6_plus' END AS size_bucket,
+             sz
+      FROM sized
+    ),
+    tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n FROM bucketed)
+    SELECT size_bucket,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(max(sz) AS BIGINT) AS max_size,
+           round(CAST(sum(sz) AS DOUBLE) / n, 6) AS doc_frac
+    FROM bucketed CROSS JOIN tot
+    GROUP BY size_bucket, n
+    """,
+)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile: the near-dup CLUSTER SIZE histogram —
+    per size bucket (singleton / pair / 3-5 / 6+): cluster count, doc
+    count, largest cluster, and the corpus share. The one-page answer to
+    'how much would dedup shrink this corpus, and is the duplication
+    long-tail pairs or a few mega-clusters?' — the number that decides
+    whether survivor-keep dedup (q_dedup_survivor) is a ~N% trim or a
+    rewrite, and the mega-cluster flag that usually means boilerplate
+    (q_text_boilerplate) rather than true duplication. Complements
+    q_mix_dedup_aware, which reports the TOKEN view per source; this is
+    the structural view over the whole corpus.
+
+    Scale shape: the probed q_dedup_cluster body (dedup_clusters_for:
+    blocked pair build + pointer-doubling CC, 10.3x wall at 100x data),
+    then a |docs|-row groupBy(cluster_id) count, a |clusters|-row bucket
+    map, a metadata-sized bucket aggregate and a 1-row broadcast total.
+    Exactness: sizes and counts are int64; doc_frac is one IEEE division
+    of exact ints, 6-dp rounded on both engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    sized = (
+        dedup_clusters_for(d)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    bucketed = sized.select(
+        F.when(F.col("sz") == 1, "singleton")
+        .when(F.col("sz") == 2, "pair")
+        .when(F.col("sz") <= 5, "small_3_5")
+        .otherwise("large_6_plus")
+        .alias("size_bucket"),
+        "sz",
+    ).localCheckpoint()
+    tot = bucketed.agg(F.sum("sz").alias("n"))
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("size_bucket", "n")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+            F.max("sz").alias("max_size"),
+        )
+        .select(
+            "size_bucket",
+            "n_clusters",
+            "n_docs",
+            "max_size",
+            F.round(F.col("n_docs").cast("double") / F.col("n"), 6).alias("doc_frac"),
+        )
+    )

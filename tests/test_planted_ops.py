@@ -4705,3 +4705,36 @@ def test_split_incremental_planted(spark, tmp_path):
     for i in (5, 6, 7):
         assert not out[i]["inherited"] and out[i]["matched_store_doc"] is None
         assert out[i]["split"] == rule(i)
+
+
+def test_dedup_cluster_stats_planted(spark, tmp_path):
+    """Hand-built cluster structure: one 3-chain (docs 0-1-2), one pair
+    (3,4), two singletons (5,6) — 7 docs. Expected histogram:
+    small_3_5 {1 cluster, 3 docs, max 3, 3/7}, pair {1, 2, 2, 2/7},
+    singleton {2, 2, 1, 2/7}."""
+    t = [f"t{i}" for i in range(10)]
+    p = [f"p{i}" for i in range(10)]
+    docs = [
+        (0, " ".join(t)),
+        (1, " ".join(t[:9] + ["u1"])),        # ~0 (9/11)
+        (2, " ".join(t[:8] + ["u1", "u2"])),  # ~1 only (chain)
+        (3, " ".join(p)),
+        (4, " ".join(p[:9] + ["v1"])),        # ~3
+        (5, "a0 a1 a2"),
+        (6, "b0 b1 b2"),
+    ]
+    sf = str(tmp_path / "planted_cstats")
+    _write_documents(spark, sf, docs)
+    out = {
+        r["size_bucket"]: r
+        for r in QUERIES["q_dedup_cluster_stats"](spark, sf).collect()
+    }
+    assert set(out) == {"small_3_5", "pair", "singleton"}
+    s = out["small_3_5"]
+    assert (s["n_clusters"], s["n_docs"], s["max_size"]) == (1, 3, 3)
+    assert s["doc_frac"] == round(3 / 7, 6)
+    pr = out["pair"]
+    assert (pr["n_clusters"], pr["n_docs"], pr["max_size"]) == (1, 2, 2)
+    sg = out["singleton"]
+    assert (sg["n_clusters"], sg["n_docs"], sg["max_size"]) == (2, 2, 1)
+    assert sg["doc_frac"] == round(2 / 7, 6)

@@ -447,6 +447,7 @@ def test_results_invariant_under_shuffle_partitioning(spark):
         "q_split_leakage_safe",
         "q_mix_dedup_aware",
         "q_split_incremental",
+        "q_dedup_cluster_stats",
     ]
 
     def run_all():
