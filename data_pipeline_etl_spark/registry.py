@@ -73,40 +73,11 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # (All r4/r5 entries pruned at r6 open: CORRECTNESS_r05.json graded every
 # one of them green post-touch, so each had expired by its own rule.)
 _FORCE_FRONT: dict[str, int] = {
-    # (r14 entries pruned at r15 open: CORRECTNESS_r14 graded all four
-    # post-touch queries — q_mix_curriculum, q_variant_extract,
-    # q_embed_pca, q_embed_pca_project — green, so every entry expired
-    # by its own rule. Add only queries r15 touches.)
-    # round-15 touch (VERDICT r14 item 1): the xpath second-reader
-    # agreement proof moved out of the declared query into
-    # tests/test_planted_ops.py; the query now does serialize + ONE
-    # parse (to_xml -> from_xml -> aggregate). Values unchanged (the
-    # xpath column only ever echoed the struct field), re-graded
-    # regardless:
-    "q_xml_roundtrip": 15,
-    # round-15 touch (ADVICE r14 item 1): variant_get -> try_variant_get
-    # with TRY_CAST in the oracle, in lockstep — a valid payload whose
-    # $.k is non-castable now yields NULL on both sides instead of
-    # erroring the scan. Identical values on the all-castable fixtures,
-    # re-graded regardless:
-    "q_variant_extract": 15,
-    # round-15 touch (ADVICE r14 item 4): both oracles' tier-A
-    # `source IN (...)` lists are now generated from the one _TIER_A
-    # definition (_TIER_A_SQL) instead of hardcoded copies. Semantically
-    # identical SQL (same list), re-graded regardless:
-    "q_mix_weighted": 15,
-    "q_mix_epochs": 15,
-    # round-15 touch (VERDICT r14 item 7): _pca_power_loop fused — the
-    # ortho inner product S and the per-round norm both moved from
-    # 1-row agg-frames (crossJoin(broadcast(...)), each a sub-job) to
-    # unpartitioned d-row window sums, so each round is ONE checkpoint
-    # action. Values bit-identical (planted trajectories, repeat-run
-    # property, parity at both SFs), plan changed, re-graded regardless.
-    # All four queries ride the shared loop:
-    "q_embed_pca": 15,
-    "q_embed_pca2": 15,
-    "q_embed_pca_project": 15,
-    "q_embed_pca_project2": 15,
+    # (r15 entries pruned at r16 open: CORRECTNESS_r15 graded all eight
+    # post-touch queries — q_xml_roundtrip, q_variant_extract,
+    # q_mix_weighted, q_mix_epochs, and the four PCA queries riding the
+    # fused _pca_power_loop — hash-green, so every entry expired by its
+    # own rule. Add only queries r16 touches.)
 }
 
 
