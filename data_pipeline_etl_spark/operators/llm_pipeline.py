@@ -1397,17 +1397,30 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL string of the BIGINT label on both sides (CAST AS
     VARCHAR == Spark cast('string') for integers).
     """
-    return split_leakage_for(table(spark, sf_dir, "documents"))
+    from data_pipeline_etl_spark.operators.llm_dedup import dedup_clusters_table
+
+    return split_from_clusters(dedup_clusters_table(spark, sf_dir))
 
 
-def split_leakage_for(d: DataFrame) -> DataFrame:
+def split_leakage_for(
+    d: DataFrame, elements: DataFrame | None = None
+) -> DataFrame:
     """Frame-parameterized body of q_split_leakage_safe (doc_id,
-    cluster_id, split) so scripts/scaling_probe.py measures the declared
-    plan — the dedup_clusters_for pair-build + CC loop plus one
-    map-side hash projection."""
+    cluster_id, split) so scripts/scaling_probe.py measures the full
+    build — the dedup_clusters_for pair-build + CC loop plus one
+    map-side hash projection. The declared query reads the
+    session-materialized label table instead (split_from_clusters over
+    dedup_clusters_table); ``elements`` forwards a prebuilt store
+    element index (ADVICE r15 item 1, q_split_incremental)."""
     from data_pipeline_etl_spark.operators.llm_dedup import dedup_clusters_for
 
-    clusters = dedup_clusters_for(d)
+    return split_from_clusters(dedup_clusters_for(d, elements=elements))
+
+
+def split_from_clusters(clusters: DataFrame) -> DataFrame:
+    """The md5-of-cluster-label split projection (one map-side pass) —
+    shared by the declared query (cached labels) and split_leakage_for
+    (fresh build)."""
     return clusters.select(
         "doc_id",
         "cluster_id",
@@ -1493,17 +1506,27 @@ def q_mix_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction is one IEEE division of exact ints, 6-dp rounded on both
     engines.
     """
-    return mix_dedup_aware_for(table(spark, sf_dir, "documents"))
+    from data_pipeline_etl_spark.operators.llm_dedup import dedup_clusters_table
+
+    return mix_dedup_aware_for(
+        table(spark, sf_dir, "documents"),
+        clusters=dedup_clusters_table(spark, sf_dir),
+    )
 
 
-def mix_dedup_aware_for(d: DataFrame) -> DataFrame:
+def mix_dedup_aware_for(
+    d: DataFrame, clusters: DataFrame | None = None
+) -> DataFrame:
     """Frame-parameterized body of q_mix_dedup_aware so
-    scripts/scaling_probe.py measures the declared plan — the
+    scripts/scaling_probe.py measures the full build — the
     dedup_clusters_for body plus the doc_id-keyed token join and the
-    |source|-group aggregate."""
+    |source|-group aggregate. The declared query passes the
+    session-materialized label table as ``clusters`` (the
+    materialize-once topology, operators/materialized.py)."""
     from data_pipeline_etl_spark.operators.llm_dedup import dedup_clusters_for
 
-    clusters = dedup_clusters_for(d)
+    if clusters is None:
+        clusters = dedup_clusters_for(d)
     per_doc = d.select(
         "doc_id",
         "source",
@@ -1641,6 +1664,7 @@ def q_split_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verification, i.e. LSH candidates -> verify -> inherit).
     """
     from data_pipeline_etl_spark.operators.llm_dedup import _unigram_elements
+    from data_pipeline_etl_spark.operators.materialized import materialize_once
 
     d = table(spark, sf_dir, "documents")
     cut = d.agg((F.max("doc_id") / 2).alias("cut"))
@@ -1648,13 +1672,31 @@ def q_split_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = dc.where(F.col("doc_id") < F.col("cut"))
     batch = dc.where(F.col("doc_id") >= F.col("cut"))
 
-    # the store's materialized assignment (probed body at half corpus)
-    ssplit = split_leakage_for(store).select(
-        F.col("doc_id").alias("sid"), F.col("split").alias("store_split")
+    def build_store() -> tuple[DataFrame, DataFrame]:
+        # ONE store element build, checkpointed, read by BOTH the store
+        # CC body and the batch screen below (ADVICE r15 item 1 — the
+        # store half was tokenized+exploded twice per run); with the
+        # split assignment it is the materialized store state
+        # production screens every arriving batch against
+        # (q_dedup_incremental's store-index topology).
+        exs_cp = _unigram_elements(store).localCheckpoint()
+        ssplit_cp = (
+            split_leakage_for(store, elements=exs_cp)
+            .select(
+                F.col("doc_id").alias("sid"),
+                F.col("split").alias("store_split"),
+            )
+            .localCheckpoint()
+        )
+        return exs_cp, ssplit_cp
+
+    # the store's materialized assignment + inverted index (probed
+    # dedup_clusters_for body at half corpus), built once per session
+    exs, ssplit = materialize_once(
+        spark, ("split_store", sf_dir.rstrip("/")), build_store
     )
 
     # asymmetric inverted-index Jaccard: store elements x batch elements
-    exs = _unigram_elements(store)
     exb = _unigram_elements(batch)
     ns = exs.groupBy("doc_id").agg(F.count("*").alias("n_s"))
     nb = exb.groupBy("doc_id").agg(F.count("*").alias("n_b"))

@@ -78,6 +78,25 @@ _FORCE_FRONT: dict[str, int] = {
     # q_mix_weighted, q_mix_epochs, and the four PCA queries riding the
     # fused _pca_power_loop — hash-green, so every entry expired by its
     # own rule. Add only queries r16 touches.)
+    # round-16 touch (VERDICT r15 item 4): the five cluster-riding
+    # queries now read ONE session-materialized label frame
+    # (dedup_clusters_table) instead of each rebuilding the pair graph
+    # + CC fixpoint, and the four PCA queries read session-materialized
+    # axes (_pca_axis1_cached/_pca_axes_cached) instead of each
+    # rebuilding the covariance pass + ladders; q_split_incremental
+    # additionally shares ONE checkpointed store element index between
+    # its CC body and its batch screen (ADVICE r15 item 1). Values
+    # bit-identical (deterministic builds; parity/planted/property pins
+    # re-run), plans changed, re-graded regardless:
+    "q_dedup_cluster": 16,
+    "q_dedup_cluster_stats": 16,
+    "q_split_leakage_safe": 16,
+    "q_mix_dedup_aware": 16,
+    "q_split_incremental": 16,
+    "q_embed_pca": 16,
+    "q_embed_pca2": 16,
+    "q_embed_pca_project": 16,
+    "q_embed_pca_project2": 16,
 }
 
 

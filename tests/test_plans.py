@@ -137,10 +137,15 @@ def test_jaccard_no_per_row_size_recompute(spark):
     the element explode re-evaluates the split per exploded row on both
     sides of the self-join (measured 8x at sf0.1). Set sizes must come
     from the count aggregate, so the expression must not appear at all."""
-    for name in ("q_sim_jaccard", "q_dedup_cluster"):
-        plan = _plan(QUERIES[name](spark, SF_DIR))
-        assert "size(array_distinct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, name
+    from data_pipeline_etl_spark.operators.materialized import uncached
+
+    # force the fresh build: the session cache would hand back a bare
+    # checkpoint scan and the pin would be vacuous (r16)
+    with uncached():
+        for name in ("q_sim_jaccard", "q_dedup_cluster"):
+            plan = _plan(QUERIES[name](spark, SF_DIR))
+            assert "size(array_distinct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, name
 
 
 def test_neardup_lsh_band_blocked(spark):
@@ -600,14 +605,19 @@ def test_pca_iterations_read_checkpoint_not_corpus(spark):
     iteration joins are broadcasts (d- and 1-row frames); an
     exchange-based join here would mean the loop shuffles
     dimension-sized frames k times for nothing."""
-    for name in ("q_embed_pca", "q_embed_pca2"):
-        plan = _plan(QUERIES[name](spark, SF_DIR))
-        assert "FileScan parquet" not in plan, (name, plan)
-        assert "Scan ExistingRDD" in plan, (name, plan)
-        assert (
-            "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-        ), (name, plan)
-        assert "SortMergeJoin" not in plan, (name, plan)
+    from data_pipeline_etl_spark.operators.materialized import uncached
+
+    # fresh ladder build (the axis cache would satisfy these asserts with
+    # the same shapes, but the pin is about the BUILD plan — r16)
+    with uncached():
+        for name in ("q_embed_pca", "q_embed_pca2"):
+            plan = _plan(QUERIES[name](spark, SF_DIR))
+            assert "FileScan parquet" not in plan, (name, plan)
+            assert "Scan ExistingRDD" in plan, (name, plan)
+            assert (
+                "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+            ), (name, plan)
+            assert "SortMergeJoin" not in plan, (name, plan)
 
 
 def test_semistructured_single_scan_jvm_side(spark):

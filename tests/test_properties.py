@@ -450,11 +450,17 @@ def test_results_invariant_under_shuffle_partitioning(spark):
         "q_dedup_cluster_stats",
     ]
 
+    from data_pipeline_etl_spark.operators.materialized import uncached
+
     def run_all():
-        return {
-            n: sorted(tuple(str(v) for v in r) for r in QUERIES[n](spark, SF_DIR).collect())
-            for n in names
-        }
+        # fresh builds on BOTH settings — the session cache would hand
+        # the second run the first run's frames and the invariance pin
+        # would be vacuous for the cached families (r16)
+        with uncached():
+            return {
+                n: sorted(tuple(str(v) for v in r) for r in QUERIES[n](spark, SF_DIR).collect())
+                for n in names
+            }
 
     default = run_all()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -964,9 +970,12 @@ def test_embed_pca_repeat_run_bit_identical(spark):
     from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
 
     load_all_operators()
+    from data_pipeline_etl_spark.operators.materialized import uncached
+
     runs = []
     for _ in range(2):
-        rows = QUERIES["q_embed_pca"](spark, SF_DIR).collect()
+        with uncached():  # two INDEPENDENT constructions, not one + a cache hit
+            rows = QUERIES["q_embed_pca"](spark, SF_DIR).collect()
         runs.append(sorted((r["dim"], repr(r["loading"]), repr(r["lam"])) for r in rows))
     assert runs[0] == runs[1]
 
@@ -1004,10 +1013,13 @@ def test_embed_pca2_orthogonal_and_bit_identical(spark):
     from data_pipeline_etl_spark.registry import QUERIES, load_all_operators
 
     load_all_operators()
+    from data_pipeline_etl_spark.operators.materialized import uncached
+
     v1 = {r["dim"]: r["loading"] for r in QUERIES["q_embed_pca"](spark, SF_DIR).collect()}
     runs = []
     for _ in range(2):
-        rows = QUERIES["q_embed_pca2"](spark, SF_DIR).collect()
+        with uncached():  # two INDEPENDENT constructions, not one + a cache hit
+            rows = QUERIES["q_embed_pca2"](spark, SF_DIR).collect()
         runs.append(
             sorted(
                 (
