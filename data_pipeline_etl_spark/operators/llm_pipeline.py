@@ -741,6 +741,95 @@ def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_SAMPLE = 10  # exactly-k sample size per embedding cell
+
+
+def _cluster_balanced_oracle() -> str:
+    from data_pipeline_etl_spark.operators.llm_similarity import _D2_SQL, _IVF_K
+
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id AS cell, embedding AS c FROM embeddings
+      WHERE vec_id < {_IVF_K}
+    ),
+    dists AS (
+      SELECT v.vec_id, s.cell, {_D2_SQL} AS d2
+      FROM (SELECT vec_id, embedding AS e FROM embeddings) v
+      CROSS JOIN seeds s
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    hashed AS (
+      SELECT cell, vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM assign
+    )
+    SELECT cell, vec_id, h,
+           CAST(row_number() OVER (PARTITION BY cell ORDER BY h, vec_id)
+                AS BIGINT) AS rk
+    FROM hashed
+    QUALIFY rk <= {_CLUSTER_SAMPLE}
+    """
+
+
+@query("q_sample_cluster_balanced", oracle=_cluster_balanced_oracle())
+def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced subset selection: EXACTLY-k deterministic sample
+    per embedding CLUSTER — the curation step between dedup and mixing
+    that source-stratified sampling (q_sample_topk) cannot provide,
+    because 'source' is a provenance label while the cells of the IVF
+    assignment are content-topology strata: k docs per TOPIC region of
+    the embedding space, so a review set or a seed corpus covers the
+    space instead of over-drawing the dominant mode. Composition of two
+    proven bodies: the deterministic seed-centroid assignment
+    (q_sim_ivf_assign's ivf_assign_for — on a real corpus, k-means
+    centroids; the topology is identical) keys the strata, and the
+    k-smallest-md5 order statistics of q_sample_topk pick the same k
+    vectors per cell every run (md5 of the vec_id is a pure id
+    function, so the selection is reproducible across runs, retries and
+    partitionings). Cells with fewer than k members return all of them.
+
+    Scale shape: one broadcast of the k seed vectors onto a linear
+    corpus scan (k exact squared-L2 folds per vector), the argmin
+    window keyed on |vectors|-cardinality vec_id (parallel at any
+    scale), a map-side md5, then the house TWO-LEVEL top-k (the
+    q_sample_topk discipline — a per-cell window over a corpus-sized
+    frame with |cells| = 8 partitions is the low-cardinality-partition
+    trap): (1) row_number within (cell, salt-bucket) keeps k candidates
+    per bucket, collapsing the corpus to a |cells| x 32 x k frame;
+    (2) the final per-cell row_number runs on that metadata-sized
+    frame. At 100 TB the cell id is a partition column
+    (q_sim_ivf_assign's note), so the scan itself prunes per cell.
+    """
+    from data_pipeline_etl_spark.operators.llm_similarity import ivf_assign_for
+    from data_pipeline_etl_spark.sources.tables import fanout
+
+    assign = ivf_assign_for(fanout(table(spark, sf_dir, "embeddings")))
+    hashed = assign.select(
+        "cell", "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+    )
+    salt = F.conv(F.substring("h", 29, 4), 16, 10).cast("long") % 32
+    w_local = Window.partitionBy("cell", "salt").orderBy("h", "vec_id")
+    cands = (
+        hashed.withColumn("salt", salt)
+        .withColumn("lrk", F.row_number().over(w_local))
+        .where(F.col("lrk") <= _CLUSTER_SAMPLE)
+    )
+    w_final = Window.partitionBy("cell").orderBy("h", "vec_id")
+    return (
+        cands.select(
+            "cell",
+            "vec_id",
+            "h",
+            F.row_number().over(w_final).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= _CLUSTER_SAMPLE)
+    )
+
+
 _EPOCH_BUDGET = 1_000_000  # training-token budget for the epoch report
 
 

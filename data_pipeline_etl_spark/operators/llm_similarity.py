@@ -414,7 +414,18 @@ def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_pipeline_etl_spark.sources.tables import fanout
 
-    base = fanout(table(spark, sf_dir, "embeddings"))
+    return ivf_assign_for(fanout(table(spark, sf_dir, "embeddings"))).select(
+        "vec_id", "cell", F.round("d2", 6).alias("dist2")
+    )
+
+
+def ivf_assign_for(base: DataFrame) -> DataFrame:
+    """Deterministic seed-centroid assignment (vec_id, cell, d2 raw) —
+    the shared body of q_sim_ivf_assign and the cell key of
+    q_sample_cluster_balanced (llm_pipeline): one broadcast of the
+    k=_IVF_K seed vectors, one linear scan with k exact squared-L2
+    folds per vector, one (d2, cell)-tiebroken argmin window keyed on
+    |vectors|-cardinality vec_id."""
     seeds = base.where(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c")
     )
@@ -432,7 +443,7 @@ def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dists.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", "cell", F.round("d2", 6).alias("dist2"))
+        .select("vec_id", "cell", "d2")
     )
 
 

@@ -97,6 +97,12 @@ _FORCE_FRONT: dict[str, int] = {
     "q_embed_pca2": 16,
     "q_embed_pca_project": 16,
     "q_embed_pca_project2": 16,
+    # round-16 touch: the assignment body moved into the shared
+    # ivf_assign_for (now also the cell key of the new
+    # q_sample_cluster_balanced); same expressions, rounding moved to
+    # the declared query's final select. Value-identical, re-graded
+    # regardless:
+    "q_sim_ivf_assign": 16,
 }
 
 

@@ -4738,3 +4738,49 @@ def test_dedup_cluster_stats_planted(spark, tmp_path):
     sg = out["singleton"]
     assert (sg["n_clusters"], sg["n_docs"], sg["max_size"]) == (2, 2, 1)
     assert sg["doc_frac"] == round(2 / 7, 6)
+
+
+def test_sample_cluster_balanced_planted(spark, tmp_path):
+    """Deliberately lopsided cells (VERDICT r15 item 6's done-criterion):
+    seeds 0..7 sit at x = 10*i on a d=4 line; 30 extra vectors crowd
+    cell 0, two land in cell 1, cells 2..7 hold only their seed. The
+    sample must return EXACTLY k=10 rows for the crowded cell (never
+    its population share), all 3 members of cell 1, one row per
+    singleton cell — and within every cell the selection order must be
+    the (md5(str(vec_id)), vec_id) order statistics, hashlib-verified,
+    so the same subset reproduces on any run or partitioning."""
+    import hashlib
+
+    rows = [(i, [float(10 * i), 0.0, 0.0, 0.0], 0) for i in range(8)]
+    rows += [
+        (8 + j, [0.1 + 0.01 * j, 1.0, 0.0, 0.0], 0) for j in range(30)
+    ]  # cell 0
+    rows += [(38, [10.2, 0.0, 1.0, 0.0], 0), (39, [9.8, 0.0, 0.0, 1.0], 0)]
+    sf = str(tmp_path / "planted_cbal")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+
+    out = QUERIES["q_sample_cluster_balanced"](spark, sf).collect()
+    by_cell: dict = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert set(by_cell) == set(range(8))
+    assert len(by_cell[0]) == 10  # exactly k from the 31-member cell
+    assert len(by_cell[1]) == 3  # {1, 38, 39}: fewer than k -> all
+    for c in range(2, 8):
+        assert [r["vec_id"] for r in by_cell[c]] == [c]
+
+    def md5rank(members):
+        return sorted(
+            members, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+        )
+
+    want0 = md5rank([0] + list(range(8, 38)))[:10]
+    got0 = [r["vec_id"] for r in sorted(by_cell[0], key=lambda r: r["rk"])]
+    assert got0 == want0
+    for r in out:  # the h column IS the hashlib digest
+        assert r["h"] == hashlib.md5(str(r["vec_id"]).encode()).hexdigest()
+    assert [r["vec_id"] for r in sorted(by_cell[1], key=lambda r: r["rk"])] == md5rank(
+        [1, 38, 39]
+    )
