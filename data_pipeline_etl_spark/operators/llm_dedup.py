@@ -229,8 +229,25 @@ def q_sim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same inverted-index topology as q_dedup_ngram with unigram elements;
     the exact-Jaccard ground truth that q_dedup_minhash approximates.
     """
-    d = table(spark, sf_dir, "documents")
-    return _inverted_index_jaccard(_unigram_elements(d), 0.8)
+    return neardup_pairs_table(spark, sf_dir)
+
+
+def neardup_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped materialize-once Jaccard>=0.8 near-dup pair frame
+    (doc_a, doc_b, jaccard) over the documents table — the ONE pair
+    graph q_sim_jaccard returns, q_dedup_degree histograms, and the
+    cluster-label build (dedup_clusters_table) runs CC over. At 100 TB
+    the near-dup pair table is the materialized artifact every dedup
+    consumer reads; see operators/materialized.py."""
+    from data_pipeline_etl_spark.operators.materialized import materialize_once
+
+    return materialize_once(
+        spark,
+        ("neardup_pairs", sf_dir.rstrip("/")),
+        lambda: _inverted_index_jaccard(
+            _unigram_elements(table(spark, sf_dir, "documents")), 0.8
+        ).localCheckpoint(),
+    )
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -1154,8 +1171,9 @@ def dedup_clusters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_once(
         spark,
         ("dedup_clusters", sf_dir.rstrip("/")),
-        lambda: dedup_clusters_for(
-            table(spark, sf_dir, "documents")
+        lambda: _clusters_from_pairs(
+            table(spark, sf_dir, "documents"),
+            neardup_pairs_table(spark, sf_dir).select("doc_a", "doc_b"),
         ).localCheckpoint(),
     )
 
@@ -1171,6 +1189,14 @@ def dedup_clusters_for(d: DataFrame, elements: DataFrame | None = None) -> DataF
     exploding the store half twice (ADVICE r15 item 1)."""
     ex = _unigram_elements(d) if elements is None else elements
     pairs = _inverted_index_jaccard(ex, 0.8).select("doc_a", "doc_b")
+    return _clusters_from_pairs(d, pairs)
+
+
+def _clusters_from_pairs(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """CC labels over a (doc_a, doc_b) near-dup pair frame, left-joined
+    back onto the doc spine (singletons keep cluster_id = doc_id) —
+    shared by dedup_clusters_for (fresh pair build) and
+    dedup_clusters_table (the session-materialized pair table)."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -1636,14 +1662,12 @@ def q_dedup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: pair endpoints re-keyed and counted (map-side combine), one
     left join against the doc spine for the zero-degree mass, one
-    |degrees|-row histogram aggregate. The pair frame is the same
-    blocked inverted-index join every dedup op here shares — nothing
-    new materializes beyond it.
+    |degrees|-row histogram aggregate. The pair frame is the session-
+    materialized near-dup pair table (neardup_pairs_table) every dedup
+    consumer here shares — nothing new materializes beyond it.
     """
     d = table(spark, sf_dir, "documents")
-    pairs = _inverted_index_jaccard(_unigram_elements(d), 0.8).select(
-        "doc_a", "doc_b"
-    )
+    pairs = neardup_pairs_table(spark, sf_dir).select("doc_a", "doc_b")
     deg = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))

@@ -103,6 +103,13 @@ _FORCE_FRONT: dict[str, int] = {
     # the declared query's final select. Value-identical, re-graded
     # regardless:
     "q_sim_ivf_assign": 16,
+    # round-16 touch: both now read the session-materialized near-dup
+    # pair table (neardup_pairs_table) instead of rebuilding the
+    # blocked inverted-index join per call; the cluster-label build
+    # rides the same pair frame. Values identical, re-graded
+    # regardless:
+    "q_sim_jaccard": 16,
+    "q_dedup_degree": 16,
 }
 
 
