@@ -110,6 +110,17 @@ _FORCE_FRONT: dict[str, int] = {
     # regardless:
     "q_sim_jaccard": 16,
     "q_dedup_degree": 16,
+    # round-16 touch: the five k=4 BPE consumers now read ONE
+    # session-materialized tokenized vocabulary (_bpe_toks_cached)
+    # instead of each re-running the sequential merge ladder; the
+    # trainer queries (q_text_bpe_merge k=3, q_text_bpe_train k=6)
+    # stay fresh (single-consumer artifacts). Values identical,
+    # re-graded regardless:
+    "q_text_bpe_apply": 16,
+    "q_text_bpe_vocab": 16,
+    "q_text_bpe_encode": 16,
+    "q_text_bpe_decode": 16,
+    "q_text_bpe_fertility": 16,
 }
 
 
