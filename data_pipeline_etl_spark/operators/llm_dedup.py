@@ -433,6 +433,27 @@ def _minhash_sig(d: DataFrame, with_block: bool = False) -> DataFrame:
     return tok.groupBy(*keys).agg(*aggs)
 
 
+def minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped materialize-once MinHash signature frame
+    (doc_id, lang, source, mh0..mh{k-1}) for the documents table — the
+    artifact the whole LSH dedup path reads: q_dedup_minhash_sig
+    publishes it, q_dedup_lsh_candidates buckets it, and the
+    incremental/ingest/store-compact loop filters its store/batch
+    halves from it (per-doc signatures are split-independent, so
+    filtering the one frame equals signing each half). At 100 TB the
+    signature store IS a materialized table (the q_dedup_incremental
+    docstring's store index); see operators/materialized.py."""
+    from data_pipeline_etl_spark.operators.materialized import materialize_once
+
+    return materialize_once(
+        spark,
+        ("minhash_sig", sf_dir.rstrip("/")),
+        lambda: _minhash_sig(
+            table(spark, sf_dir, "documents"), with_block=True
+        ).localCheckpoint(),
+    )
+
+
 def _band_key(b: int):
     return F.md5(
         F.concat(*[F.col(f"mh{i}") for i in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND)])
@@ -501,7 +522,7 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. Salted md5 stands in for the permutation family so both engines
     compute bit-identical signatures.
     """
-    sig = _minhash_sig(table(spark, sf_dir, "documents"))
+    sig = minhash_sig_table(spark, sf_dir)
     bands = [
         _band_key(b).alias(f"band{b}") for b in range(_MINHASH_K // _MINHASH_BAND)
     ]
@@ -569,8 +590,7 @@ def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability (~jaccard^band_size) is what prunes the pair space and
     the block key can drop away entirely.
     """
-    d = table(spark, sf_dir, "documents")
-    sig = _minhash_sig(d, with_block=True)
+    sig = minhash_sig_table(spark, sf_dir)
     n_bands = _MINHASH_K // _MINHASH_BAND
     bands = sig.select(
         "doc_id",
@@ -687,10 +707,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     n_bands = _MINHASH_K // _MINHASH_BAND
     # arrival-order split: one max() scalar, broadcast into both filters
-    # (in production this is the ingest watermark, not a computed value)
+    # (in production this is the ingest watermark, not a computed value).
+    # Both halves filter the ONE session-materialized signature table —
+    # per-doc signatures are split-independent, so sig(half) == sig.where
     cut = d.agg((F.max("doc_id") / 2).alias("cut"))
-    d = d.crossJoin(F.broadcast(cut))
-    corpus_sig = _minhash_sig(d.where(F.col("doc_id") < F.col("cut")), with_block=True)
+    sig_all = minhash_sig_table(spark, sf_dir).crossJoin(F.broadcast(cut))
+    corpus_sig = sig_all.where(F.col("doc_id") < F.col("cut"))
     store = (
         corpus_sig.select(
             "lang",
@@ -702,7 +724,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     bsig = (
-        _minhash_sig(d.where(F.col("doc_id") >= F.col("cut")), with_block=True)
+        sig_all.where(F.col("doc_id") >= F.col("cut"))
         .select(
             "doc_id",
             "lang",
@@ -812,17 +834,24 @@ def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-level disposition join; at 100 TB the store is bucketed by
     band_key and only batch-sized frames shuffle.
     """
-    return ingest_disposition_for(table(spark, sf_dir, "documents"))
+    return ingest_disposition_for(
+        table(spark, sf_dir, "documents"),
+        sig=minhash_sig_table(spark, sf_dir),
+    )
 
 
-def ingest_disposition_for(d: DataFrame) -> DataFrame:
+def ingest_disposition_for(d: DataFrame, sig: DataFrame | None = None) -> DataFrame:
     """q_dedup_ingest's plan over any (doc_id, lang, source, text) frame
-    — shared by the declared query and scripts/scaling_probe.py so the
-    probe measures the exact declared plan shape."""
+    — shared by the declared query (which passes the session-
+    materialized ``sig`` = minhash_sig_table; per-doc signatures are
+    split-independent, so filtering the one frame equals signing each
+    half) and scripts/scaling_probe.py (fresh build)."""
     n_bands = _MINHASH_K // _MINHASH_BAND
     cut = d.agg((F.max("doc_id") / 2).alias("cut"))
-    d = d.crossJoin(F.broadcast(cut))
-    corpus_sig = _minhash_sig(d.where(F.col("doc_id") < F.col("cut")), with_block=True)
+    if sig is None:
+        sig = _minhash_sig(d, with_block=True)
+    sig = sig.crossJoin(F.broadcast(cut))
+    corpus_sig = sig.where(F.col("doc_id") < F.col("cut"))
     store = (
         corpus_sig.select(
             "lang",
@@ -834,7 +863,7 @@ def ingest_disposition_for(d: DataFrame) -> DataFrame:
         .distinct()
     )
     bsig = (
-        _minhash_sig(d.where(F.col("doc_id") >= F.col("cut")), with_block=True)
+        sig.where(F.col("doc_id") >= F.col("cut"))
         .select(
             "doc_id",
             "lang",
@@ -958,16 +987,23 @@ def q_dedup_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     only because no materialized store ships with the test data —
     production swaps ``_minhash_sig`` for a store scan).
     """
-    return store_compact_for(table(spark, sf_dir, "documents"))
+    return store_compact_for(
+        table(spark, sf_dir, "documents"),
+        sig=minhash_sig_table(spark, sf_dir),
+    )
 
 
-def store_compact_for(d: DataFrame) -> DataFrame:
+def store_compact_for(d: DataFrame, sig: DataFrame | None = None) -> DataFrame:
     """Frame-parameterized body of q_dedup_store_compact over any
-    (doc_id, lang, source, text) frame (scaling-probe hook)."""
+    (doc_id, lang, source, text) frame (scaling-probe hook); the
+    declared query passes ``sig`` = the session-materialized
+    minhash_sig_table."""
     n_bands = _MINHASH_K // _MINHASH_BAND
     cut = d.agg((F.max("doc_id") / 2).alias("cut"))
+    if sig is None:
+        sig = _minhash_sig(d, with_block=True)
     tagged = (
-        _minhash_sig(d, with_block=True)
+        sig
         .crossJoin(F.broadcast(cut))
         .select(
             "doc_id",

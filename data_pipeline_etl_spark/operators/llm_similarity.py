@@ -1074,7 +1074,25 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     and rounds at 6 dp per the float-fold discipline (module
     docstring).
     """
-    return covariance_for(table(spark, sf_dir, "embeddings"))
+    return covariance_table(spark, sf_dir)
+
+
+def covariance_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped materialize-once upper-triangle covariance of the
+    embeddings table — the ONE corpus moment pass behind
+    q_embed_covariance AND the PCA axis builds (_pca_micro_cov): at
+    100 TB the second-moment matrix is computed once and every
+    spectrum/whitening/drift consumer reads the d^2/2-row artifact.
+    See operators/materialized.py."""
+    from data_pipeline_etl_spark.operators.materialized import materialize_once
+
+    return materialize_once(
+        spark,
+        ("embed_cov", sf_dir.rstrip("/")),
+        lambda: covariance_for(
+            table(spark, sf_dir, "embeddings")
+        ).localCheckpoint(),
+    )
 
 
 def covariance_for(e: DataFrame) -> DataFrame:
@@ -2426,12 +2444,15 @@ def _pc1_tail(v: DataFrame, nrm: DataFrame) -> DataFrame:
     )
 
 
-def _pca_axis1_for(e: DataFrame, k: int = _PCA_K):
+def _pca_axis1_for(
+    e: DataFrame, k: int = _PCA_K, cov: DataFrame | None = None
+):
     """Covariance pass + PC1 ladder of an embedding frame — the shared
     first stage of every PCA query. Returns (full, v1, n1): the
     checkpointed micro-unit covariance and the (vector, norm) pair,
-    each rooted at the ladder's final d-row checkpoint."""
-    full = _pca_micro_cov(e)
+    each rooted at the ladder's final d-row checkpoint. ``cov``: see
+    _pca_micro_cov."""
+    full = _pca_micro_cov(e, cov=cov)
     v1, n1 = _pca_power_loop(full, k)
     return full, v1, n1
 
@@ -2449,7 +2470,11 @@ def _pca_axis1_cached(spark: SparkSession, sf_dir: str, k: int = _PCA_K):
     return materialize_once(
         spark,
         ("pca_axis1", sf_dir.rstrip("/"), k),
-        lambda: _pca_axis1_for(table(spark, sf_dir, "embeddings"), k),
+        lambda: _pca_axis1_for(
+            table(spark, sf_dir, "embeddings"),
+            k,
+            cov=covariance_table(spark, sf_dir),
+        ),
     )
 
 
@@ -2469,13 +2494,15 @@ def _pca_axes_cached(spark: SparkSession, sf_dir: str, k: int = _PCA_K):
     )
 
 
-def _pca_micro_cov(e: DataFrame) -> DataFrame:
+def _pca_micro_cov(e: DataFrame, cov: DataFrame | None = None) -> DataFrame:
     """Mirrored integer micro-unit covariance of an embedding frame —
     the ONE corpus pass of every PCA query, localCheckpoint'ed so both
     power-iteration consumers (PC1 ladder, and after deflation the PC2
     ladder + trace) read the materialized d^2-row frame, never the
-    corpus."""
-    cov = covariance_for(e)
+    corpus. ``cov``: optional prebuilt covariance_for output (the
+    covariance_table artifact) replacing the fresh corpus pass."""
+    if cov is None:
+        cov = covariance_for(e)
     ci = F.round(F.col("cov") * 1e6).cast("bigint").alias("ci")
     return (
         cov.select("dim_i", "dim_j", ci)

@@ -121,6 +121,18 @@ _FORCE_FRONT: dict[str, int] = {
     "q_text_bpe_encode": 16,
     "q_text_bpe_decode": 16,
     "q_text_bpe_fertility": 16,
+    # round-16 touch: the LSH dedup loop reads the session-materialized
+    # MinHash signature table (minhash_sig_table — per-doc signatures
+    # are split-independent, so the store/batch halves filter the one
+    # frame), and q_embed_covariance + the PCA axis build share the
+    # materialized covariance (covariance_table). Values identical,
+    # re-graded regardless:
+    "q_dedup_minhash_sig": 16,
+    "q_dedup_lsh_candidates": 16,
+    "q_dedup_incremental": 16,
+    "q_dedup_ingest": 16,
+    "q_dedup_store_compact": 16,
+    "q_embed_covariance": 16,
 }
 
 
