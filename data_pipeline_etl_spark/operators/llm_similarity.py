@@ -362,12 +362,24 @@ def band_pairs_from_bits(bit_frame: DataFrame, bands: int, rows: int) -> DataFra
 
 
 def _band_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs over the fixture embeddings table (fanout: the
-    single-row-group fixture scan parallelizes for the signature folds;
-    no-op on clusters)."""
+    """Session-scoped materialize-once LSH candidate pairs over the
+    embeddings table (fanout: the single-row-group fixture scan
+    parallelizes for the signature folds; no-op on clusters). The
+    candidate set is an artifact too: q_sim_neardup rescopes it per
+    query vector, q_sim_pairs_lsh thresholds it, and q_dedup_semantic
+    clusters it — one signature pass + one bucket shuffle per session
+    instead of three (operators/materialized.py; the probe path
+    band_candidate_pairs_for stays fresh)."""
+    from data_pipeline_etl_spark.operators.materialized import materialize_once
     from data_pipeline_etl_spark.sources.tables import fanout
 
-    return band_candidate_pairs_for(fanout(table(spark, sf_dir, "embeddings")))
+    return materialize_once(
+        spark,
+        ("lsh_band_pairs", sf_dir.rstrip("/")),
+        lambda: band_candidate_pairs_for(
+            fanout(table(spark, sf_dir, "embeddings"))
+        ).localCheckpoint(),
+    )
 
 
 _IVF_K = 8  # seed centroids = vectors with vec_id < _IVF_K (deterministic)

@@ -133,6 +133,12 @@ _FORCE_FRONT: dict[str, int] = {
     "q_dedup_ingest": 16,
     "q_dedup_store_compact": 16,
     "q_embed_covariance": 16,
+    # round-16 touch: the hyperplane-LSH trio reads the session-
+    # materialized candidate pair table (_band_candidate_pairs).
+    # Values identical, re-graded regardless:
+    "q_sim_neardup": 16,
+    "q_sim_pairs_lsh": 16,
+    "q_dedup_semantic": 16,
 }
 
 
