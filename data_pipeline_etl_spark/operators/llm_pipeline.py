@@ -1825,3 +1825,127 @@ def q_split_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("store_split", own).alias("split"),
         )
     )
+
+
+# Token-budgeted snapshot: global budget and integer per-tier weights.
+# Allocations are exact integers (floor(B*w/sum_w)) so both engines agree
+# without float division; 120000/30 divides exactly anyway (tier A 8000,
+# tier B 4000 tokens per source at w=2/1 over 10+10 sources).
+_BUDGET_TOKENS = 120_000
+_BUDGET_W_TOTAL = 2 * 10 + 1 * 10  # sum of per-source weights (A=2, B=1)
+_BUDGET_A = _BUDGET_TOKENS * 2 // _BUDGET_W_TOTAL
+_BUDGET_B = _BUDGET_TOKENS * 1 // _BUDGET_W_TOTAL
+
+
+@query(
+    "q_mix_token_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             md5(text) AS h,
+             doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    cum AS (
+      SELECT source, nt,
+             sum(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) - nt AS cum_before
+      FROM toks
+    )
+    SELECT source,
+           CAST(CASE WHEN source IN ({_TIER_A_SQL})
+                     THEN {_BUDGET_A} ELSE {_BUDGET_B} END AS BIGINT)
+             AS alloc_tokens,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS tokens_kept,
+           round(CAST(sum(nt) AS DOUBLE) /
+                 CASE WHEN source IN ({_TIER_A_SQL})
+                      THEN {_BUDGET_A} ELSE {_BUDGET_B} END, 6) AS fill_frac
+    FROM cum
+    WHERE cum_before < CASE WHEN source IN ({_TIER_A_SQL})
+                            THEN {_BUDGET_A} ELSE {_BUDGET_B} END
+    GROUP BY source
+    """,
+)
+def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGETED corpus snapshot: each source gets an integer token
+    allocation (global budget x tier weight / weight total — the same
+    2:1 tier-A/B weighting as q_mix_weighted/q_mix_epochs), and keeps
+    its documents in deterministic content-hash order until the
+    allocation is filled. 'Give me a 120k-token snapshot at these
+    mixture weights, the same snapshot every run' is the step between
+    mixture design (q_mix_weighted computes fractions) and training:
+    rate-based hash sampling cannot promise a token TOTAL, and rand()
+    ordering is neither reproducible nor partition-stable. Greedy
+    prefix rule: a doc is kept iff the tokens BEFORE it (md5, doc_id
+    order within its source) are still under the allocation — so the
+    boundary-straddling doc is kept (budgets are floors on coverage,
+    overshoot is one doc max; the planted pin exercises both edges).
+
+    The oracle states the semantics as one per-source running sum — the
+    low-cardinality-partition trap (|sources|=20 tasks over the corpus;
+    q_mix_curriculum docstring). The engine runs the house TWO-LEVEL
+    prefix scan instead: sub-bucket each source by the FIRST HEX DIGIT
+    of the ordering hash — hash-prefix buckets are contiguous ranges of
+    the (h, doc_id) order, so per-bucket sums roll up into exact global
+    offsets, unlike arbitrary salt — then (1) an ordered cumsum within
+    each (source, hex) partition (|sources| x 16 keys, parallel at any
+    scale), (2) a prefix-sum window over the |sources| x 16-row count
+    frame (the documented metadata-sized single-partition exception),
+    broadcast back: cum_before = bucket offset + local cumsum - nt.
+    One corpus scan (the projected frame feeds both the counts branch
+    and the probe join, so it is localCheckpoint'ed — q_mix_curriculum
+    pattern; it backs the returned frame, never freed), one properly-
+    partitioned window shuffle, one broadcast join, and a 20-row
+    aggregate. The hash gate proves the two-phase plan equals the
+    naive per-source window row for row. NULL text is filtered on both
+    sides (md5(NULL) is NULL and the engines disagree on NULL sort
+    placement; a NULL doc has no tokens to budget). fill_frac is exact
+    at 6 dp: allocations 8000/4000 are 2^6*5^3/2^5*5^3, so the decimal
+    expansion of tokens/alloc terminates within 6 places — no
+    half-even-vs-half-up boundary exists (scalar2.py parity rules).
+    """
+    d = table(spark, sf_dir, "documents")
+    alloc = (
+        F.when(F.col("source").isin(*_TIER_A), F.lit(_BUDGET_A))
+        .otherwise(F.lit(_BUDGET_B))
+        .cast("bigint")
+    )
+    base = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "source",
+            "doc_id",
+            F.md5("text").alias("h"),
+            F.size(F.split("text", " ")).cast("bigint").alias("nt"),
+        )
+        .withColumn("hb", F.substring("h", 1, 1))
+        .localCheckpoint()
+    )
+    counts = base.groupBy("source", "hb").agg(F.sum("nt").alias("bn"))
+    # |sources| x 16 rows: metadata-sized prefix-sum window (two-phase
+    # scan pattern) — partitioned on source, ordered by the hex bucket
+    # whose lexical order matches the hash order it partitions.
+    w_off = Window.partitionBy("source").orderBy("hb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "source",
+        "hb",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("bigint").alias("off"),
+    )
+    w_in = Window.partitionBy("source", "hb").orderBy("h", "doc_id")
+    cum_before = F.col("off") + F.sum("nt").over(w_in) - F.col("nt")
+    kept = (
+        base.join(F.broadcast(offsets), ["source", "hb"])
+        .withColumn("cum_before", cum_before)
+        .where(F.col("cum_before") < alloc)
+    )
+    return kept.groupBy("source").agg(
+        F.max(alloc).alias("alloc_tokens"),
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("tokens_kept"),
+        F.round(F.sum("nt") / F.max(alloc), 6).alias("fill_frac"),
+    )

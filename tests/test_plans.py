@@ -658,3 +658,20 @@ def test_mix_curriculum_no_global_window(spark):
     # (and tokenized) exactly once; both phases read the checkpoint
     assert "FileScan" not in plan, plan
     assert plan.count("Scan ExistingRDD") == 2, plan
+
+
+def test_mix_token_budget_two_level_scan(spark):
+    """The per-source running sum must come from the TWO-LEVEL prefix
+    scan: the corpus cumsum window partitions on (source, hex-bucket) —
+    never on source alone (|sources| tasks over the corpus); the
+    unpartitioned-by-bucket offset window lives only on the
+    |sources| x 16-row count frame; offsets come back via a broadcast
+    join; and the checkpointed projection keeps the documents parquet
+    to one scan across both phases."""
+    plan = _plan(QUERIES["q_mix_token_budget"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    m = re.search(r"windowspecdefinition\(source#\d+, hb#\d+", plan)
+    assert m, plan
+    assert "FileScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan

@@ -4784,3 +4784,63 @@ def test_sample_cluster_balanced_planted(spark, tmp_path):
     assert [r["vec_id"] for r in sorted(by_cell[1], key=lambda r: r["rk"])] == md5rank(
         [1, 38, 39]
     )
+
+
+def test_mix_token_budget_planted(spark, tmp_path):
+    """Token-budget boundary semantics pinned order-independently, plus
+    a hashlib-reference greedy on a multi-doc source. src0 (tier A,
+    alloc 8000): two docs of exactly 8000 tokens each — whichever md5
+    orders first is kept with cum_before 0, the other sits exactly AT
+    the allocation (cum_before == 8000, excluded: the rule is strictly
+    <), so the result is 1 doc / 8000 tokens / fill 1.0 without the
+    test needing to know the hash order. src10 (tier B, alloc 4000):
+    three docs of 3000 tokens — first kept (0), second STRADDLES the
+    boundary (3000 < 4000, kept, overshoot to 6000), third excluded
+    (6000): 2 docs / 6000 / fill 1.5. src1 (tier A): 9 mixed-size docs
+    + one NULL-text row; expectation recomputed generically in Python
+    from hashlib md5 order (NULL dropped)."""
+    import hashlib
+
+    def words(tag, n):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    rows = [
+        (1, "src0", words("a", 8000)),
+        (2, "src0", words("b", 8000)),
+        (10, "src10", words("c", 3000)),
+        (11, "src10", words("d", 3000)),
+        (12, "src10", words("e", 3000)),
+    ]
+    sizes = [900, 2500, 1200, 4000, 700, 3100, 150, 2600, 1800]
+    rows += [(20 + i, "src1", words(f"s{i}x", n)) for i, n in enumerate(sizes)]
+    rows.append((99, "src1", None))
+    sf = str(tmp_path / "planted_budget")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {r["source"]: r for r in QUERIES["q_mix_token_budget"](spark, sf).collect()}
+
+    a = out["src0"]
+    assert (a["alloc_tokens"], a["n_docs"], a["tokens_kept"], a["fill_frac"]) == (
+        8000, 1, 8000, 1.0,
+    )
+    b = out["src10"]
+    assert (b["alloc_tokens"], b["n_docs"], b["tokens_kept"], b["fill_frac"]) == (
+        4000, 2, 6000, 1.5,
+    )
+    # generic greedy reference on src1: md5(text) order, keep while the
+    # tokens BEFORE the doc are under the 8000 allocation
+    ordered = sorted(
+        (hashlib.md5(t.encode()).hexdigest(), did, t.count(" ") + 1)
+        for did, src, t in rows
+        if src == "src1" and t is not None
+    )
+    cum, kept = 0, []
+    for _, did, nt in ordered:
+        if cum < 8000:
+            kept.append((did, nt))
+        cum += nt
+    c = out["src1"]
+    assert c["n_docs"] == len(kept)
+    assert c["tokens_kept"] == sum(nt for _, nt in kept)
+    assert c["fill_frac"] == round(sum(nt for _, nt in kept) / 8000, 6)

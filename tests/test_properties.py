@@ -448,6 +448,11 @@ def test_results_invariant_under_shuffle_partitioning(spark):
         "q_mix_dedup_aware",
         "q_split_incremental",
         "q_dedup_cluster_stats",
+        # r16: the token-budget prefix scan's keep set is a pure
+        # function of (md5 order, exact integer cumsum) — the hex
+        # sub-bucketing must not leak into the result however the
+        # (source, hex) windows are distributed
+        "q_mix_token_budget",
     ]
 
     from data_pipeline_etl_spark.operators.materialized import uncached
