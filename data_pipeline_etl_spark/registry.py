@@ -139,6 +139,11 @@ _FORCE_FRONT: dict[str, int] = {
     "q_sim_neardup": 16,
     "q_sim_pairs_lsh": 16,
     "q_dedup_semantic": 16,
+    # round-16 touch: the pagerank edge checkpoint is clustered on dst
+    # so each iteration's partial aggregate emits ~|nodes| rows into the
+    # shuffle instead of ~|nodes| x P (warehouse.py pagerank_for
+    # comment). Values bit-identical warm x5, parity green both SFs:
+    "q_graph_pagerank": 16,
 }
 
 
