@@ -1895,6 +1895,11 @@ def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale), (2) a prefix-sum window over the |sources| x 16-row count
     frame (the documented metadata-sized single-partition exception),
     broadcast back: cum_before = bucket offset + local cumsum - nt.
+    The one-hex-digit bucket width (16 ranges/source) sizes for the
+    fixtures; it is a dial, not a design bound — at terabytes per
+    source widen to 2-3 digits (256/4096 contiguous ranges) with the
+    identical offset algebra, exactly like q_mix_curriculum's range
+    width or q_time_concurrency's day→hour bucket drop.
     One corpus scan (the projected frame feeds both the counts branch
     and the probe join, so it is localCheckpoint'ed — q_mix_curriculum
     pattern; it backs the returned frame, never freed), one properly-
