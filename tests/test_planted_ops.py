@@ -4844,3 +4844,31 @@ def test_mix_token_budget_planted(spark, tmp_path):
     assert c["n_docs"] == len(kept)
     assert c["tokens_kept"] == sum(nt for _, nt in kept)
     assert c["fill_frac"] == round(sum(nt for _, nt in kept) / 8000, 6)
+
+
+def test_materialized_cache_keys_per_sf_dir(spark, tmp_path):
+    """Two different corpora queried through the SAME session must get
+    distinct materialized artifacts (the cache keys on (session,
+    sf_dir) — a collision would hand the second corpus the first's
+    cluster labels). Corpus A: one near-dup pair + singleton; corpus
+    B: three singletons. The histograms differ in every bucket, and
+    re-querying A afterwards returns A's cached result, not B's."""
+    t = [f"t{i}" for i in range(10)]
+    a_dir, b_dir = str(tmp_path / "sf_a"), str(tmp_path / "sf_b")
+    _write_documents(
+        spark, a_dir,
+        [(0, " ".join(t)), (1, " ".join(t[:9] + ["u1"])), (2, "a0 a1 a2")],
+    )
+    _write_documents(
+        spark, b_dir,
+        [(0, "x0 x1 x2"), (1, "y0 y1 y2"), (2, "z0 z1 z2")],
+    )
+    run = lambda d: {
+        r["size_bucket"]: (r["n_clusters"], r["n_docs"])
+        for r in QUERIES["q_dedup_cluster_stats"](spark, d).collect()
+    }
+    first_a = run(a_dir)
+    b = run(b_dir)
+    assert first_a == {"pair": (1, 2), "singleton": (1, 1)}
+    assert b == {"singleton": (3, 3)}
+    assert run(a_dir) == first_a
