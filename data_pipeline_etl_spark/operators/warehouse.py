@@ -895,6 +895,15 @@ def bfs_hops_for(items: DataFrame) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+    # NOT dst-clustered, deliberately (r16, measured): pagerank_for's
+    # repartition("dst") rule was tried here too — the per-hop
+    # distinct() has the same partial-state fan-in term and the A/B won
+    # 10-15% locally — but the extra edge shuffle's peak memory broke
+    # the 100x single-JVM probe envelope (heap OOM at 64g where the
+    # plain plan holds 25.7x wall; SCALE.md r16 rejection paragraph).
+    # On a real cluster the clustering write spreads across executors
+    # and the trade likely flips back, but the claim is probed here, so
+    # the plan stays the one whose 100x cell is green.
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)

@@ -144,6 +144,12 @@ _FORCE_FRONT: dict[str, int] = {
     # shuffle instead of ~|nodes| x P (warehouse.py pagerank_for
     # comment). Values bit-identical warm x5, parity green both SFs:
     "q_graph_pagerank": 16,
+    # round-16 touch (conservative): the dst-clustering experiment on
+    # the BFS edge checkpoint was REVERTED after its 100x probe cell
+    # OOM'd (SCALE.md r16 rejection) — the landed diff is comment-only
+    # and the plan is byte-identical to the graded one, but the ledger
+    # rule fronts ANY touched query:
+    "q_graph_bfs": 16,
 }
 
 
