@@ -2074,3 +2074,109 @@ def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
         toks=_bpe_toks_cached(spark, sf_dir, 4),
     )
+
+
+# Fixed retrieval query for q_text_bm25 — terms drawn from the fixture
+# vocabulary (the _MARKERS lists prove they occur). Okapi constants are
+# the textbook defaults; they appear as LITERALS in both expression
+# trees so the IEEE op sequence is engine-identical.
+_BM25_TERMS = ("spark", "stream", "fast")
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS sc
+      FROM tf
+      JOIN df ON tf.tok = df.tok
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+    ),
+    docsc AS (
+      SELECT doc_id, count(*) AS n_terms, round(sum(sc), 4) AS score_bm25
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms, score_bm25, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT doc_id, n_terms, score_bm25,
+             row_number() OVER (ORDER BY score_bm25 DESC, doc_id) AS rn
+      FROM docsc
+    ) WHERE rn <= 20
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval: top-20 documents for a fixed
+    3-term query (k1 = 1.2, b = 0.75, Lucene's ln(1 + ...) IDF so
+    scores stay positive even for common terms) — the ranked-search
+    counterpart of q_text_search's boolean hit count and the scoring
+    backbone of retrieval-based decontamination and RAG corpus audits.
+
+    Scale shape: the explode is filtered to the query terms BEFORE the
+    (doc, term) aggregate, so the tf shuffle carries |docs| x |query|
+    rows, never the full token stream; df and the corpus (n_docs,
+    avgdl) stats are 1-row/|query|-row broadcasts. avgdl is computed as
+    exact-integer sum(dl) / count (NOT a streaming float avg — the
+    fold is order-independent in both engines, then ONE division).
+    Each per-term score is one fixed expression tree mirrored
+    literal-for-literal in the oracle; the per-doc fold sums <= 3
+    doubles and rounds at 4 dp (the q_text_unigram_logprob fold
+    precedent). Ranking orders by the ROUNDED score with doc_id
+    tiebreak — a total order, so the top-20 cut is reproducible —
+    executed as TakeOrderedAndProject (distributed partial top-k); the
+    final row_number runs on the 20-row result (the documented
+    metadata-size single-partition exception)."""
+    d = table(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(_toks()).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode(_toks()).alias("tok"))
+        .where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sc = idf * (
+        (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    docsc = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum(sc), 4).alias("score_bm25"),
+        )
+    )
+    top = docsc.orderBy(F.desc("score_bm25"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("score_bm25"), "doc_id")
+    return top.withColumn("rn", F.row_number().over(w).cast("long")).select(
+        "doc_id", "n_terms", "score_bm25", "rn"
+    )

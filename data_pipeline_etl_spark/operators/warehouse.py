@@ -714,10 +714,15 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles_for(l.select("l_orderkey", "l_partkey").distinct())
 
 
-def triangles_for(items: DataFrame) -> DataFrame:
-    """q_graph_triangles' plan over any (l_orderkey, l_partkey) item
-    frame — shared by the declared query and scripts/scaling_probe.py so
-    the probe measures the exact declared plan shape."""
+def _topk_affinity_edges(items: DataFrame) -> DataFrame:
+    """Sparsified top-k=2 co-order affinity edges over a
+    (l_orderkey, l_partkey) item frame, canonicalized a<b and
+    checkpointed eagerly — the shared graph-construction step of
+    :func:`triangles_for` and :func:`neighbor_jaccard_for` (one build,
+    two algorithms: the _bpe_rounds single-source discipline). The pair
+    frame is the bounded within-order self-join of q_basket_affinity
+    (fan-out <= C(basket, 2), never all-parts); the top-k window bounds
+    out-degree by construction before any graph algorithm runs."""
     a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("s"))
     b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("d"))
     pairs = (
@@ -729,21 +734,26 @@ def triangles_for(items: DataFrame) -> DataFrame:
     und = pairs.unionByName(
         pairs.select(F.col("d").alias("s"), F.col("s").alias("d"), "c")
     )
-    from pyspark.sql import Window
-
     wtop = Window.partitionBy("s").orderBy(F.desc("c"), "d")
     topk = (
         und.withColumn("rn", F.row_number().over(wtop))
         .where(F.col("rn") <= 2)
         .select("s", "d")
     )
-    edges = (
+    return (
         topk.select(
             F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+
+def triangles_for(items: DataFrame) -> DataFrame:
+    """q_graph_triangles' plan over any (l_orderkey, l_partkey) item
+    frame — shared by the declared query and scripts/scaling_probe.py so
+    the probe measures the exact declared plan shape."""
+    edges = _topk_affinity_edges(items)
     e1 = edges.select(F.col("a").alias("part_a"), F.col("b").alias("part_b"))
     e2 = edges.select(F.col("a").alias("part_b"), F.col("b").alias("part_c"))
     e3 = edges.select(F.col("a").alias("part_a"), F.col("b").alias("part_c"))
@@ -756,6 +766,135 @@ def triangles_for(items: DataFrame) -> DataFrame:
         e1.join(F.broadcast(e2), "part_b")
         .join(F.broadcast(e3), ["part_a", "part_c"])
         .select("part_a", "part_b", "part_c")
+    )
+
+
+@query(
+    "q_graph_neighbor_jaccard",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d, count(*) AS c
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    und AS (
+      SELECT s, d, c FROM pairs
+      UNION ALL
+      SELECT d AS s, s AS d, c FROM pairs
+    ),
+    topk AS (
+      SELECT s, d FROM (
+        SELECT s, d,
+               row_number() OVER (PARTITION BY s ORDER BY c DESC, d) AS rn
+        FROM und
+      ) WHERE rn <= 2
+    ),
+    edges AS (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM topk
+    ),
+    bidir AS (
+      SELECT a AS s, b AS d FROM edges
+      UNION ALL
+      SELECT b AS s, a AS d FROM edges
+    ),
+    deg AS (
+      SELECT s AS node, count(*) AS deg FROM bidir GROUP BY s
+    ),
+    wedge AS (
+      SELECT w1.d AS part_x, w2.d AS part_y, count(*) AS n_common
+      FROM bidir w1 JOIN bidir w2
+        ON w1.s = w2.s AND w1.d < w2.d
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT w.part_x, w.part_y, w.n_common,
+             round(CAST(w.n_common AS DOUBLE)
+                   / (dx.deg + dy.deg - w.n_common), 6) AS jac,
+             e.a IS NOT NULL AS is_edge
+      FROM wedge w
+      JOIN deg dx ON dx.node = w.part_x
+      JOIN deg dy ON dy.node = w.part_y
+      LEFT JOIN edges e ON e.a = w.part_x AND e.b = w.part_y
+    )
+    SELECT part_x, part_y, n_common, jac, is_edge, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT part_x, part_y, n_common, jac, is_edge,
+             row_number() OVER (ORDER BY jac DESC, part_x, part_y) AS rn
+      FROM scored
+    ) WHERE rn <= 20
+    """,
+)
+def q_graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard over the top-2 co-order
+    affinity graph: the top-20 node pairs ranked by
+    |N(x) ∩ N(y)| / |N(x) ∪ N(y)|, with an `is_edge` flag separating
+    "already connected" from genuine link candidates — the classic
+    structural-similarity recommender primitive sitting next to
+    q_graph_triangles (which closes wedges; this one scores them).
+
+    Scale design: runs entirely on the SPARSIFIED graph
+    (:func:`_topk_affinity_edges` — out-degree bounded by construction,
+    same build as triangles, checkpointed once and read in three
+    roles). Common-neighbor counts come from ONE wedge self-join on the
+    shared endpoint (fan-out <= deg^2 with deg <= 2k by construction,
+    never corpus-scale); degrees and the edge-membership probe are
+    |edges|-sized broadcasts. Jaccard is a single integer-ratio
+    division rounded at 6 dp (one IEEE op — deterministic across
+    engines); the top-20 cut is a total order on (jac, part_x, part_y)
+    so the limit is reproducible, executed as TakeOrderedAndProject
+    (distributed partial top-k, no global sort). The final row_number
+    runs on the 20-row result — the documented metadata-size
+    single-partition exception."""
+    l = table(spark, sf_dir, "lineitem")
+    return neighbor_jaccard_for(l.select("l_orderkey", "l_partkey").distinct())
+
+
+def neighbor_jaccard_for(items: DataFrame) -> DataFrame:
+    """q_graph_neighbor_jaccard's plan over any (l_orderkey, l_partkey)
+    item frame — shared by the declared query and
+    scripts/scaling_probe.py so the probe measures the declared shape."""
+    edges = _topk_affinity_edges(items)
+    bidir = edges.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        edges.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    deg = bidir.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("deg"))
+    w1 = bidir.select(F.col("s").alias("n"), F.col("d").alias("x"))
+    w2 = bidir.select(F.col("s").alias("n"), F.col("d").alias("y"))
+    wedge = (
+        w1.join(w2, "n")
+        .where(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("part_x"), F.col("y").alias("part_y"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    dx = deg.select(F.col("node").alias("part_x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("node").alias("part_y"), F.col("deg").alias("deg_y"))
+    ed = edges.select(
+        F.col("a").alias("part_x"), F.col("b").alias("part_y"), F.lit(1).alias("e")
+    )
+    scored = (
+        wedge.join(F.broadcast(dx), "part_x")
+        .join(F.broadcast(dy), "part_y")
+        .join(F.broadcast(ed), ["part_x", "part_y"], "left")
+        .select(
+            "part_x",
+            "part_y",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("deg_x") + F.col("deg_y") - F.col("n_common")),
+                6,
+            ).alias("jac"),
+            F.col("e").isNotNull().alias("is_edge"),
+        )
+    )
+    top = scored.orderBy(F.desc("jac"), "part_x", "part_y").limit(20)
+    w = Window.orderBy(F.desc("jac"), "part_x", "part_y")
+    return top.withColumn("rn", F.row_number().over(w).cast("long")).select(
+        "part_x", "part_y", "n_common", "jac", "is_edge", "rn"
     )
 
 

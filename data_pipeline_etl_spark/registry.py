@@ -103,6 +103,11 @@ _FORCE_FRONT: dict[str, int] = {
     # the declared query's final select. Value-identical, re-graded
     # regardless:
     "q_sim_ivf_assign": 16,
+    # round-16 touch (continuation): the sparsified top-2 edge build
+    # moved into the shared _topk_affinity_edges helper (now also the
+    # graph of the new q_graph_neighbor_jaccard). Op-for-op identical
+    # plan, re-graded regardless:
+    "q_graph_triangles": 16,
     # round-16 touch: both now read the session-materialized near-dup
     # pair table (neardup_pairs_table) instead of rebuilding the
     # blocked inverted-index join per call; the cluster-label build
