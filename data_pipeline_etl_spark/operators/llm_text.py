@@ -172,6 +172,189 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_oov_rate",
+    oracle="""
+    WITH tr AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    per AS (
+      SELECT source, tok, count(*) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id % 2 = 1)
+      GROUP BY source, tok
+    ),
+    j AS (
+      SELECT p.source, p.c, tr.tok IS NOT NULL AS known
+      FROM per p LEFT JOIN tr ON p.tok = tr.tok
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN NOT known THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN NOT known THEN c ELSE 0 END)
+                 / CAST(sum(c) AS DOUBLE), 6) AS oov_rate,
+           CAST(sum(CASE WHEN NOT known THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov_types
+    FROM j GROUP BY source
+    """,
+)
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out vocabulary coverage: split the corpus by doc_id parity
+    (even = train, odd = validation), build the train vocabulary, and
+    report per-source OOV token counts / rate / distinct OOV types on
+    the validation half — the coverage check run before freezing a
+    tokenizer or unigram LM (q_text_novelty screens within-source
+    trigram memorization; this measures cross-split lexical coverage).
+
+    Scale shape: the validation side is pre-aggregated to (source, tok)
+    counts BEFORE the vocabulary join, so the token-keyed equi-join
+    carries |types| rows, never the raw token stream, and head-token
+    skew is already collapsed; the train side is one explode +
+    distinct. All counts are exact integers summed per source with one
+    6-dp ratio at the end — no float folds."""
+    d = table(spark, sf_dir, "documents")
+    tr = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode(_toks()).alias("tok"))
+        .distinct()
+        .withColumn("known", F.lit(1))
+    )
+    per = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .select("source", F.explode(_toks()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    j = per.join(tr, "tok", "left")
+    oov_c = F.when(F.col("known").isNull(), F.col("c")).otherwise(F.lit(0))
+    return j.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(oov_c).alias("n_oov"),
+        F.round(F.sum(oov_c) / F.sum("c").cast("double"), 6).alias("oov_rate"),
+        F.sum(F.when(F.col("known").isNull(), 1).otherwise(0)).alias("n_oov_types"),
+    )
+
+
+@query(
+    "q_quality_gopher",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_dist,
+             n_chars,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                                ['the', 'a', 'value', 'table'])) AS n_stop
+      FROM documents
+    ),
+    mx AS (
+      SELECT doc_id, max(c) AS maxc FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ),
+    rules AS (
+      SELECT b.lang, b.source,
+             CASE WHEN b.n_tok BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS r_len,
+             CASE WHEN b.n_dist / CAST(b.n_tok AS DOUBLE) >= 0.4
+                  THEN 1 ELSE 0 END AS r_ttr,
+             CASE WHEN (b.n_chars - b.n_tok + 1) / CAST(b.n_tok AS DOUBLE)
+                       BETWEEN 4.0 AND 5.0
+                  THEN 1 ELSE 0 END AS r_wl,
+             CASE WHEN b.n_stop >= 2 THEN 1 ELSE 0 END AS r_stop,
+             CASE WHEN m.maxc / CAST(b.n_tok AS DOUBLE) <= 0.12
+                  THEN 1 ELSE 0 END AS r_rep
+      FROM base b JOIN mx m ON b.doc_id = m.doc_id
+    )
+    SELECT lang, source, count(*) AS n_docs,
+           round(sum(r_len) / CAST(count(*) AS DOUBLE), 6) AS r_len_rate,
+           round(sum(r_ttr) / CAST(count(*) AS DOUBLE), 6) AS r_ttr_rate,
+           round(sum(r_wl) / CAST(count(*) AS DOUBLE), 6) AS r_wl_rate,
+           round(sum(r_stop) / CAST(count(*) AS DOUBLE), 6) AS r_stop_rate,
+           round(sum(r_rep) / CAST(count(*) AS DOUBLE), 6) AS r_rep_rate,
+           round(sum(r_len * r_ttr * r_wl * r_stop * r_rep)
+                 / CAST(count(*) AS DOUBLE), 6) AS pass_all_rate
+    FROM rules GROUP BY lang, source
+    """,
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style filter-rule PANEL: per-(lang, source) pass rates
+    for five document-quality rules plus the conjunctive yield — the
+    report a curation team reads before committing a filter config,
+    where q_text_quality emits raw per-doc signals this emits the
+    policy-level decision rates. Rules (thresholds placed inside the
+    fixture's measured distribution so every rule discriminates):
+    token count in [20, 80]; type-token ratio >= 0.4; mean word length
+    in [4.0, 5.0] (derived EXACTLY from the single-space layout as
+    (n_chars - n_tok + 1) / n_tok — no second tokenize pass); >= 2
+    distinct stopwords from a 4-word list; most-frequent-token share
+    <= 0.12 (the repetition screen).
+
+    Scale shape: one corpus scan computes every per-row signal with
+    array builtins (no UDF, all codegen); the repetition signal is the
+    only one needing an explode, and it aggregates (doc, tok) -> max
+    count in TWO levels (never a countDistinct expansion), producing a
+    |docs|-row frame joined back on doc_id. The final aggregate is
+    |lang x source| rows. Rule indicators sum as exact integers and
+    divide once per rate (6 dp) — no float folds. Threshold compares
+    are on IEEE-identical doubles (same integer ratios both engines),
+    so boundary docs grade identically."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(_toks())
+    stop_list = F.array(*[F.lit(w) for w in ("the", "a", "value", "table")])
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tok.cast("long").alias("n_tok"),
+        F.size(F.array_distinct(_toks())).cast("long").alias("n_dist"),
+        F.col("n_chars"),
+        F.size(F.array_intersect(F.array_distinct(_toks()), stop_list))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    mx = (
+        d.select("doc_id", F.explode(_toks()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("maxc"))
+    )
+    flag = lambda cond: F.when(cond, 1).otherwise(0)  # noqa: E731
+    rules = base.join(mx, "doc_id").select(
+        "lang",
+        "source",
+        flag(F.col("n_tok").between(20, 80)).alias("r_len"),
+        flag(F.col("n_dist") / F.col("n_tok").cast("double") >= 0.4).alias("r_ttr"),
+        flag(
+            (
+                (F.col("n_chars") - F.col("n_tok") + 1)
+                / F.col("n_tok").cast("double")
+            ).between(4.0, 5.0)
+        ).alias("r_wl"),
+        flag(F.col("n_stop") >= 2).alias("r_stop"),
+        flag(F.col("maxc") / F.col("n_tok").cast("double") <= 0.12).alias("r_rep"),
+    )
+    rate = lambda c: F.round(  # noqa: E731
+        F.sum(c).cast("double") / F.count("*"), 6
+    )
+    return rules.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        rate(F.col("r_len")).alias("r_len_rate"),
+        rate(F.col("r_ttr")).alias("r_ttr_rate"),
+        rate(F.col("r_wl")).alias("r_wl_rate"),
+        rate(F.col("r_stop")).alias("r_stop_rate"),
+        rate(F.col("r_rep")).alias("r_rep_rate"),
+        rate(
+            F.col("r_len") * F.col("r_ttr") * F.col("r_wl") * F.col("r_stop")
+            * F.col("r_rep")
+        ).alias("pass_all_rate"),
+    )
+
+
+@query(
     "q_text_quality",
     oracle="""
     SELECT doc_id,
