@@ -710,8 +710,26 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(basket,2), never all-parts); the edge frame is checkpointed once
     and reused across its three join roles.
     """
-    l = table(spark, sf_dir, "lineitem")
-    return triangles_for(l.select("l_orderkey", "l_partkey").distinct())
+    return _triangles_from_edges(topk_edges_table(spark, sf_dir))
+
+
+def topk_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped materialize-once sparsified top-2 co-order edge
+    frame (a, b) over lineitem — the ONE graph q_graph_triangles closes
+    wedges on and q_graph_neighbor_jaccard scores them on (r16
+    continuation, measured: the edge build is ~3 s warm at sf0.1, the
+    triangles consume 0.33 s — two declared queries each paying the
+    identical build is the same redundancy the artifact layer removes
+    everywhere else; see operators/materialized.py). The probe bodies
+    (triangles_for / neighbor_jaccard_for) keep building fresh edges so
+    scaling_probe still measures the full declared plan."""
+    from data_pipeline_etl_spark.operators.materialized import materialize_once
+
+    def _build() -> DataFrame:
+        l = table(spark, sf_dir, "lineitem")
+        return _topk_affinity_edges(l.select("l_orderkey", "l_partkey").distinct())
+
+    return materialize_once(spark, ("topk_edges", sf_dir.rstrip("/")), _build)
 
 
 def _topk_affinity_edges(items: DataFrame) -> DataFrame:
@@ -751,9 +769,13 @@ def _topk_affinity_edges(items: DataFrame) -> DataFrame:
 
 def triangles_for(items: DataFrame) -> DataFrame:
     """q_graph_triangles' plan over any (l_orderkey, l_partkey) item
-    frame — shared by the declared query and scripts/scaling_probe.py so
-    the probe measures the exact declared plan shape."""
-    edges = _topk_affinity_edges(items)
+    frame — shared by scripts/scaling_probe.py so the probe measures
+    the exact declared plan shape INCLUDING a fresh edge build (the
+    declared query reads the session-materialized topk_edges_table)."""
+    return _triangles_from_edges(_topk_affinity_edges(items))
+
+
+def _triangles_from_edges(edges: DataFrame) -> DataFrame:
     e1 = edges.select(F.col("a").alias("part_a"), F.col("b").alias("part_b"))
     e2 = edges.select(F.col("a").alias("part_b"), F.col("b").alias("part_c"))
     e3 = edges.select(F.col("a").alias("part_a"), F.col("b").alias("part_c"))
@@ -849,15 +871,18 @@ def q_graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distributed partial top-k, no global sort). The final row_number
     runs on the 20-row result — the documented metadata-size
     single-partition exception."""
-    l = table(spark, sf_dir, "lineitem")
-    return neighbor_jaccard_for(l.select("l_orderkey", "l_partkey").distinct())
+    return _neighbor_jaccard_from_edges(topk_edges_table(spark, sf_dir))
 
 
 def neighbor_jaccard_for(items: DataFrame) -> DataFrame:
     """q_graph_neighbor_jaccard's plan over any (l_orderkey, l_partkey)
-    item frame — shared by the declared query and
-    scripts/scaling_probe.py so the probe measures the declared shape."""
-    edges = _topk_affinity_edges(items)
+    item frame — shared by scripts/scaling_probe.py so the probe
+    measures the declared shape INCLUDING a fresh edge build (the
+    declared query reads the session-materialized topk_edges_table)."""
+    return _neighbor_jaccard_from_edges(_topk_affinity_edges(items))
+
+
+def _neighbor_jaccard_from_edges(edges: DataFrame) -> DataFrame:
     bidir = edges.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
         edges.select(F.col("b").alias("s"), F.col("a").alias("d"))
     )

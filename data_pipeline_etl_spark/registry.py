@@ -105,8 +105,13 @@ _FORCE_FRONT: dict[str, int] = {
     "q_sim_ivf_assign": 16,
     # round-16 touch (continuation): the sparsified top-2 edge build
     # moved into the shared _topk_affinity_edges helper (now also the
-    # graph of the new q_graph_neighbor_jaccard). Op-for-op identical
-    # plan, re-graded regardless:
+    # graph of the new q_graph_neighbor_jaccard), and BOTH declared
+    # graph queries now read the session-materialized edge frame
+    # (topk_edges_table — measured: edge build ~3 s warm at sf0.1 paid
+    # twice per pass before; triangles settles 0.34 s, neighbor_jaccard
+    # 2.0 s warm after). Values identical (deterministic build, parity
+    # green both SFs), re-graded regardless (q_graph_neighbor_jaccard
+    # is r0-ungraded and fronts on its own):
     "q_graph_triangles": 16,
     # round-16 touch: both now read the session-materialized near-dup
     # pair table (neardup_pairs_table) instead of rebuilding the
