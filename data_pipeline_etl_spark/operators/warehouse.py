@@ -511,14 +511,42 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pr * |nodes|, O(1) values) rounded at 6 — the repo's float-fold
     parity convention for order-insensitive double sums.
     """
-    l = table(spark, sf_dir, "lineitem")
-    return pagerank_for(l.select("l_orderkey", "l_partkey").distinct())
+    return _pagerank_from(*pagerank_graph_table(spark, sf_dir))
+
+
+def pagerank_graph_table(spark: SparkSession, sf_dir: str):
+    """Session-scoped materialize-once pagerank graph pair
+    (dst-clustered edge+degree frame, node×n base frame) over lineitem
+    (r16 continuation, measured: the build is 4.2-4.9 s warm at sf0.1
+    vs ~1.5-2 s for the three unrolled iterations — the same
+    build-per-call redundancy the artifact layer removes everywhere
+    else; see operators/materialized.py). Both frames are
+    iteration-invariant: the per-call work is exactly the three damped
+    rounds. The probe body (:func:`pagerank_for`) keeps building fresh
+    so scaling_probe still measures the full declared plan."""
+    from data_pipeline_etl_spark.operators.materialized import materialize_once
+
+    def _build():
+        l = table(spark, sf_dir, "lineitem")
+        return _pagerank_build(l.select("l_orderkey", "l_partkey").distinct())
+
+    return materialize_once(spark, ("pagerank_graph", sf_dir.rstrip("/")), _build)
 
 
 def pagerank_for(items: DataFrame) -> DataFrame:
     """q_graph_pagerank's plan over any (l_orderkey, l_partkey) item
-    frame — shared by the declared query and scripts/scaling_probe.py so
-    the probe measures the exact declared plan shape."""
+    frame — shared by scripts/scaling_probe.py so the probe measures
+    the exact declared plan shape INCLUDING a fresh graph build (the
+    declared query reads the session-materialized
+    pagerank_graph_table)."""
+    return _pagerank_from(*_pagerank_build(items))
+
+
+def _pagerank_build(items: DataFrame):
+    """The iteration-invariant half of the pagerank plan: the
+    dst-clustered edge+degree checkpoint and the node×n base
+    checkpoint (one build, reused by all three unrolled rounds —
+    and, via pagerank_graph_table, by every call in a session)."""
     a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     pairs = (
@@ -566,6 +594,11 @@ def pagerank_for(items: DataFrame) -> DataFrame:
     nodes = items.select(F.col("l_partkey").alias("node")).distinct()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     base = nodes.crossJoin(F.broadcast(nn)).localCheckpoint(eager=True)
+    return edges_d, base
+
+
+def _pagerank_from(edges_d: DataFrame, base: DataFrame) -> DataFrame:
+    """The per-call half: three damped rounds over the prebuilt graph."""
     pr = base.select("node", "n", (F.lit(1.0) / F.col("n")).alias("pr"))
     for _ in range(3):
         contrib = (
@@ -1043,14 +1076,40 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer-doubling pattern; fixed-depth unrolling is the right shape
     when the hop budget is part of the question.
     """
-    l = table(spark, sf_dir, "lineitem")
-    return bfs_hops_for(l.select("l_orderkey", "l_partkey").distinct())
+    return _bfs_from(*bfs_graph_table(spark, sf_dir))
+
+
+def bfs_graph_table(spark: SparkSession, sf_dir: str):
+    """Session-scoped materialize-once BFS graph pair (undirected edge
+    checkpoint, seed checkpoint) over lineitem (r16 continuation,
+    measured: the build is ~1.5-2.0 s warm at sf0.1 vs ~1.2 s for the
+    three hop joins). Both frames are hop-invariant; the per-call work
+    is the frontier expansion. The probe body (:func:`bfs_hops_for`)
+    keeps building fresh so scaling_probe still measures the full
+    declared plan — including the 100× memory envelope the r16
+    dst-clustering rejection was probed against."""
+    from data_pipeline_etl_spark.operators.materialized import materialize_once
+
+    def _build():
+        l = table(spark, sf_dir, "lineitem")
+        return _bfs_build(l.select("l_orderkey", "l_partkey").distinct())
+
+    return materialize_once(spark, ("bfs_graph", sf_dir.rstrip("/")), _build)
 
 
 def bfs_hops_for(items: DataFrame) -> DataFrame:
     """q_graph_bfs's plan over any (l_orderkey, l_partkey) item frame —
-    shared by the declared query and scripts/scaling_probe.py so the
-    probe measures the exact declared plan shape."""
+    shared by scripts/scaling_probe.py so the probe measures the exact
+    declared plan shape INCLUDING a fresh graph build (the declared
+    query reads the session-materialized bfs_graph_table)."""
+    return _bfs_from(*_bfs_build(items))
+
+
+def _bfs_build(items: DataFrame):
+    """The hop-invariant half of the BFS plan: the undirected edge
+    checkpoint and the min-part seed checkpoint (one build, reused by
+    all three hop joins — and, via bfs_graph_table, by every call in a
+    session)."""
     a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     pairs = (
@@ -1072,6 +1131,11 @@ def bfs_hops_for(items: DataFrame) -> DataFrame:
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
     seed = items.agg(F.min("l_partkey").alias("node")).localCheckpoint(eager=True)
+    return edges, seed
+
+
+def _bfs_from(edges: DataFrame, seed: DataFrame) -> DataFrame:
+    """The per-call half: three frontier hops over the prebuilt graph."""
     frames = [seed.select("node", F.lit(0).alias("hops"))]
     frontier = seed
     for hop in (1, 2, 3):

@@ -4872,3 +4872,46 @@ def test_materialized_cache_keys_per_sf_dir(spark, tmp_path):
     assert first_a == {"pair": (1, 2), "singleton": (1, 1)}
     assert b == {"singleton": (3, 3)}
     assert run(a_dir) == first_a
+
+
+def test_graph_artifacts_key_per_sf_dir(spark, tmp_path):
+    """Same discipline for the session-materialized graph artifacts
+    (pagerank_graph_table / bfs_graph_table): two different co-order
+    graphs through the SAME session must not share edge frames. Graph
+    A: path 10-20-30 (seed 10 reaches 20@1, 30@2); graph B: pair
+    40-50 only (seed 40 reaches 50@1). A collision would hand B graph
+    A's edges; re-querying A returns A's cached result."""
+
+    def write(d, baskets):
+        rows = []
+        for ok, parts in baskets.items():
+            for i, p in enumerate(parts):
+                rows.append(
+                    (ok, p, 1, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O", "2024-01-01")
+                )
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate string",
+        ).withColumn(
+            "l_shipdate", F.col("l_shipdate").cast("timestamp")
+        ).write.parquet(f"{d}/lineitem.parquet")
+
+    a_dir, b_dir = str(tmp_path / "sf_a"), str(tmp_path / "sf_b")
+    write(a_dir, {1: [10, 20], 2: [20, 30]})
+    write(b_dir, {1: [40, 50]})
+    run = lambda d: {
+        r["l_partkey"]: r["hops"]
+        for r in QUERIES["q_graph_bfs"](spark, d).collect()
+    }
+    first_a = run(a_dir)
+    assert first_a == {10: 0, 20: 1, 30: 2}
+    assert run(b_dir) == {40: 0, 50: 1}
+    assert run(a_dir) == first_a
+    pr = {
+        r["l_partkey"]: r["pr_rel"]
+        for r in QUERIES["q_graph_pagerank"](spark, b_dir).collect()
+    }
+    assert set(pr) == {40, 50} and pr[40] == pr[50]
