@@ -1712,51 +1712,64 @@ def bpe_decode_for(
 
     Scale shape: ONE corpus scan (shared with encode via
     ``_bpe_doc_tokens``), THREE broadcast joins (tokenized vocab,
-    id assignment, id inversion — all bounded frames), then a
-    two-level reassembly: groupBy (doc_id, pos) rebuilds words from
-    ordered tokens, groupBy doc_id rebuilds documents from ordered
-    words. The normalized original rides the SAME aggregation (min(w)
-    per word group — constant within the group), so the comparison
-    costs no second corpus pass; only the final totality left-join
-    re-touches the documents table, and that scan prunes to the
-    doc_id column. The report is TOTAL over the corpus: a document
-    with no words (whitespace-only text) decodes to the empty string,
-    which equals its empty normalization -> a default-'ok' row, never
-    a silently missing one."""
+    id assignment, id inversion — all bounded frames), then ONE
+    groupBy(doc_id) reassembly (r16: fused from the former
+    groupBy(doc_id, pos) -> groupBy(doc_id) two-level shape — one
+    corpus-sized exchange instead of two, measured 1.7-1.9 s ->
+    ~1.4 s per fresh call at sf0.1 with bit-identical output): the
+    per-doc token structs sort on the unique (pos, j) key and an
+    index-aware transform inserts a space exactly where a new word
+    starts (j == 0, not document-initial), which is by construction
+    the same string as joining per-word token concatenations with
+    single spaces. Per-doc aggregation state is document-bounded
+    either way — the old second level already collected every word of
+    a document into one buffer, and the decoded string itself is
+    document-sized. The normalized original rides the SAME aggregation
+    (``w`` carried only on each word's j == 0 row, filtered back out of
+    the sorted structs), so the comparison costs no second corpus
+    pass; only the final totality left-join re-touches the documents
+    table, and that scan prunes to the doc_id column. The report is
+    TOTAL over the corpus: a document with no words (whitespace-only
+    text) decodes to the empty string, which equals its empty
+    normalization -> a default-'ok' row, never a silently missing
+    one."""
     per_tok, tok_ids = _bpe_doc_tokens(docs, k, toks=toks)
-    dec = per_tok.select("doc_id", "pos", "w", "j", "tok_id").join(
+    dec = per_tok.select(
+        "doc_id",
+        "pos",
+        "j",
+        F.when(F.col("j") == 0, F.col("w")).alias("w0"),
+        "tok_id",
+    ).join(
         F.broadcast(tok_ids.select("tok_id", F.col("tok").alias("dec_tok"))),
         "tok_id",
     )
-    words_out = dec.groupBy("doc_id", "pos").agg(
+    agg = dec.groupBy("doc_id").agg(
+        # (pos, j) is unique per doc, so the struct sort never consults
+        # the NULL w0 fields of j > 0 rows.
+        F.array_sort(F.collect_list(F.struct("pos", "j", "w0", "dec_tok"))).alias(
+            "a"
+        ),
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.length("dec_tok")).cast("long").alias("n_chars"),
+    )
+    docs_out = agg.select(
+        "doc_id",
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "dec_tok"))),
-                lambda x: x.dec_tok,
+                "a",
+                lambda x, i: F.concat(
+                    F.when((i > 0) & (x.j == 0), F.lit(" ")).otherwise(F.lit("")),
+                    x.dec_tok,
+                ),
             ),
             "",
-        ).alias("word"),
-        F.min("w").alias("orig"),
-        F.count("*").alias("n_toks"),
-        F.sum(F.length("dec_tok")).alias("wchars"),
-    )
-    docs_out = words_out.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                lambda x: x.word,
-            ),
-            " ",
         ).alias("decoded"),
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "orig"))),
-                lambda x: x.orig,
-            ),
-            " ",
+            F.transform(F.filter("a", lambda x: x.j == 0), lambda x: x.w0), " "
         ).alias("norm_text"),
-        F.sum("n_toks").cast("long").alias("n_tokens"),
-        F.sum("wchars").cast("long").alias("n_chars"),
+        "n_tokens",
+        "n_chars",
     )
     return docs.select("doc_id").join(docs_out, "doc_id", "left").select(
         "doc_id",
