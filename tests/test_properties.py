@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import math
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -1178,21 +1178,28 @@ _trunc_docs = st.lists(
 
 
 def _round_half_away(x: float, nd: int = 6) -> float:
-    """Both engines round DOUBLES half-away-from-zero; Python's round()
-    is half-even. W=64 makes grid fractions like 49/128 = 0.3828125
-    land EXACTLY on the 6-dp half boundary (power-of-two denominator ->
-    exactly representable), where the two rules genuinely differ —
-    hypothesis found that case, so the reference must use the engine
-    rule."""
+    """Both engines round the SHORTEST DECIMAL REPR of a double
+    half-away-from-zero; Python's round() is half-even on the binary
+    value. Two hypothesis-found boundary classes pin the rule:
+    49/128 = 0.3828125 (exactly representable; half-even vs half-up
+    differ -> 0.382813) and 169/640 (NOT representable — the double is
+    0.26406249999999998 but its shortest repr is "0.2640625", and both
+    Spark and DuckDB round THAT to 0.264063; verified empirically in
+    both engines). Spark's round() is BigDecimal.valueOf(d), i.e.
+    Double.toString(d) = shortest repr, so Decimal(repr(x)) — not
+    Decimal(x), which expands the full binary value and rounds DOWN on
+    the 169/640 class — is the engine rule."""
     import decimal
 
-    q = decimal.Decimal(x).quantize(
+    q = decimal.Decimal(repr(x)).quantize(
         decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
     )
     return float(q)
 
 
 @given(docs=_trunc_docs)
+# 169/640 shortest-repr half boundary — see _round_half_away
+@example(docs=[("p", 1), ("p", 78), ("p", 192), ("p", 200)])
 @SETTINGS
 def test_pack_truncation_matches_reference(spark, docs):
     """q_pack_truncation vs direct arithmetic on arbitrary (source,
