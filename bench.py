@@ -105,6 +105,13 @@ def main() -> None:
         )
     except (OSError, ValueError, ZeroDivisionError):
         pass
+    # VERDICT r16 item 2: the 26 materialize-once consumer queries pay
+    # their artifact build in exactly one of the 3 passes, so the
+    # median discards it — record each first-touch build's wall seconds
+    # here so a build regression stays visible (additive field; the
+    # stdout metric and the timings map are unchanged).
+    from data_pipeline_etl_spark.operators.materialized import BUILD_SECONDS
+
     with open(side_path, "w") as f:
         json.dump(
             {
@@ -112,6 +119,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "timing": "median of 3 full passes",
+                "artifact_build_sec": dict(sorted(BUILD_SECONDS.items())),
+                "artifact_build_total_sec": round(sum(BUILD_SECONDS.values()), 4),
                 # Identical-code totals on this host span +/-19% across a
                 # day (BASELINE.md, controlled double run): a `regressions`
                 # entry is a TRIAGE HINT, not a finding — per the repo's

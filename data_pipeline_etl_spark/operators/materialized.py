@@ -33,6 +33,7 @@ frames. Risks from the VERDICT r15 item-4 list, addressed:
 
 from __future__ import annotations
 
+import time
 from contextlib import contextmanager
 from typing import Any, Callable, Iterator
 
@@ -40,6 +41,24 @@ from pyspark.sql import SparkSession
 
 _MATERIALIZED: dict[tuple, Any] = {}
 _DISABLED: bool = False
+
+# First-touch build wall seconds per artifact, keyed by the artifact's own
+# key tuple rendered "name:part:part" (sf_dir shortened to its basename).
+# VERDICT r16 item 1: bench median-of-3 discards the one pass that pays a
+# build, so a build regression would otherwise be invisible — bench.py
+# copies this map into BENCH_QUERIES.json (additive side-file field; the
+# stdout metric is unchanged). Cleared per-process only by tests.
+BUILD_SECONDS: dict[str, float] = {}
+
+
+def _build_label(key: tuple) -> str:
+    parts = []
+    for p in key:
+        s = str(p)
+        if "/" in s:
+            s = s.rstrip("/").rsplit("/", 1)[-1]
+        parts.append(s)
+    return ":".join(parts)
 
 
 def materialize_once(
@@ -53,7 +72,9 @@ def materialize_once(
         return build()
     k = (id(spark), *key)
     if k not in _MATERIALIZED:
+        t0 = time.perf_counter()
         _MATERIALIZED[k] = build()
+        BUILD_SECONDS[_build_label(key)] = round(time.perf_counter() - t0, 4)
     return _MATERIALIZED[k]
 
 

@@ -73,93 +73,11 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # (All r4/r5 entries pruned at r6 open: CORRECTNESS_r05.json graded every
 # one of them green post-touch, so each had expired by its own rule.)
 _FORCE_FRONT: dict[str, int] = {
-    # (r15 entries pruned at r16 open: CORRECTNESS_r15 graded all eight
-    # post-touch queries — q_xml_roundtrip, q_variant_extract,
-    # q_mix_weighted, q_mix_epochs, and the four PCA queries riding the
-    # fused _pca_power_loop — hash-green, so every entry expired by its
-    # own rule. Add only queries r16 touches.)
-    # round-16 touch (VERDICT r15 item 4): the five cluster-riding
-    # queries now read ONE session-materialized label frame
-    # (dedup_clusters_table) instead of each rebuilding the pair graph
-    # + CC fixpoint, and the four PCA queries read session-materialized
-    # axes (_pca_axis1_cached/_pca_axes_cached) instead of each
-    # rebuilding the covariance pass + ladders; q_split_incremental
-    # additionally shares ONE checkpointed store element index between
-    # its CC body and its batch screen (ADVICE r15 item 1). Values
-    # bit-identical (deterministic builds; parity/planted/property pins
-    # re-run), plans changed, re-graded regardless:
-    "q_dedup_cluster": 16,
-    "q_dedup_cluster_stats": 16,
-    "q_split_leakage_safe": 16,
-    "q_mix_dedup_aware": 16,
-    "q_split_incremental": 16,
-    "q_embed_pca": 16,
-    "q_embed_pca2": 16,
-    "q_embed_pca_project": 16,
-    "q_embed_pca_project2": 16,
-    # round-16 touch: the assignment body moved into the shared
-    # ivf_assign_for (now also the cell key of the new
-    # q_sample_cluster_balanced); same expressions, rounding moved to
-    # the declared query's final select. Value-identical, re-graded
-    # regardless:
-    "q_sim_ivf_assign": 16,
-    # round-16 touch (continuation): the sparsified top-2 edge build
-    # moved into the shared _topk_affinity_edges helper (now also the
-    # graph of the new q_graph_neighbor_jaccard), and BOTH declared
-    # graph queries now read the session-materialized edge frame
-    # (topk_edges_table — measured: edge build ~3 s warm at sf0.1 paid
-    # twice per pass before; triangles settles 0.34 s, neighbor_jaccard
-    # 2.0 s warm after). Values identical (deterministic build, parity
-    # green both SFs), re-graded regardless (q_graph_neighbor_jaccard
-    # is r0-ungraded and fronts on its own):
-    "q_graph_triangles": 16,
-    # round-16 touch: both now read the session-materialized near-dup
-    # pair table (neardup_pairs_table) instead of rebuilding the
-    # blocked inverted-index join per call; the cluster-label build
-    # rides the same pair frame. Values identical, re-graded
-    # regardless:
-    "q_sim_jaccard": 16,
-    "q_dedup_degree": 16,
-    # round-16 touch: the five k=4 BPE consumers now read ONE
-    # session-materialized tokenized vocabulary (_bpe_toks_cached)
-    # instead of each re-running the sequential merge ladder; the
-    # trainer queries (q_text_bpe_merge k=3, q_text_bpe_train k=6)
-    # stay fresh (single-consumer artifacts). Values identical,
-    # re-graded regardless:
-    "q_text_bpe_apply": 16,
-    "q_text_bpe_vocab": 16,
-    "q_text_bpe_encode": 16,
-    "q_text_bpe_decode": 16,
-    "q_text_bpe_fertility": 16,
-    # round-16 touch: the LSH dedup loop reads the session-materialized
-    # MinHash signature table (minhash_sig_table — per-doc signatures
-    # are split-independent, so the store/batch halves filter the one
-    # frame), and q_embed_covariance + the PCA axis build share the
-    # materialized covariance (covariance_table). Values identical,
-    # re-graded regardless:
-    "q_dedup_minhash_sig": 16,
-    "q_dedup_lsh_candidates": 16,
-    "q_dedup_incremental": 16,
-    "q_dedup_ingest": 16,
-    "q_dedup_store_compact": 16,
-    "q_embed_covariance": 16,
-    # round-16 touch: the hyperplane-LSH trio reads the session-
-    # materialized candidate pair table (_band_candidate_pairs).
-    # Values identical, re-graded regardless:
-    "q_sim_neardup": 16,
-    "q_sim_pairs_lsh": 16,
-    "q_dedup_semantic": 16,
-    # round-16 touch: the pagerank edge checkpoint is clustered on dst
-    # so each iteration's partial aggregate emits ~|nodes| rows into the
-    # shuffle instead of ~|nodes| x P (warehouse.py pagerank_for
-    # comment). Values bit-identical warm x5, parity green both SFs:
-    "q_graph_pagerank": 16,
-    # round-16 touch (conservative): the dst-clustering experiment on
-    # the BFS edge checkpoint was REVERTED after its 100x probe cell
-    # OOM'd (SCALE.md r16 rejection) — the landed diff is comment-only
-    # and the plan is byte-identical to the graded one, but the ledger
-    # rule fronts ANY touched query:
-    "q_graph_bfs": 16,
+    # (All r16 entries pruned at r17 open: CORRECTNESS_r16 graded every
+    # one of the 29 post-touch queries — the materialize-once artifact
+    # consumers, the pagerank layout change, the decode fusion and the
+    # graph/BPE/LSH riders — hash-green, so each entry had expired by
+    # its own rule. Add only queries r17 touches.)
 }
 
 
