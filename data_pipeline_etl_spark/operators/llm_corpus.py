@@ -282,8 +282,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``hit_frac`` is display-only), so the boundary cannot diverge.
     Threshold 0.8 splits the fixture corpus non-trivially (~228 drop /
     247 keep at sf0.01 — the synthetic 31-token vocabulary makes
-    bigram overlap high by construction; a real corpus sits near 0)."""
-    return decontaminate_for(table(spark, sf_dir, "documents"))
+    bigram overlap high by construction; a real corpus sits near 0).
+
+    r17: input fanned out — the bigram derivation otherwise serializes
+    on the one-row-group local fixture (measured ~1.17× warm at sf0.1;
+    no-op on multi-split cluster layouts)."""
+    from data_pipeline_etl_spark.sources.tables import fanout
+
+    return decontaminate_for(fanout(table(spark, sf_dir, "documents")))
 
 
 @query(

@@ -414,10 +414,16 @@ def q_text_charngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k window over the tiny aggregate. Same shape at 100 TB: the
     explode is map-side, the shuffle carries |langs|×|grams| partial
     counts, never raw text.
+
+    r17: input fanned out — the per-character explode otherwise
+    serializes on the one-row-group local fixture (measured 1.56 →
+    0.50 s warm at sf0.1; no-op on multi-split cluster layouts).
     """
     from pyspark.sql import Window
 
-    d = table(spark, sf_dir, "documents")
+    from data_pipeline_etl_spark.sources.tables import fanout
+
+    d = fanout(table(spark, sf_dir, "documents"))
     grams = d.select(
         "lang",
         "text",
@@ -2193,8 +2199,15 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is one IEEE division of exact int64 counts, rounded at 6 dp.
     Body in :func:`novelty_for` (frame-parameterized for the scaling
     probe).
+
+    r17: input fanned out — the tokenize/trigram explode otherwise
+    serializes on the one-row-group local fixture (measured 2.11 →
+    1.03 s warm at sf0.1; fanout is a no-op on multi-split cluster
+    layouts, values partition-invariant).
     """
-    return novelty_for(table(spark, sf_dir, "documents"))
+    from data_pipeline_etl_spark.sources.tables import fanout
+
+    return novelty_for(fanout(table(spark, sf_dir, "documents")))
 
 
 def novelty_for(d: DataFrame) -> DataFrame:

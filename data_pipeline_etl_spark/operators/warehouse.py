@@ -285,35 +285,81 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     three metrics are ratios of BIGINT counts cast to double with a
     mirrored expression tree — no float summation anywhere, so parity
     is exact by construction.
+
+    r17 (VERDICT r16 item 5): the pair frame comes from the shared
+    session-materialized :func:`co_order_pairs_table` — the identical
+    within-order self-join the topk_edges_table build sparsifies, paid
+    once per session instead of once per call (measured 2.13 → 0.83 s
+    warm at sf0.1; the freq/n aggregates still scan the cached
+    lineitem, one pass). Values identical: same pairs, same counts.
     """
     l = table(spark, sf_dir, "lineitem")
-    return basket_affinity_for(l.select("l_orderkey", "l_partkey").distinct())
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    return _basket_scores(co_order_pairs_table(spark, sf_dir), items)
 
 
 def basket_affinity_for(items: DataFrame) -> DataFrame:
     """q_basket_affinity's plan over any (l_orderkey, l_partkey) item
-    frame — shared by the declared query and scripts/scaling_probe.py so
-    the probe measures the exact declared plan shape."""
-    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    freq = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    frame — shared by scripts/scaling_probe.py so the probe measures
+    the exact declared plan shape INCLUDING a fresh pair build (the
+    declared query reads the session-materialized
+    co_order_pairs_table)."""
+    return _basket_scores(_co_order_pairs(items), items)
+
+
+def _co_order_pairs(items: DataFrame) -> DataFrame:
+    """Within-order part-pair co-occurrence counts
+    (part_a < part_b, c_ab) over a (l_orderkey, l_partkey) item frame —
+    the ONE self-join both q_basket_affinity and the top-k affinity
+    graph build (:func:`_topk_affinity_edges`) start from. Fan-out is
+    bounded by basket size (≤ C(7,2) pairs per order), never an
+    all-parts cross join."""
     a = items.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
     )
     b = items.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
     )
-    pairs = (
+    return (
         a.join(b, "k")
         .where(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("c_ab"))
-        .where(F.col("c_ab") >= 2)
     )
+
+
+def co_order_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped materialize-once co-order pair-count frame
+    (part_a, part_b, c_ab) over lineitem — the shared artifact under
+    q_basket_affinity AND the topk_edges_table build (which feeds
+    q_graph_triangles / q_graph_neighbor_jaccard): three declared
+    queries previously each paid the identical within-order self-join.
+    ~1.2 M rows of three longs at sf0.1 (measured 2.5 s to build once);
+    at 100 TB this is the materialized co-occurrence table every
+    affinity consumer reads. Probe bodies (basket_affinity_for /
+    triangles_for / neighbor_jaccard_for) still build fresh pairs."""
+    from data_pipeline_etl_spark.operators.materialized import materialize_once
+
+    def _build() -> DataFrame:
+        l = table(spark, sf_dir, "lineitem")
+        items = l.select("l_orderkey", "l_partkey").distinct()
+        return _co_order_pairs(items).localCheckpoint()
+
+    return materialize_once(spark, ("co_order_pairs", sf_dir.rstrip("/")), _build)
+
+
+def _basket_scores(pairs: DataFrame, items: DataFrame) -> DataFrame:
+    """Support/confidence/lift over a prebuilt (part_a, part_b, c_ab)
+    pair frame plus the item frame the frequencies come from — the
+    shared tail of q_basket_affinity and basket_affinity_for."""
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
     fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
     fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     return (
-        pairs.join(F.broadcast(fa), "part_a")
+        pairs.where(F.col("c_ab") >= 2)
+        .join(F.broadcast(fa), "part_a")
         .join(F.broadcast(fb), "part_b")
         .crossJoin(F.broadcast(n))
         .select(
@@ -755,12 +801,14 @@ def topk_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical build is the same redundancy the artifact layer removes
     everywhere else; see operators/materialized.py). The probe bodies
     (triangles_for / neighbor_jaccard_for) keep building fresh edges so
-    scaling_probe still measures the full declared plan."""
+    scaling_probe still measures the full declared plan. r17: the build
+    reads the shared :func:`co_order_pairs_table` instead of re-running
+    the within-order self-join (values identical — same pair counts,
+    same sparsification)."""
     from data_pipeline_etl_spark.operators.materialized import materialize_once
 
     def _build() -> DataFrame:
-        l = table(spark, sf_dir, "lineitem")
-        return _topk_affinity_edges(l.select("l_orderkey", "l_partkey").distinct())
+        return _topk_edges_from_pairs(co_order_pairs_table(spark, sf_dir))
 
     return materialize_once(spark, ("topk_edges", sf_dir.rstrip("/")), _build)
 
@@ -772,15 +820,18 @@ def _topk_affinity_edges(items: DataFrame) -> DataFrame:
     :func:`triangles_for` and :func:`neighbor_jaccard_for` (one build,
     two algorithms: the _bpe_rounds single-source discipline). The pair
     frame is the bounded within-order self-join of q_basket_affinity
-    (fan-out <= C(basket, 2), never all-parts); the top-k window bounds
-    out-degree by construction before any graph algorithm runs."""
-    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("s"))
-    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("d"))
-    pairs = (
-        a.join(b, "k")
-        .where(F.col("s") < F.col("d"))
-        .groupBy("s", "d")
-        .agg(F.count("*").alias("c"))
+    (:func:`_co_order_pairs` — fan-out <= C(basket, 2), never
+    all-parts); the top-k window bounds out-degree by construction
+    before any graph algorithm runs."""
+    return _topk_edges_from_pairs(_co_order_pairs(items))
+
+
+def _topk_edges_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Top-k=2 sparsification + a<b canonicalization over a prebuilt
+    (part_a, part_b, c_ab) co-order pair frame — the shared tail of
+    :func:`_topk_affinity_edges` and the topk_edges_table build."""
+    pairs = pairs.select(
+        F.col("part_a").alias("s"), F.col("part_b").alias("d"), F.col("c_ab").alias("c")
     )
     und = pairs.unionByName(
         pairs.select(F.col("d").alias("s"), F.col("s").alias("d"), "c")

@@ -78,6 +78,37 @@ _FORCE_FRONT: dict[str, int] = {
     # consumers, the pagerank layout change, the decode fusion and the
     # graph/BPE/LSH riders — hash-green, so each entry had expired by
     # its own rule. Add only queries r17 touches.)
+    # round-17 touch: fanout() parallelism floor on the per-row-
+    # expression-heavy corpus scans (values partition-invariant,
+    # measured wins in OPTIMIZATION_r17.md):
+    "q_text_novelty": 17,
+    "q_text_charngrams": 17,
+    "q_dedup_substring": 17,
+    "q_decontaminate": 17,
+    # round-17 touch: q_dedup_ngram's bigram element frame is now a
+    # per-call localCheckpoint barrier (the self-join otherwise
+    # evaluates the tokenize→window→distinct subtree twice):
+    "q_dedup_ngram": 17,
+    # round-17 touch: the shared unigram element table
+    # (unigram_elements_table) now feeds BOTH q_dedup_containment and
+    # the neardup_pairs_table build — containment's plan changed, and
+    # every neardup/cluster rider's build lineage changed (values
+    # identical, deterministic; re-graded regardless per the ledger
+    # rule):
+    "q_dedup_containment": 17,
+    "q_sim_jaccard": 17,
+    "q_dedup_degree": 17,
+    "q_dedup_cluster": 17,
+    "q_dedup_cluster_stats": 17,
+    "q_split_leakage_safe": 17,
+    "q_mix_dedup_aware": 17,
+    # round-17 touch: the shared co-order pair table
+    # (co_order_pairs_table) now feeds q_basket_affinity directly and
+    # the topk_edges_table build (q_graph_triangles /
+    # q_graph_neighbor_jaccard lineage):
+    "q_basket_affinity": 17,
+    "q_graph_triangles": 17,
+    "q_graph_neighbor_jaccard": 17,
 }
 
 

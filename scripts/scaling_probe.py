@@ -216,6 +216,32 @@ def main() -> int:
             hyperplane_bits_pandas(edf, planes=_LSH_BANDS * rows), _LSH_BANDS, rows
         ).agg(F.count("*").alias("n_pairs"))
 
+    def lshv_hot(edf, rows):
+        # deliberate HOT-KEY cell (VERDICT r16 item 7): force ~10% of all
+        # vectors into ONE (band, sig) bucket by overwriting band 0's bit
+        # pattern, so the in-bucket combination explode runs C(n/10, 2)
+        # pair expansions in a single task. This is the skew shape AQE
+        # can NOT mitigate: skew-join splitting applies to joins only
+        # (guide §2.5) and cannot split a single key; the expansion here
+        # is a groupBy(collect_list) + per-row explode, so one hot bucket
+        # = one straggler task regardless of AQE. Capped at
+        # LSH_MAX_FACTOR like the interpreted fold — past ~30x the
+        # quadratic hot bucket measures patience, not plan shape.
+        hot_prefix = "array(" + ",".join(["1"] * rows) + ")"
+        bits = hyperplane_bits_pandas(edf, planes=_LSH_BANDS * rows).withColumn(
+            "bits",
+            F.when(
+                F.col("vec_id") % 10 == 0,
+                F.expr(
+                    f"concat({hot_prefix}, "
+                    f"slice(bits, {rows} + 1, size(bits) - {rows}))"
+                ),
+            ).otherwise(F.col("bits")),
+        )
+        return band_pairs_from_bits(bits, _LSH_BANDS, rows).agg(
+            F.count("*").alias("n_pairs")
+        )
+
     def substr(ddf):
         # summarize (span counts + covered totals), never per-doc rows
         from data_pipeline_etl_spark.operators.llm_dedup import substring_spans
@@ -535,6 +561,8 @@ def main() -> int:
             if factor <= LSH_MAX_FACTOR:
                 todo[f"lsh_{label}"] = (lambda nn: lambda L, O, E, D, V: lsh(E, nn))(n)
             todo[f"lshv_{label}"] = (lambda nn: lambda L, O, E, D, V: lshv(E, nn))(n)
+        if factor <= LSH_MAX_FACTOR:
+            todo["lshv_hot10"] = lambda L, O, E, D, V: lshv_hot(E, 8)
         if only:
             todo = {k: v for k, v in todo.items() if any(s in k for s in only)}
         out = {}
