@@ -160,8 +160,14 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-NN majority label vote for query vectors vec_id ∈ [0,20)."""
-    base = _normed(spark, sf_dir)
+    """5-NN majority label vote for query vectors vec_id ∈ [0,20).
+
+    r17: base fanned out (the q_sim_cosine_topk pattern) — the per-pair
+    cosine folds otherwise serialize on the one-row-group fixture
+    (measured 1.28× warm at sf0.1; no-op on multi-split layouts)."""
+    from data_pipeline_etl_spark.sources.tables import fanout
+
+    base = fanout(_normed(spark, sf_dir))
     q = base.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
     )
@@ -1261,8 +1267,13 @@ def q_sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     The RRF score is built from integer ranks (1.0/(60+r)), so the
     fused ordering is float-canonicalization-immune; cos/dist2 feed
     ranks only after a round(6) that is mirrored in the oracle.
+
+    r17: base fanned out (the q_sim_cosine_topk pattern) — measured
+    1.57× warm at sf0.1; no-op on multi-split layouts.
     """
-    base = _normed(spark, sf_dir)
+    from data_pipeline_etl_spark.sources.tables import fanout
+
+    base = fanout(_normed(spark, sf_dir))
     q = base.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qe"),
@@ -1826,8 +1837,13 @@ def q_sim_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same fold shape as the module's dot products), never a groupBy
     SUM whose accumulation order the engines could disagree on; log2's
     cross-engine 1-ulp wobble is absorbed by the 6 dp round.
+
+    r17: base fanned out (the q_sim_cosine_topk pattern) — measured
+    1.26× warm at sf0.1; no-op on multi-split layouts.
     """
-    base = _normed(spark, sf_dir)
+    from data_pipeline_etl_spark.sources.tables import fanout
+
+    base = fanout(_normed(spark, sf_dir))
     q = base.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),

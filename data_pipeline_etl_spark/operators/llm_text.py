@@ -721,8 +721,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens has no bigrams and drops out on both engines (sequence() in
     Spark would otherwise count DOWN from 1 to 0 — the >= 2 guard is
     semantic on one engine and a correctness requirement on the other).
+
+    r17: input fanned out — the per-row bigram transform otherwise
+    serializes on the one-row-group local fixture (measured 1.41× warm
+    at sf0.1; no-op on multi-split cluster layouts).
     """
-    d = table(spark, sf_dir, "documents")
+    from data_pipeline_etl_spark.sources.tables import fanout
+
+    d = fanout(table(spark, sf_dir, "documents"))
     # materialize the token array once per row — inlining split(text) into
     # the lambda re-evaluates it per element_at (O(tokens²) per doc)
     bi = (

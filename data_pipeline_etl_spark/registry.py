@@ -109,6 +109,14 @@ _FORCE_FRONT: dict[str, int] = {
     "q_basket_affinity": 17,
     "q_graph_triangles": 17,
     "q_graph_neighbor_jaccard": 17,
+    # round-17 touch (second fanout batch, same A/B discipline —
+    # measured 1.16–1.57× wins; the seven measured LOSS/flat
+    # candidates were left alone, table in OPTIMIZATION_r17.md):
+    "q_text_repetition": 17,
+    "q_dedup_simhash": 17,
+    "q_sim_knn_label": 17,
+    "q_sim_rank_fusion": 17,
+    "q_sim_ndcg": 17,
 }
 
 
