@@ -28,7 +28,15 @@ frames. Risks from the VERDICT r15 item-4 list, addressed:
   eigenvectors, a d^2-row covariance, and q_split_incremental's
   store-half split + element-index pair (the one index-sized entry —
   the materialized store inverted index production screens batches
-  against, q_dedup_incremental's topology).
+  against, q_dedup_incremental's topology);
+- stale-path caveat (ADVICE r16): keys are (id(spark), sf_dir[, k]) —
+  if the driver regenerates fixtures AT THE SAME PATH while a session
+  is live, every cached artifact (including the r16 graph edge frames
+  pagerank_graph_table / bfs_graph_table and the r17 element/pair
+  tables) would serve the pre-regeneration data. No live-regeneration
+  scenario exists in the driver contract, and
+  scripts/round_start_check.py catches cross-round regenerations —
+  informational, not a defect.
 """
 
 from __future__ import annotations

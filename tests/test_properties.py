@@ -1188,7 +1188,16 @@ def _round_half_away(x: float, nd: int = 6) -> float:
     both engines). Spark's round() is BigDecimal.valueOf(d), i.e.
     Double.toString(d) = shortest repr, so Decimal(repr(x)) — not
     Decimal(x), which expands the full binary value and rounds DOWN on
-    the 169/640 class — is the engine rule."""
+    the 169/640 class — is the engine rule.
+
+    JDK assumption (ADVICE r16): Decimal(repr(x)) == Double.toString(x)
+    relies on both producing the SHORTEST round-trip digits. Python's
+    repr always does; Double.toString was only guaranteed shortest from
+    JDK 19 (JDK-4511638 — older JVMs occasionally emit extra digits).
+    The empirical both-engine verification above ran on the Spark 4.1.2
+    bundled JVM (OpenJDK 17 in this sandbox) and held on both pinned
+    boundary classes; if a future JVM/Spark bump shifts a 6-dp hash,
+    re-check THIS function first."""
     import decimal
 
     q = decimal.Decimal(repr(x)).quantize(
